@@ -1,0 +1,13 @@
+package graft
+
+/** The complete verifiable operator inventory (SURVEY.md §2.8 + llmops). */
+object QueryRegistry {
+  val all: Seq[QuerySpec] =
+    graft.operators.Relational.all ++
+      graft.llmops.Dedup.all ++
+      graft.llmops.TextAnalysis.all ++
+      graft.llmops.Similarity.all ++
+      graft.llmops.Multimodal.all
+
+  def byName(name: String): QuerySpec = all.find(_.name == name).get
+}

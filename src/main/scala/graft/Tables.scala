@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TESTDATA parquet tables (TESTDATA.md).
+  *
+  * All queries receive `(spark, sfDir)` and read through here so that the
+  * scan is a plain parquet `FileSourceScanExec` — Catalyst pushes filters
+  * and prunes columns into it (verify with `.explain("formatted")`:
+  * `PushedFilters` / `ReadSchema`). At 100 TB the same code path reads a
+  * partitioned directory tree; nothing here assumes single-file layout.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * (see [[graft.GraftSession]]), so the column arrives as nano-epoch
+    * longs and is truncated here to a microsecond timestamp — the same
+    * ns→µs truncation DuckDB applies on `CAST(ts AS TIMESTAMP)`, which the
+    * oracle SQL mirrors.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

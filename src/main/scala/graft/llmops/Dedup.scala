@@ -1,0 +1,273 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators.Ops._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four families, in increasing fuzziness:
+  *   - exact        (hash groupBy / DISTINCT)                 → q21, oracled
+  *   - keyed latest (window row_number=1, latest-wins)        → q22, oracled
+  *   - n-gram Jaccard (shared-shingle join, exact overlap)    → q27, oracled
+  *   - MinHash+LSH / SimHash (sketch + band-bucket join)      → q30/q31,
+  *     rows-only checked (hash-seeded, not ANSI-SQL-expressible)
+  *
+  * Scale posture (the 100 TB constraint, SURVEY.md §7.4#5): no operator here
+  * ever builds an all-pairs candidate set. Near-dup candidates come from
+  * equi-joins on shingles/bands/buckets — the shuffle key is the
+  * shingle/band hash, map-side distinct runs first, and hot buckets are
+  * capped (`maxBucket`) the way production LSH dedup salts/limits skewed
+  * bands. Signatures are fixed-width arrays (64×8B) so the sketch state per
+  * doc is O(1) regardless of doc length.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- q21
+  /** Exact full-row dedup accounting over a column subset: total vs distinct
+    * vs duplicate counts. `distinct()` is a hash aggregate — partial
+    * (map-side) dedup happens before the shuffle, so at 100 TB the shuffle
+    * carries only per-partition-unique rows.
+    */
+  val q21 = QuerySpec(
+    "q21_dedup_exact",
+    (s, d) => {
+      val e = Tables.events(s, d).select("user_id", "event_type", "value")
+      e.agg(count(lit(1)).as("total_rows"))
+        .crossJoin(e.distinct().agg(count(lit(1)).as("distinct_rows")))
+        .select(
+          col("total_rows"), col("distinct_rows"),
+          (col("total_rows") - col("distinct_rows")).as("dup_rows"))
+    },
+    Some("""SELECT t.total_rows, d.distinct_rows,
+              t.total_rows - d.distinct_rows AS dup_rows
+            FROM (SELECT COUNT(*) AS total_rows FROM events) t,
+                 (SELECT COUNT(*) AS distinct_rows FROM
+                   (SELECT DISTINCT user_id, event_type, value FROM events)) d""")
+  )
+
+  // ---------------------------------------------------------------- q22
+  /** Keyed dedup, latest-wins: one surviving row per user_id (max ts,
+    * event_id tiebreak), then survivor stats per event_type. The window
+    * shuffles once on user_id; at scale this is the standard
+    * "latest version of each document" pass.
+    */
+  val q22 = QuerySpec(
+    "q22_dedup_keyed_latest",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_latest"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_latest,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+              FROM events)
+            WHERE rn = 1
+            GROUP BY event_type ORDER BY event_type""")
+  )
+
+  // ------------------------------------------------------------ shingles
+  /** doc_id → exploded distinct k-gram token shingles ("a_b_c"). */
+  private[llmops] def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+    toks
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("ts")) - (k - 1)),
+          i => concat_ws("_", (0 until k).map(o => element_at(col("ts"), i + o)): _*)
+        )).as("shingle"))
+      .distinct()
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Exact n-gram (bigram) Jaccard near-dup pairs via shared-shingle
+    * equi-join: |A∩B| from a join on the shingle itself, |A|,|B| from
+    * per-doc counts. Expressible in ANSI SQL → DuckDB-oracled. At 100 TB
+    * the same plan holds because the join key is the shingle (high
+    * cardinality, well-distributed); the MinHash variant (q30) is the
+    * sub-linear-candidate path.
+    */
+  val q27 = QuerySpec(
+    "q27_ngram_jaccard",
+    (s, d) => {
+      val bg = shingles(Tables.documents(s, d), 2)
+      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+      val inter = bg.as("a")
+        .join(bg.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val jac = round(
+        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
+      inter
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy("d1", "d2")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+              WHERE len(string_split(lower(text), ' ')) >= 2),
+            bigrams AS (
+              SELECT DISTINCT doc_id, bg FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || '_' || ts[i+1])) AS bg
+                FROM toks)),
+            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM bigrams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+              FROM bigrams a JOIN bigrams b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT d1, d2,
+              ROUND(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter), 4) AS jaccard
+            FROM pairs
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            WHERE ROUND(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter), 4) >= 0.2
+            ORDER BY d1, d2""")
+  )
+
+  // ------------------------------------------------------------- MinHash
+  /** Number of hash functions / LSH bands (16 bands × 4 rows). */
+  val NumHashes = 64
+  val NumBands = 16
+  private val RowsPerBand = NumHashes / NumBands
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a,b) pairs for h_i(x) = (a·x + b) mod p, seeded. */
+  private val hashParams: Seq[(Long, Long)] = {
+    val r = new scala.util.Random(42)
+    Seq.fill(NumHashes)((1L + r.nextInt(Int.MaxValue - 1).toLong,
+                         r.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** doc_id → 64-long MinHash signature array over k-gram shingles.
+    * One shuffle (groupBy doc_id) with 64 map-side partial mins; the
+    * signature is a fixed 512-byte sketch per doc.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = shingles(docs, k)
+      .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MersennePrime)).as("h"))
+    val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
+    }
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Candidate pairs whose signatures collide in ≥1 LSH band, with the
+    * signature-estimated Jaccard. `maxBucket` drops degenerate hot buckets
+    * (skew guard — at 100 TB a stop-shingle band would otherwise produce a
+    * quadratic bucket).
+    */
+  def minhashPairs(sigs: DataFrame, minSim: Double, maxBucket: Int = 1000): DataFrame = {
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(NumBands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
+      )))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val capped = bands
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val cand = capped.as("x")
+      .join(capped.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val est = cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(null)),
+            v => v.isNotNull)).cast("double") / NumHashes, 4).as("est_jaccard"))
+    est.filter(col("est_jaccard") >= minSim).orderBy("d1", "d2")
+  }
+
+  /** q30: MinHash-LSH near-dup pairs on documents. Deterministic (fixed
+    * seed 42) but hash-based → rows-only driver check, no SQL oracle.
+    */
+  val q30 = QuerySpec(
+    "q30_dedup_minhash_lsh",
+    (s, d) => minhashPairs(minhashSignatures(Tables.documents(s, d), k = 3), minSim = 0.3),
+    None
+  )
+
+  // ------------------------------------------------------------- SimHash
+  /** doc_id → 64-bit SimHash over tokens: per bit, sum ±1 weighted by the
+    * token hash's bit, sign → bit. One groupBy(doc_id) shuffle; 64 longs of
+    * aggregate state.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val packed = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
+    }.reduce(_ + _) // bits are disjoint, so + ≡ bitwise OR
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxHamming, candidates from
+    * 4×16-bit chunk collisions (any pair within Hamming 3 of a 64-bit hash
+    * shares at least one exact 16-bit chunk — pigeonhole).
+    */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("doc_id", "simhash", "chunk_idx", "chunk")
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  /** q31: SimHash near-dup pairs (rows-only check — hash-based). */
+  val q31 = QuerySpec(
+    "q31_dedup_simhash",
+    (s, d) => simhashPairs(simhash(Tables.documents(s, d)), maxHamming = 6),
+    None
+  )
+
+  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31)
+}

@@ -1,0 +1,109 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Multimodal-column plumbing: image/audio/video payloads modeled as opaque
+  * `BinaryType` columns with a typed metadata struct, exactly as a 100 TB
+  * training-data lake stores them (parquet binary + sidecar metadata).
+  *
+  * The decode/feature-extract step is STUBBED (this container has no
+  * image/audio codecs): [[decodeStub]] derives deterministic fake
+  * width/height/duration from the payload hash. Everything around it —
+  * schema, per-partition batching, partitioning by modality, the
+  * mapPartitions signature a real decoder (or `mapInPandas` in PySpark)
+  * would plug into — is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_bytes", LongType))), nullable = true)))
+
+  /** Build a media table from documents: payload = UTF-8 bytes of the text
+    * (a deterministic stand-in for real image/audio bytes).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        col("source").as("source"),
+        expr("octet_length(text)").cast("long").as("n_bytes")).as("meta"))
+
+  /** Decoded-feature schema appended by the (stubbed) decoder. */
+  val decodedSchema: StructType = StructType(
+    mediaSchema.fields ++ Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType)))
+
+  /** STUB decoder: a real implementation would decode `payload` with an
+    * image/audio codec per partition (batch-wise, like `mapInPandas`).
+    * Here features are derived deterministically from the payload bytes so
+    * the plumbing (schema, batching, null handling) is fully testable.
+    * Runs as `mapPartitions` — the decoder is initialized once per
+    * partition, the pattern a JNI/codec handle needs.
+    */
+  def decodeStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = spark.createDataFrame(
+      media.select("media_id", "modality", "payload", "meta").rdd.mapPartitions { it =>
+        // per-partition "decoder init" would go here
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val h = if (payload == null) 0L else payload.foldLeft(1125899906842597L) {
+            (acc, b) => acc * 31 + (b & 0xff)
+          }
+          Row.fromSeq(r.toSeq ++ Seq(
+            (math.abs(h) % 1920 + 1).toInt,
+            (math.abs(h / 7) % 1080 + 1).toInt,
+            math.abs(h / 13) % 600000L))
+        }
+      }, decodedSchema)
+    out
+  }
+
+  /** Frame-sampling stand-in: one row per sampled "frame" index — the
+    * explode shape a video pipeline uses (k frames per clip).
+    */
+  def sampleFrames(decoded: DataFrame, everyMs: Long): DataFrame =
+    decoded
+      .filter(col("modality") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms"), lit(everyMs))).as("frame_ts_ms"))
+
+  // ---------------------------------------------------------------- q33
+  /** Binary-column metadata stats — the oracle-checkable slice of the
+    * multimodal path: payload byte length and content hash per modality.
+    * (Byte semantics are engine-portable: UTF-8 encode + MD5.)
+    */
+  val q33 = QuerySpec(
+    "q33_multimodal_meta",
+    (s, d) =>
+      fromDocuments(Tables.documents(s, d))
+        .select(col("media_id"), col("modality"),
+          expr("octet_length(payload)").cast("long").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("media_id"),
+    Some("""SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 3 = 0 THEN 'image'
+                   WHEN doc_id % 3 = 1 THEN 'audio'
+                   ELSE 'video' END AS modality,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS payload_md5
+            FROM documents ORDER BY media_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q33)
+}

@@ -1,0 +1,146 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Similarity search over an `Array[Float]` embedding column.
+  *
+  * Two paths, mirroring production ANN systems:
+  *   - brute-force cosine top-k (q29): exact, O(|Q|·|C|) — the correctness
+  *     baseline, and the right plan when |Q| is small (the query side is
+  *     broadcast; candidates stream through executors, never collected).
+  *   - LSH-bucketed (q32) / IVF ([[ivfTopK]]): sub-linear candidate
+  *     generation for the 100 TB path — candidates come from an equi-join
+  *     on bucket/centroid id, so the shuffle is keyed and bounded.
+  *
+  * All arithmetic is done in double precision with a strict left-to-right
+  * fold (`aggregate`), which makes the score bit-deterministic and lets the
+  * brute-force query be DuckDB-oracled (`list_reduce` folds the same way).
+  */
+object Similarity {
+
+  /** Strict left-fold dot product of two float-array columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force cosine top-k: for each query vector, rank all
+    * candidates. Query side is tiny → `broadcast`; the candidate scan is
+    * embarrassingly parallel; the only shuffle is the per-query top-k
+    * (window over qid — |Q| partitions).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = candidates.select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id"))
+    broadcast(q).join(c, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  // ---------------------------------------------------------------- q29
+  val q29 = QuerySpec(
+    "q29_embedding_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 10)
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (
+              SELECT qid, vec_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS dot,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nq,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(ee) + 1),
+                    i -> CAST(ee[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nc
+              FROM q, (SELECT vec_id, embedding AS ee FROM embeddings)
+              WHERE vec_id <> qid)
+            SELECT qid, rn, vec_id, cos FROM (
+              SELECT qid, vec_id,
+                ROUND(dot / (SQRT(nq) * SQRT(nc)), 4) AS cos,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY dot / (SQRT(nq) * SQRT(nc)) DESC, vec_id) AS rn
+              FROM s)
+            WHERE rn <= 10 ORDER BY qid, rn""")
+  )
+
+  // ------------------------------------------------------ LSH (hyperplane)
+  /** Deterministic pseudo-random unit-free hyperplanes (seeded). */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Random-hyperplane signature: `nBits`-bit bucket id per vector. Sign of
+    * the dot product with each seeded hyperplane → one bit. Vectors in the
+    * same bucket are cosine-close with high probability.
+    */
+  def lshBuckets(vectors: DataFrame, nBits: Int = 12, dim: Int = 64,
+                 seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(col("embedding"), typedLit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << i)).otherwise(0L)
+    }.reduce[Column](_ + _)
+    vectors.withColumn("bucket", bucket)
+  }
+
+  /** q32: LSH near-dup pairs — bucket equi-join candidates, exact cosine
+    * verify ≥ minCos. Rows-only check (seeded hyperplanes aren't
+    * SQL-expressible). At scale: shuffle key = bucket id; candidate count
+    * is sum of per-bucket squares, controlled by nBits.
+    */
+  def lshNearDupPairs(vectors: DataFrame, minCos: Double, nBits: Int = 12): DataFrame = {
+    val b = lshBuckets(vectors, nBits)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy("v1", "v2")
+  }
+
+  val q32 = QuerySpec(
+    "q32_embedding_lsh_neardup",
+    (s, d) => lshNearDupPairs(Tables.embeddings(s, d), minCos = 0.2, nBits = 8),
+    None
+  )
+
+  // ----------------------------------------------------------------- IVF
+  /** IVF-style ANN: assign every vector to its nearest of `centroids`
+    * (a broadcast-size list), then search only the query's probe cells.
+    * This is the scale path: the candidate join is an equi-join on cell id.
+    * Centroids would come from a sampled k-means at 100 TB; here they are
+    * taken as the first `nCells` vectors (deterministic).
+    */
+  def ivfAssign(vectors: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val cell = centroids.map { case (cid, cvec) =>
+      val d = dot(col("embedding"), typedLit(cvec)) /
+        (norm(col("embedding")) * math.sqrt(cvec.map(x => x * x).sum))
+      struct(d.as("sim"), lit(cid).as("cid"))
+    }
+    vectors.withColumn("cell", greatest(cell: _*).getField("cid"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q29, q32)
+}

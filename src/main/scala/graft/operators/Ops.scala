@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Determinism helpers shared by the query inventory.
+  *
+  * The driver hash-compares Spark output against DuckDB, so floating-point
+  * aggregates must be *bit-identical*, not merely close. Plain `sum(double)`
+  * is order-dependent (Spark sums per-partition in arbitrary order; DuckDB
+  * sums in its own order), so any double aggregate is computed over an exact
+  * `DECIMAL(30,10)` widening — decimal addition is associative and exact —
+  * then rounded to 2 decimals and cast back to double. The DuckDB oracle SQL
+  * uses the literal same formula:
+  *
+  *   dsum:  CAST(ROUND(SUM(CAST(x AS DECIMAL(30,10))), 2) AS DOUBLE)
+  *   davg:  ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 2)
+  *
+  * (For averages the final division is done in IEEE double on both engines —
+  * identical operands, identical op, identical result.)
+  *
+  * At scale this costs one widened decimal per aggregate buffer — still a
+  * map-side partial aggregate, no extra shuffle.
+  */
+object Ops {
+  val Dec: DecimalType = DecimalType(30, 10)
+
+  /** Exact decimal sum, rounded to 2 decimals, as double. */
+  def dsum(c: Column): Column = round(sum(c.cast(Dec)), 2).cast(DoubleType)
+
+  /** Truncate a double expression to `digits` decimals via scaled floor.
+    * `round(double)` is NOT engine-portable: Spark rounds the shortest
+    * decimal string of the double (BigDecimal.valueOf → 4.725 → 4.73)
+    * while DuckDB rounds the binary value (4.7249999… → 4.72). Scaled
+    * floor is a pure IEEE op sequence — identical everywhere. DuckDB
+    * equivalent: CAST(FLOOR(x * 1eN) AS DOUBLE) / 1eN.
+    */
+  def ffloor(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * lit(p)).cast(DoubleType) / lit(p)
+  }
+
+  /** Exact-sum average truncated to 2 decimals (double division last). */
+  def davg(c: Column): Column =
+    ffloor(sum(c.cast(Dec)).cast(DoubleType) / count(lit(1)), 2)
+
+  /** Exact decimal sum over a window frame, rounded, as double. */
+  def dsumOver(c: Column, w: WindowSpec): Column =
+    round(sum(c.cast(Dec)).over(w), 2).cast(DoubleType)
+}

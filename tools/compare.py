@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name>/ parquet (Spark result), runs the matching SQL
+from <outDir>/oracle_sql.json in DuckDB over the sfDir tables, and compares
+schema (column names), row count, and cell values exactly (column order
+ignored; row order respected).
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import math
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name in sorted(oracle):
+    d = f"{outdir}/{name}"
+    if not os.path.isdir(d):
+        print(f"FAIL {name}: no spark output dir"); fail += 1; continue
+    try:
+        spark_tbl = pq.read_table(d)
+    except Exception as e:
+        print(f"FAIL {name}: cannot read spark parquet: {e}"); fail += 1; continue
+    try:
+        duck = con.execute(oracle[name]).fetch_arrow_table()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {e}"); fail += 1; continue
+    scols, dcols = sorted(spark_tbl.column_names), sorted(duck.column_names)
+    if scols != dcols:
+        print(f"FAIL {name}: cols spark={scols} duck={dcols}"); fail += 1; continue
+    if spark_tbl.num_rows != duck.num_rows:
+        print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
+        fail += 1; continue
+    bad = None
+    sdata = {c: spark_tbl.column(c).to_pylist() for c in scols}
+    ddata = {c: duck.column(c).to_pylist() for c in scols}
+    for c in scols:
+        for i, (a, b) in enumerate(zip(sdata[c], ddata[c])):
+            eq = (a == b) or (a is None and b is None)
+            if not eq and isinstance(a, float) and isinstance(b, float):
+                eq = (math.isnan(a) and math.isnan(b)) or a == b
+            if not eq:
+                bad = (c, i, a, b); break
+        if bad: break
+    if bad:
+        c, i, a, b = bad
+        print(f"FAIL {name}: first diff col={c} row={i} spark={a!r} duck={b!r}")
+        fail += 1
+    else:
+        print(f"OK   {name} ({spark_tbl.num_rows} rows)"); ok += 1
+
+# rows-only entries (queries without oracle): just report row counts
+for d in sorted(glob.glob(f"{outdir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name in oracle: continue
+    try:
+        n = pq.read_table(d).num_rows
+        print(f"ROWS {name}: {n}")
+    except Exception as e:
+        print(f"ROWS {name}: unreadable: {e}")
+
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
