@@ -1,0 +1,32 @@
+package graft.core
+
+/** Configuration for the parity pipeline — the reference's config surface
+  * (`OSSSinkConnectorConfiguration.java:66-86` + storage-common keys read at
+  * `TopicPartitionWriter.java:107-137`) re-expressed as a typed case class.
+  * No reflection plug-ins: formats and partitioners are sealed-trait
+  * registries ([[graft.format.OutputFormat]], [[graft.partition.Partitioner]]).
+  */
+final case class PipelineConfig(
+    /** `flush.size`: commit a file every N records per encoded partition
+      * (`TopicPartitionWriter.java:134,231-237`). */
+    flushSize: Int,
+    /** `rotate.interval.ms`: event-time rotation; -1 = disabled
+      * (`TopicPartitionWriter.java:343-346`). */
+    rotateIntervalMs: Long = -1L,
+    /** `rotate.schedule.interval.ms`: wallclock rotation; -1 = disabled.
+      * Maps to the streaming trigger interval (`TopicPartitionWriter.java:359-384`). */
+    rotateScheduleIntervalMs: Long = -1L,
+    /** `topics.dir` path prefix (`TopicPartitionWriter.java:268-285`). */
+    topicsDir: String = "topics",
+    /** `filename.offset.zero.pad.width` (`TopicPartitionWriter.java:272-274`). */
+    zeroPadWidth: Int = 10,
+    /** Directory / in-filename delimiters (`storage.common` keys). */
+    dirDelim: String = "/",
+    fileDelim: String = "+",
+    /** `schema.compatibility` (README.md:127-141). */
+    compatibility: graft.schema.SchemaCompat.Mode = graft.schema.SchemaCompat.None_)
+
+object PipelineConfig {
+  /** The reference quick-start demo settings (README.md:153,169-179). */
+  val demo: PipelineConfig = PipelineConfig(flushSize = 10000, rotateIntervalMs = 30000)
+}

@@ -65,7 +65,9 @@ object Multimodal {
           val h = if (payload == null) 0L else payload.foldLeft(1125899906842597L) {
             (acc, b) => acc * 31 + (b & 0xff)
           }
-          Row.fromSeq(r.toSeq ++ Seq(
+          // Seq[Any]: a plain Seq would weak-lub the Ints up to Long and
+          // break the IntegerType encoder
+          Row.fromSeq(r.toSeq ++ Seq[Any](
             (math.abs(h) % 1920 + 1).toInt,
             (math.abs(h / 7) % 1080 + 1).toInt,
             math.abs(h / 13) % 600000L))

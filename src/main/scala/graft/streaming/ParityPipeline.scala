@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.PipelineConfig
+import graft.partition.{Partitioner, RecordTimestamp, TimestampExtractor}
+import graft.schema.SchemaCompat
+import graft.sink._
+
+/** End-to-end parity pipeline (SURVEY.md §3): Kafka topic → canonical
+  * record DataFrame → partition-encoded, rotation-grouped, offset-named
+  * files — the reference's single dataflow
+  * (`OSSSinkTask.put` → `TopicPartitionWriter` → OSS) as one Structured
+  * Streaming query.
+  *
+  * Delivery semantics mapping (SURVEY.md §2.6):
+  *   - D2 offset ownership → the streaming checkpoint's offsets/commits
+  *     WALs (`checkpointLocation`), replacing `preCommit`
+  *     (`OSSSinkTask.java:196-208`)
+  *   - D3 idempotent replay → deterministic names + overwrite-create in
+  *     [[OffsetNamedSink]]; a replayed epoch rewrites identical objects
+  *   - D4 retries → `spark.task.maxFailures` + query restart policy
+  *   - D5 backpressure → `maxOffsetsPerTrigger` (declarative pause/resume)
+  *   - D6 rebalance → Kafka source + checkpoint recovery, no code
+  *   - R4 wallclock rotation → `Trigger.ProcessingTime`
+  *     (`rotate.schedule.interval.ms`, `TopicPartitionWriter.java:359-384`)
+  */
+object ParityPipeline {
+
+  /** S1: the Kafka source — same record shape the Connect runtime hands
+    * `put()` (`OSSSinkTask.java:160-175`): key/value binary, topic,
+    * partition, offset, timestamp. Requires spark-sql-kafka on the
+    * classpath at runtime (not bundled in this container — covered by the
+    * memory/file-source test path, which produces the identical shape).
+    */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topics: String,
+                  maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics)
+      .option("startingOffsets", "earliest")
+    maxOffsetsPerTrigger.foreach(n => r.option("maxOffsetsPerTrigger", n)) // D5
+    r.load()
+  }
+
+  /** S4 value converters: Kafka bytes → typed payload column.
+    * `value.converter` analogs (README.md:100-108): ByteArray = value
+    * as-is; String = cast; Json = from_json(cast, schema).
+    */
+  object Converters {
+    def byteArray: Column = col("value")
+    def string: Column = col("value").cast("string")
+    def json(schema: StructType): Column = from_json(col("value").cast("string"), schema)
+  }
+
+  /** Start the streaming parity sink. `payload` is the serialized-record
+    * column (see [[OffsetNamedSink.writeBatch]]); `format` picks the
+    * writer. Exactly-once: checkpoint + deterministic names.
+    */
+  def start(
+      records: DataFrame,
+      cfg: PipelineConfig,
+      partitioner: Partitioner,
+      format: OutputFormat,
+      baseDir: String,
+      checkpointDir: String,
+      payload: Column,
+      extractor: TimestampExtractor = RecordTimestamp,
+      queryName: String = "graft-parity-sink"): StreamingQuery = {
+    val trigger =
+      if (cfg.rotateScheduleIntervalMs > 0)
+        Trigger.ProcessingTime(cfg.rotateScheduleIntervalMs) // R4
+      else Trigger.ProcessingTime(0L)
+    records.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeMicroBatch(batch, cfg, partitioner, format, baseDir, payload, extractor)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch through the parity sink — also the direct entry the
+    * batch tests use (`foreachBatch` body, `TopicPartitionWriter.write()`
+    * analog).
+    */
+  def writeMicroBatch(
+      batch: DataFrame,
+      cfg: PipelineConfig,
+      partitioner: Partitioner,
+      format: OutputFormat,
+      baseDir: String,
+      payload: Column,
+      extractor: TimestampExtractor = RecordTimestamp): OffsetNamedSink.BatchResult =
+    format match {
+      case p: ParquetFormat =>
+        val payloadCols = batch.schema.fieldNames.toSeq
+        OffsetNamedSink.writeBatchParquet(batch, cfg, partitioner, p, baseDir, payloadCols, extractor)
+      case other =>
+        OffsetNamedSink.writeBatch(batch, cfg, partitioner, other, baseDir, payload, extractor)
+    }
+
+  /** R5 schema-change rotation for a batch of (schemaId → payload-struct)
+    * records: NONE rotates files on every schema change (schema id joins
+    * the file-group key); BACKWARD/FULL project everything up to the
+    * newest schema in the batch; FORWARD projects down to the oldest
+    * (README.md:127-141, `TopicPartitionWriter.java:217-228`).
+    */
+  def writeEvolving(
+      batch: DataFrame,
+      schemas: Map[Int, StructType],
+      schemaIdCol: Column,
+      cfg: PipelineConfig,
+      partitioner: Partitioner,
+      format: OutputFormat,
+      baseDir: String,
+      toPayload: DataFrame => Column): OffsetNamedSink.BatchResult =
+    cfg.compatibility match {
+      case SchemaCompat.None_ =>
+        OffsetNamedSink.writeBatch(
+          batch, cfg, partitioner, format, baseDir, toPayload(batch),
+          extraGroupCols = Seq(schemaIdCol))
+      case SchemaCompat.Backward | SchemaCompat.Full =>
+        val target = schemas(schemas.keys.max)
+        val projected = projectPayload(batch, target)
+        OffsetNamedSink.writeBatch(projected, cfg, partitioner, format, baseDir, toPayload(projected))
+      case SchemaCompat.Forward =>
+        val target = schemas(schemas.keys.min)
+        val projected = projectPayload(batch, target)
+        OffsetNamedSink.writeBatch(projected, cfg, partitioner, format, baseDir, toPayload(projected))
+    }
+
+  /** Project the `payload` struct column of `batch` onto `target`. */
+  private def projectPayload(batch: DataFrame, target: StructType): DataFrame = {
+    val cols = target.fields.map { f =>
+      when(col("payload").getField(f.name).isNotNull,
+        col("payload").getField(f.name).cast(f.dataType))
+        .otherwise(lit(null).cast(f.dataType)).as(f.name)
+    }
+    batch.withColumn("payload", struct(cols.toSeq: _*))
+  }
+}

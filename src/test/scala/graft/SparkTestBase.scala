@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for all suites (guide: one per suite, lazy). */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  def sf(name: String): String = s"/root/testdata/$name"
+
+  /** Canonical Kafka-shaped records: `nParts` partitions × `perPart`
+    * offsets, payload fields (a: long, b: string), timestamps advancing
+    * `stepMs` per offset from epoch `baseMs`.
+    */
+  def kafkaRecords(topic: String, nParts: Int, perPart: Int,
+                   baseMs: Long = 1700000000000L, stepMs: Long = 1000L): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      p <- 0 until nParts
+      o <- 0 until perPart
+    } yield (topic, p, o.toLong, new java.sql.Timestamp(baseMs + o * stepMs),
+      s"key-$p-$o", o * 10L + p, s"v$o")
+    rows.toDF("topic", "partition", "offset", "timestamp", "key", "a", "b")
+  }
+}

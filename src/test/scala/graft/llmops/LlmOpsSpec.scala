@@ -1,0 +1,105 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Unit-level behavior of the llmops operators on controlled inputs
+  * (the sf-data correctness is covered by the DuckDB oracle via Verify).
+  */
+class LlmOpsSpec extends SparkTestBase {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash: identical docs get identical signatures and est 1.0") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different tokens nothing shared here at all folks today"))
+    val sigs = Dedup.minhashSignatures(d, k = 3)
+    val pairs = Dedup.minhashPairs(sigs, minSim = 0.9).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash: near-dup (one token changed) scores high but < exact") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok20", "changed")
+    val d = docs((1L, base), (2L, nearDup))
+    val pairs = Dedup.minhashPairs(Dedup.minhashSignatures(d, 3), minSim = 0.5).collect()
+    assert(pairs.length == 1)
+    val est = pairs.head.getDouble(2)
+    assert(est > 0.5 && est < 1.0)
+  }
+
+  test("simhash: identical docs → hamming 0; disjoint docs not near") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"))
+    val pairs = Dedup.simhashPairs(Dedup.simhash(d), maxHamming = 3).collect()
+    assert(pairs.length == 1)
+    assert((pairs.head.getLong(0), pairs.head.getLong(1)) == (1L, 2L))
+    assert(pairs.head.getInt(2) == 0)
+  }
+
+  test("rolling fingerprints: shared spans between overlapping docs") {
+    val shared = "copy this exact span of tokens right here please now"
+    val d = docs((1L, s"prefix one two $shared suffix a"), (2L, s"other start words $shared end b"))
+    val fp = TextAnalysis.rollingFingerprints(d, window = 5, blockSize = 2)
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+  }
+
+  test("cosine/dot: exact values on known vectors") {
+    import spark.implicits._
+    val v = Seq((1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(v.filter(col("vec_id") === 1), v, k = 2).collect()
+    assert(topk.length == 2)
+    // cos(e1, e1+e2) = 1/sqrt(2) ≈ 0.7071; cos(e1, e2) = 0
+    assert(topk(0).getLong(2) == 3L && math.abs(topk(0).getDouble(3) - 0.7071) < 1e-9)
+    assert(topk(1).getLong(2) == 2L && topk(1).getDouble(3) == 0.0)
+  }
+
+  test("lsh buckets: identical vectors share a bucket; pairs found") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, (1 to 64).map(i => math.sin(i).toFloat)),
+      (2L, (1 to 64).map(i => math.sin(i).toFloat)),
+      (3L, (1 to 64).map(i => math.cos(i * 3).toFloat))).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairs(e, minCos = 0.99, nBits = 8).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getDouble(2) == 1.0)
+  }
+
+  test("multimodal: stub decode is deterministic, schema intact, frames sample") {
+    import spark.implicits._
+    val d = Seq((0L, "video payload text", "en", "src0", 18L),
+                (2L, "another clip", "en", "src2", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.fromDocuments(d)
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2).toSeq,
+        r.get(3).toString, r.getInt(4), r.getInt(5), r.getLong(6))).toList
+    val dec1 = Multimodal.decodeStub(media).collect().sortBy(_.getLong(0))
+    val dec2 = Multimodal.decodeStub(media).collect().sortBy(_.getLong(0))
+    assert(canon(dec1) == canon(dec2))
+    assert(dec1.head.schema.fieldNames.contains("width"))
+    val frames = Multimodal.sampleFrames(Multimodal.decodeStub(media), everyMs = 100000)
+    // doc 0 → modality image (0%3==0); doc 2 → video; only video sampled
+    assert(frames.select("media_id").distinct().collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("langIdScore picks the profile with most hits") {
+    val d = docs((1L, "der hund und die katze"), (2L, "the cat and the dog"))
+    val out = TextAnalysis.langIdScore(d,
+      Map("en" -> Seq(" the ", " and "), "de" -> Seq(" und ", " die ")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "de" && out(2L) == "en")
+  }
+}
