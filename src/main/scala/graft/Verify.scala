@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
       // events.ts is TIMESTAMP(NANOS) parquet — read as nano-longs,
       // truncated to µs timestamps in Tables.events (DuckDB-equivalent).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

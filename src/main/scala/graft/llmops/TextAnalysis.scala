@@ -24,6 +24,7 @@ object TextAnalysis {
     "q23_text_tokens",
     (s, d) =>
       Tables.documents(s, d)
+        .repartition(col("doc_id")) // parallelize the explode past one input split
         .select(explode(split(lower(col("text")), " ")).as("token"))
         .filter(!col("token").isin(StopWords: _*) && col("token") =!= "")
         .groupBy("token")
@@ -127,21 +128,19 @@ object TextAnalysis {
   val q28 = QuerySpec(
     "q28_doc_fingerprint",
     (s, d) => {
+      // single scan: cluster size via a window over the fingerprint, not a
+      // groupBy + self-join (which would scan and hash the corpus twice)
       val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
-      val docs = Tables.documents(s, d).select(col("doc_id"), fp.as("fingerprint"))
-      val counts = docs.groupBy("fingerprint").agg(count(lit(1)).as("n_same"))
-      docs.join(counts, "fingerprint")
-        .select(col("doc_id"), col("fingerprint"), col("n_same"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .withColumn("n_same",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
         .orderBy("doc_id")
     },
-    Some("""WITH fps AS (
-              SELECT doc_id,
-                md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
-              FROM documents)
-            SELECT doc_id, fingerprint, n_same FROM fps
-            JOIN (SELECT fingerprint AS f2, COUNT(*) AS n_same
-                  FROM fps GROUP BY 1) ON fingerprint = f2
-            ORDER BY doc_id""")
+    Some("""SELECT doc_id,
+              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+              COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_same
+            FROM documents ORDER BY doc_id""")
   )
 
   /** Rolling (polynomial, base-31 mod 2^61-1) hash fingerprints of every
