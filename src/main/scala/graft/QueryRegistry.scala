@@ -4,6 +4,7 @@ package graft
 object QueryRegistry {
   val all: Seq[QuerySpec] =
     graft.operators.Relational.all ++
+      graft.operators.Advanced.all ++
       graft.llmops.Dedup.all ++
       graft.llmops.TextAnalysis.all ++
       graft.llmops.Similarity.all ++

@@ -159,16 +159,96 @@ object Similarity {
     * (a broadcast-size list), then search only the query's probe cells.
     * This is the scale path: the candidate join is an equi-join on cell id.
     * Centroids would come from a sampled k-means at 100 TB; here they are
-    * taken as the first `nCells` vectors (deterministic).
+    * taken as the first vectors (deterministic). Assignment is a typed
+    * mapPartitions for the same reason as [[lshBuckets]] (dense fixed-width
+    * math; centroid matrix ships as a closure constant).
     */
   def ivfAssign(vectors: DataFrame, centroids: Seq[(Long, Seq[Double])]): DataFrame = {
-    val cell = centroids.map { case (cid, cvec) =>
-      val d = dot(col("embedding"), typedLit(cvec)) /
-        (norm(col("embedding")) * math.sqrt(cvec.map(x => x * x).sum))
-      struct(d.as("sim"), lit(cid).as("cid"))
-    }
-    vectors.withColumn("cell", greatest(cell: _*).getField("cid"))
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .map { case (cid, v) => (cid, v.toArray, math.sqrt(v.map(x => x * x).sum)) }
+      .sortBy(_._1).toArray
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          var n = 0.0
+          emb.foreach(x => n += x.toDouble * x)
+          val en = math.sqrt(n)
+          var best = -2.0
+          var bestC = -1L
+          cents.foreach { case (cid, cv, cn) =>
+            var s = 0.0
+            var j = 0
+            val m = math.min(cv.length, emb.length)
+            while (j < m) { s += emb(j) * cv(j); j += 1 }
+            val cos = s / (en * cn + 1e-12)
+            if (cos > best) { best = cos; bestC = cid }
+          }
+          (id, emb, bestC)
+        }
+      }
+      .toDF("vec_id", "embedding", "cell")
   }
 
-  val all: Seq[QuerySpec] = Seq(q29, q32)
+  /** Probe cells for queries: each vector → its `nprobe` nearest centroid
+    * cells, exploded to (vec_id, embedding, cell) — multi-probe IVF, the
+    * standard recall lever when cells are coarse.
+    */
+  def ivfProbe(vectors: DataFrame, centroids: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    val cents: Array[(Long, Array[Double], Double)] = centroids
+      .map { case (cid, v) => (cid, v.toArray, math.sqrt(v.map(x => x * x).sum)) }
+      .sortBy(_._1).toArray
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, emb) =>
+          var n = 0.0
+          emb.foreach(x => n += x.toDouble * x)
+          val en = math.sqrt(n)
+          cents.map { case (cid, cv, cn) =>
+            var s = 0.0
+            var j = 0
+            val m = math.min(cv.length, emb.length)
+            while (j < m) { s += emb(j) * cv(j); j += 1 }
+            (s / (en * cn + 1e-12), cid)
+          }.sortBy(-_._1).take(nprobe).map { case (_, cid) => (id, emb, cid) }
+        }
+      }
+      .toDF("vec_id", "embedding", "cell")
+  }
+
+  /** q38: IVF top-k — centroids = first 8 vectors, 3-probe search, exact
+    * cosine rank inside the probed cells. Rows-only check (the centroid
+    * assignment isn't reasonably SQL-expressible); recall vs brute force
+    * is asserted in ScalaTest.
+    */
+  val q38 = QuerySpec(
+    "q38_embedding_ivf_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val centroids = e.filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val assigned = ivfAssign(e, centroids)
+      val q = ivfProbe(
+        e.filter(col("vec_id").isin(100L, 101L, 102L)), centroids, nprobe = 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+      val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id"))
+      broadcast(q)
+        .join(assigned.select(col("vec_id"), col("embedding").as("ce"), col("cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+        .orderBy("qid", "rn")
+    },
+    None
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q32, q38)
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import Ops._
+
+/** Advanced relational operators beyond the core §2.8 inventory: as-of
+  * join, cube, approximate-distinct sketches, and sessionization.
+  */
+object Advanced {
+
+  // ---------------------------------------------------------------- q34
+  /** As-of join: for each purchase event, the value of that user's most
+    * recent click at-or-before the purchase timestamp.
+    *
+    * Spark lacks a native ASOF JOIN (DuckDB's is the oracle). Instead of a
+    * range join (quadratic within key), this uses the union + ordered
+    * carry-forward trick: tag both sides, sort by (ts, side) within each
+    * user, and carry the last non-null right value forward with
+    * `last(ignoreNulls)` over a running frame. ONE shuffle on user_id,
+    * linear work — the scale-correct plan for 100 TB event streams.
+    * The right side is pre-deduped per (user, ts) so ties are
+    * deterministic; right sorts before left at equal ts → inclusive (>=)
+    * as-of semantics, matching DuckDB.
+    */
+  val q34 = QuerySpec(
+    "q34_asof_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("is_left"),
+          col("event_id"), lit(null).cast("double").as("click_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        .select(col("user_id"), col("ts"), lit(0).as("is_left"),
+          lit(null).cast("long").as("event_id"), col("click_value"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("asof_value", last(col("click_value"), ignoreNulls = true).over(w))
+        .filter(col("is_left") === 1)
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                              event_type, value FROM events),
+            p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, MAX(value) AS click_value
+                  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.event_id, p.user_id, c.click_value AS asof_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id""")
+  )
+
+  // ---------------------------------------------------------------- q35
+  /** CUBE over (returnflag, linestatus) with grouping flags — the full
+    * grouping-sets lattice (q12 covers ROLLUP).
+    */
+  val q35 = QuerySpec(
+    "q35_cube_grouping",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(
+          col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+              CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_price,
+              COUNT(*) AS cnt
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY g_flag, g_status,
+              l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  )
+
+  // ---------------------------------------------------------------- q36
+  /** HLL++ approximate distinct counts next to the exact answer. Engine
+    * sketches differ across systems, so no SQL oracle (rows-only check);
+    * the ScalaTest asserts <5% relative error vs exact. The sketch
+    * matters at 100 TB: approx_count_distinct is a fixed-size mergeable
+    * aggregate (no distinct shuffle of the key universe).
+    */
+  val q36 = QuerySpec(
+    "q36_approx_distinct",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    None
+  )
+
+  // ---------------------------------------------------------------- q37
+  /** Sessionization: batch `session_window` (4h gap) per user — Spark's
+    * native session operator; the oracle reproduces it with the
+    * gaps-and-islands idiom (lag → new-session flag → running sum → island
+    * id). Both close a session when the next event is ≥ gap after the
+    * previous event.
+    */
+  val q37 = QuerySpec(
+    "q37_sessionization",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_us"),
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+            g AS (SELECT user_id, ts, value,
+                    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                         WHEN ts >= LAG(ts) OVER w + INTERVAL 4 HOUR THEN 1
+                         ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            i AS (SELECT user_id, ts, value,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM g)
+            SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+              COUNT(*) AS n_events,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value
+            FROM i GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37)
+}

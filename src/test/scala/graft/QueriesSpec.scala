@@ -20,8 +20,9 @@ class QueriesSpec extends SparkTestBase {
   test("oracle SQL exists for every ANSI-expressible query") {
     val oracled = QueryRegistry.all.count(_.oracle.isDefined)
     assert(oracled >= 30)
-    // hash-seeded ops are intentionally rows-only
+    // hash-seeded / sketch-based ops are intentionally rows-only
     val rowsOnly = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name)
-    assert(rowsOnly.forall(n => n.contains("minhash") || n.contains("simhash") || n.contains("lsh")))
+    assert(rowsOnly.forall(n => n.contains("minhash") || n.contains("simhash") ||
+      n.contains("lsh") || n.contains("approx") || n.contains("ivf")))
   }
 }
