@@ -21,11 +21,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Similarity {
 
-  /** Strict left-fold dot product of two float-array columns in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Strict left-fold dot product of two float-array columns in double —
+    * a native codegen expression ([[graft.functions.FloatVectorDot]]);
+    * bit-identical to `aggregate(zip_with(...))` and to the DuckDB
+    * oracle's `list_reduce` fold, but without the per-row intermediate
+    * array.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
