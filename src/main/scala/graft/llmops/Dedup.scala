@@ -174,19 +174,18 @@ object Dedup {
   }
 
   /** doc_id → 64-long MinHash signature array over k-gram shingles.
-    * One shuffle (groupBy doc_id) with 64 map-side partial mins; the
-    * signature is a fixed 512-byte sketch per doc.
+    * One shuffle (groupBy doc_id); the signature is one fixed 512-byte
+    * sketch buffer per doc via [[graft.functions.MinHashSketchAgg]]
+    * (a `TypedImperativeAggregate` — single-pass elementwise-min update,
+    * mergeable partials, same values as 64 separate min(pmod(...)) agg
+    * columns but without 64× aggregate-column overhead).
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3): DataFrame = {
     val sh = shingles(docs, k, dedup = false)
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MersennePrime)).as("h"))
-    val mins = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
-    }
     sh.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(graft.functions.MinHashAgg
+        .minhash_sketch(col("h"), hashParams, MersennePrime).as("sig"))
   }
 
   /** Candidate pairs whose signatures collide in ≥1 LSH band, with the

@@ -211,11 +211,14 @@ object OffsetNamedSink {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = tmp.getFileSystem(conf)
     try {
+      // keep row order by offset via an internal alias so a payload column
+      // legitimately named "offset" survives into the output
       grouped
-        .select((payloadCols.map(col) ++ Seq(col("offset"), col("__dir"), col("__fname"))): _*)
+        .select((payloadCols.map(col) ++ Seq(
+          col("offset").as("__sortOffset"), col("__dir"), col("__fname"))): _*)
         .repartition(col("__dir"), col("__fname"))
-        .sortWithinPartitions(col("__dir"), col("__fname"), col("offset"))
-        .drop("offset")
+        .sortWithinPartitions(col("__dir"), col("__fname"), col("__sortOffset"))
+        .drop("__sortOffset")
         .write
         .option("compression", format.codec)
         .partitionBy("__dir", "__fname")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -123,9 +124,19 @@ object ParityPipeline {
       toPayload: DataFrame => Column): OffsetNamedSink.BatchResult =
     cfg.compatibility match {
       case SchemaCompat.None_ =>
+        // Rotation happens on every schema CHANGE (TopicPartitionWriter
+        // .java:217-222): group by the run of consecutive same-schema
+        // records, not by the schema id itself — a schema that comes back
+        // later must start a fresh file.
+        val w = Window.partitionBy("topic", "partition").orderBy("offset")
+        val changed = when(
+          lag(schemaIdCol, 1).over(w).isNull || lag(schemaIdCol, 1).over(w) =!= schemaIdCol,
+          1).otherwise(0)
+        val withRun = batch.withColumn("__schemaRun",
+          sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         OffsetNamedSink.writeBatch(
-          batch, cfg, partitioner, format, baseDir, toPayload(batch),
-          extraGroupCols = Seq(schemaIdCol))
+          withRun, cfg, partitioner, format, baseDir, toPayload(withRun),
+          extraGroupCols = Seq(col("__schemaRun")))
       case SchemaCompat.Backward | SchemaCompat.Full =>
         val target = schemas(schemas.keys.max)
         val projected = projectPayload(batch, target)
