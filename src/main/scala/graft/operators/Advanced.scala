@@ -139,5 +139,51 @@ object Advanced {
             ORDER BY user_id, session_start_us""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37)
+  // ---------------------------------------------------------------- q39
+  /** Pivot: order counts + price sums per priority, one column per status.
+    * Spark's `pivot` with an explicit value list compiles to the same
+    * conditional-aggregation shape as the oracle's CASE columns — no extra
+    * pass to discover pivot values (which at scale would be a full scan).
+    */
+  val q39 = QuerySpec(
+    "q39_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+              COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+              COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+              COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  // ---------------------------------------------------------------- q40
+  /** JSON scalar functions over the `events.props` JSON column:
+    * path extraction + typed cast, aggregated. Spark `get_json_object` /
+    * DuckDB `json_extract` — both RFC-style `$.k` paths.
+    */
+  val q40 = QuerySpec(
+    "q40_json_funcs",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("k_mod"),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+              COUNT(*) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
+              MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY 1 ORDER BY k_mod""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40)
 }
