@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.FloatVectorDot
+
+/** Session extension registering graft's custom expressions for SQL use:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: spark.sql.extensions=graft.GraftExtensions
+  *   spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  *
+  * The extension-point path (SparkSessionExtensions → injectFunction) is
+  * the supported way to add native expressions without forking the
+  * analyzer; DataFrame callers can use
+  * [[graft.functions.VectorFunctions.vec_dot]] directly without it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[FloatVectorDot].getName, name),
+        builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** The shared name → expression-builder registry. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => FloatVectorDot(exprs(0), exprs(1))))
+
+  /** Register on an already-running session (extensions only take effect
+    * for sessions created with `.withExtensions` / `spark.sql.extensions`).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerTempFunction(spark, name, builder)
+    }
+}

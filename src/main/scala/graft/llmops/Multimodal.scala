@@ -76,6 +76,21 @@ object Multimodal {
     out
   }
 
+  /** Resize stand-in for image payloads: a real pipeline re-encodes the
+    * payload bytes at (w,h); the stub truncates/pads the payload to a
+    * deterministic function of the target size so byte-length invariants
+    * are testable. The plumbing — operating on `payload` per row, updating
+    * the width/height metadata columns — is the real shape.
+    */
+  def resizeStub(decoded: DataFrame, w: Int, h: Int): DataFrame =
+    decoded
+      .withColumn("payload",
+        when(col("modality") === "image",
+          substring(col("payload"), 1, (w * h) % 1024 + 16))
+          .otherwise(col("payload")))
+      .withColumn("width", when(col("modality") === "image", lit(w)).otherwise(col("width")))
+      .withColumn("height", when(col("modality") === "image", lit(h)).otherwise(col("height")))
+
   /** Frame-sampling stand-in: one row per sampled "frame" index — the
     * explode shape a video pipeline uses (k frames per clip).
     */
