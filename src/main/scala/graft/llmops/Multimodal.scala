@@ -41,6 +41,21 @@ object Multimodal {
         col("source").as("source"),
         expr("octet_length(text)").cast("long").as("n_bytes")).as("meta"))
 
+  /** Build a media table from Spark's `binaryFile` source (path, length,
+    * content, modificationTime) — how real image/audio payloads enter a
+    * lake: opaque bytes + provenance metadata. Modality is inferred from
+    * the file extension.
+    */
+  def fromBinaryFiles(binaryFiles: DataFrame): DataFrame =
+    binaryFiles.select(
+      xxhash64(col("path")).as("media_id"),
+      when(col("path").rlike("\\.(png|jpg|jpeg)$"), "image")
+        .when(col("path").rlike("\\.(wav|mp3|flac)$"), "audio")
+        .when(col("path").rlike("\\.(mp4|webm)$"), "video")
+        .otherwise("binary").as("modality"),
+      col("content").as("payload"),
+      struct(col("path").as("source"), col("length").as("n_bytes")).as("meta"))
+
   /** Decoded-feature schema appended by the (stubbed) decoder. */
   val decodedSchema: StructType = StructType(
     mediaSchema.fields ++ Seq(
