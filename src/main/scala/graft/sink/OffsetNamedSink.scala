@@ -155,7 +155,9 @@ object OffsetNamedSink {
         def open(path: String): Unit = {
           val p = new Path(base, path)
           if (fs == null) fs = p.getFileSystem(conf)
-          val raw = fs.create(p, true) // overwrite-create: OSSStorage.java:78-90
+          // overwrite-create (OSSStorage.java:78-90), buffered: the record
+          // loop writes one small payload at a time
+          val raw = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
           format match {
             case j: JsonFormat => out = j.compression.wrap(raw)
             case b: ByteArrayFormat => out = b.compression.wrap(raw)
