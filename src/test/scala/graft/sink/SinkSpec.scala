@@ -114,6 +114,22 @@ class SinkSpec extends SparkTestBase {
     reader.close()
   }
 
+  test("avro: snappy codec (reference default test matrix) round-trips") {
+    val base = tmpDir()
+    val df = kafkaRecords("sn", nParts = 1, perPart = 10)
+    OffsetNamedSink.writeBatch(
+      df, PipelineConfig(flushSize = 500), DefaultPartitioner,
+      AvroFormat("snappy"), base.toString,
+      payload = struct(col("a"), col("b")))
+    val f = base.resolve(f"topics/sn/partition=0/sn+0+${0}%010d.avro")
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableFileInput(f.toFile),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    assert(reader.getMetaString("avro.codec") == "snappy")
+    assert(reader.iterator().asScala.size == 10)
+    reader.close()
+  }
+
   test("parquet: spark-native write + deterministic rename, read-back") {
     val base = tmpDir()
     val cfg = PipelineConfig(flushSize = 400)
