@@ -185,5 +185,31 @@ object Advanced {
             FROM events GROUP BY 1 ORDER BY k_mod""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40)
+  // ---------------------------------------------------------------- q41
+  /** Correlated scalar subquery through the `spark.sql` entry path:
+    * orders priced > 1.5× their customer's (exact-decimal) average.
+    * Catalyst decorrelates this into an aggregate + join — same plan the
+    * DataFrame formulation would produce, demonstrating the SQL surface.
+    */
+  val q41 = QuerySpec(
+    "q41_scalar_subquery",
+    (s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM graft_orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+          FROM graft_orders i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o
+            WHERE o_totalprice > 1.5 * (
+              SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+              FROM orders i WHERE i.o_custkey = o.o_custkey)
+            ORDER BY o_orderkey""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41)
 }
