@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{QueryRegistry, SparkTestBase}
+
+/** Plan-quality regression tests + the scale techniques (salting,
+  * bucketing) the 100 TB posture relies on.
+  */
+class ScaleTechniquesSpec extends SparkTestBase {
+
+  private def executedPlan(name: String): String =
+    QueryRegistry.byName(name).run(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("plan: q01 pushes the filter into the parquet scan and prunes columns") {
+    val p = executedPlan("q01_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("plan: q08 broadcasts the filtered dimension side") {
+    val p = executedPlan("q08_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("In(p_brand"), p) // dim filter pushed into its scan
+  }
+
+  test("plan: q04 aggregates inside whole-stage codegen with partial agg") {
+    val df = QueryRegistry.byName("q04_agg_basic").run(spark, sf("sf0.001"))
+    df.collect() // AQE finalizes codegen stages at execution
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Op" in treeString
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("salted join returns identical rows to a plain join under skew") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key
+    val left = spark.range(10000)
+      .select(col("id"), when(col("id") % 10 === 0, col("id") % 5).otherwise(0L).as("k"))
+    val right = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val plain = left.join(right, "k").select("id", "v")
+    val salted = SkewJoin.saltedEquiJoin(left, right, "k", leftUniqueCol = "id", salts = 8)
+      .select("id", "v")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      spark.sql("DROP TABLE IF EXISTS graft_b1")
+      spark.sql("DROP TABLE IF EXISTS graft_b2")
+      spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("x"))
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_b1")
+      spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("y"))
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_b2")
+      val joined = spark.table("graft_b1").join(spark.table("graft_b2"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // co-located: no shuffle at all
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_b1")
+      spark.sql("DROP TABLE IF EXISTS graft_b2")
+    }
+  }
+}
