@@ -5,6 +5,7 @@ object QueryRegistry {
   val all: Seq[QuerySpec] =
     graft.operators.Relational.all ++
       graft.operators.Advanced.all ++
+      graft.operators.Extras.all ++
       graft.llmops.Dedup.all ++
       graft.llmops.TextAnalysis.all ++
       graft.llmops.Similarity.all ++

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Ops._
+
+/** Additional analytic surface: distribution window functions, exact
+  * percentiles, ordered string aggregation, and array functions.
+  */
+object Extras {
+
+  // ---------------------------------------------------------------- q42
+  /** Distribution window functions — ntile/percent_rank/cume_dist produce
+    * exact rationals of row counts, so they compare bit-exact across
+    * engines.
+    */
+  val q42 = QuerySpec(
+    "q42_window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(
+          col("c_nationkey"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .filter(col("c_custkey") % 10 === 0)
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""SELECT c_nationkey, c_custkey,
+              NTILE(4) OVER w AS quartile,
+              PERCENT_RANK() OVER w AS pct_rank,
+              CUME_DIST() OVER w AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+            QUALIFY c_custkey % 10 = 0
+            ORDER BY c_nationkey, c_custkey""")
+  )
+
+  // ---------------------------------------------------------------- q43
+  /** Exact linear-interpolation percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`), truncated to 2 decimals via scaled floor.
+    */
+  val q43 = QuerySpec(
+    "q43_percentiles",
+    (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          ffloor(expr("percentile(c_acctbal, 0.25)"), 2).as("p25"),
+          ffloor(expr("percentile(c_acctbal, 0.5)"), 2).as("median"),
+          ffloor(expr("percentile(c_acctbal, 0.75)"), 2).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey"),
+    Some("""SELECT c_nationkey,
+              CAST(FLOOR(quantile_cont(c_acctbal, 0.25) * 100.0) AS DOUBLE) / 100.0 AS p25,
+              CAST(FLOOR(quantile_cont(c_acctbal, 0.5) * 100.0) AS DOUBLE) / 100.0 AS median,
+              CAST(FLOOR(quantile_cont(c_acctbal, 0.75) * 100.0) AS DOUBLE) / 100.0 AS p75,
+              COUNT(*) AS n
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+  )
+
+  // ---------------------------------------------------------------- q44
+  /** Ordered string aggregation: lexicographically sorted collect_list
+    * joined with a delimiter ≡ `string_agg(... ORDER BY ...)`.
+    */
+  val q44 = QuerySpec(
+    "q44_string_agg",
+    (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("c_name")))).as("top_names"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey"),
+    Some("""SELECT c_nationkey,
+              string_agg(c_name, ',' ORDER BY c_name) AS top_names,
+              COUNT(*) AS n
+            FROM customer WHERE c_acctbal > 9000
+            GROUP BY c_nationkey ORDER BY c_nationkey""")
+  )
+
+  // ---------------------------------------------------------------- q45
+  /** Array functions over token arrays — sort/slice/distinct/contains,
+    * rendered to scalars for engine-neutral comparison.
+    */
+  val q45 = QuerySpec(
+    "q45_array_funcs",
+    (s, d) => {
+      val ts = split(lower(col("text")), " ")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(ts).as("n_tokens"),
+          concat_ws("|", slice(array_sort(ts), 1, 3)).as("first3_sorted"),
+          size(array_distinct(ts)).as("n_distinct"),
+          array_contains(ts, "spark").as("has_spark"),
+          element_at(ts, 1).as("first_token"),
+          element_at(ts, -1).as("last_token"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+              array_to_string(list_sort(string_split(lower(text), ' '))[1:3], '|') AS first3_sorted,
+              CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct,
+              list_contains(string_split(lower(text), ' '), 'spark') AS has_spark,
+              string_split(lower(text), ' ')[1] AS first_token,
+              string_split(lower(text), ' ')[-1] AS last_token
+            FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q42, q43, q44, q45)
+}
