@@ -9,7 +9,8 @@ object QueryRegistry {
       graft.llmops.Dedup.all ++
       graft.llmops.TextAnalysis.all ++
       graft.llmops.Similarity.all ++
-      graft.llmops.Multimodal.all
+      graft.llmops.Multimodal.all ++
+      graft.llmops.CorpusPipeline.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }

@@ -1,0 +1,89 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.operators.Ops.ffloor
+
+/** The composed training-data pipeline — the end-to-end flow the llmops
+  * operators exist for: normalize → exact-dedup → quality-filter →
+  * corpus stats. Each stage is a narrow/one-shuffle DataFrame transform,
+  * so the composition is one linear scan + two keyed shuffles at any
+  * scale. Near-dup removal (MinHash q30) plugs in between dedup and
+  * filter when the corpus needs it.
+  */
+object CorpusPipeline {
+
+  /** Whitespace-normalized, lowercased text. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.withColumn("text_norm",
+      regexp_replace(lower(col("text")), "\\s+", " "))
+
+  /** Exact dedup on normalized-content fingerprint, lowest doc_id wins. */
+  def dedupExact(normalized: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text_norm"))).orderBy(col("doc_id"))
+    normalized
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Quality gate: token-count band + stopword ratio below threshold. */
+  def qualityFilter(docs: DataFrame, minTokens: Int, maxTokens: Int,
+                    maxStopRatio: Double): DataFrame = {
+    val ts = split(col("text_norm"), " ")
+    val nTok = size(ts)
+    val stopRatio = ffloor(
+      size(filter(ts, t => t.isin("the", "a"))).cast("double") / nTok, 4)
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio", stopRatio)
+      .filter(nTok.between(minTokens, maxTokens) && stopRatio < maxStopRatio)
+  }
+
+  /** Per-language corpus statistics of the surviving documents. */
+  def corpusStats(filtered: DataFrame): DataFrame =
+    filtered
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        ffloor(sum(col("n_tokens")).cast("double") / count(lit(1)), 2).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** q46: the full pipeline as one oracled query. */
+  val q46 = QuerySpec(
+    "q46_corpus_pipeline",
+    (s, d) =>
+      corpusStats(qualityFilter(dedupExact(normalize(Tables.documents(s, d))),
+        minTokens = 20, maxTokens = 300, maxStopRatio = 0.15)),
+    Some("""WITH norm AS (
+              SELECT doc_id, lang,
+                regexp_replace(lower(text), '\s+', ' ', 'g') AS text_norm
+              FROM documents),
+            deduped AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text_norm)
+                  ORDER BY doc_id) AS rn
+                FROM norm) WHERE rn = 1),
+            scored AS (
+              SELECT lang,
+                len(string_split(text_norm, ' ')) AS n_tokens,
+                CAST(FLOOR(CAST(len(list_filter(string_split(text_norm, ' '),
+                    t -> t IN ('the', 'a'))) AS DOUBLE)
+                  / len(string_split(text_norm, ' ')) * 10000.0) AS DOUBLE) / 10000.0
+                  AS stop_ratio
+              FROM deduped),
+            filtered AS (
+              SELECT * FROM scored
+              WHERE n_tokens BETWEEN 20 AND 300 AND stop_ratio < 0.15)
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) * 100.0) AS DOUBLE) / 100.0
+                AS avg_tokens
+            FROM filtered GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q46)
+}
