@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+import StatefulOps._
+
+class StatefulOpsSpec extends SparkTestBase {
+
+  test("latestWins emits only champion changes across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[KeyedEvent]
+    val q = latestWins(stream.toDS())
+      .toDF("user_id", "champion")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("champ")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // batch 1: user 1 gets events at ts 10 and 30 → one emission (ts 30)
+      stream.addData(KeyedEvent(1, 100, 10, 1.0), KeyedEvent(1, 101, 30, 3.0))
+      q.processAllAvailable()
+      // batch 2: stale event (ts 20) → champion unchanged, NO emission;
+      //          user 2 appears → one emission
+      stream.addData(KeyedEvent(1, 102, 20, 2.0), KeyedEvent(2, 200, 5, 9.0))
+      q.processAllAvailable()
+      // batch 3: user 1 beaten by ts 40 → emission
+      stream.addData(KeyedEvent(1, 103, 40, 4.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("champ").collect()
+        .map(r => (r.getLong(0), r.getStruct(1).getLong(0))).toList.sorted
+      assert(rows == List((1L, 101L), (1L, 103L), (2L, 200L)))
+    } finally q.stop()
+  }
+}
