@@ -51,6 +51,23 @@ class SourcesSpec extends SparkTestBase {
     assert(frames.count() > 0)
   }
 
+  test("landed files read back with offset provenance from their names") {
+    val base = Files.createTempDirectory("graft-src-landed")
+    val df = kafkaRecords("lp", nParts = 2, perPart = 500)
+    OffsetNamedSink.writeBatchParquet(
+      df, PipelineConfig(flushSize = 200), DefaultPartitioner,
+      ParquetFormat(), base.toString, payloadCols = Seq("a", "b"))
+    val back = graft.sources.LandedFiles.readParquet(spark, base.toString)
+    assert(back.count() == 1000)
+    val prov = back.groupBy("_topic", "_kafka_partition", "_file_start_offset")
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // 3 files per partition: 200+200+100 at offsets 0/200/400
+    assert(prov == (for {
+      p <- Set(0, 1); (o, n) <- Set((0L, 200L), (200L, 200L), (400L, 100L))
+    } yield ("lp", p, o, n)))
+  }
+
   test("csv/text scans compose with the relational layer") {
     val dir = Files.createTempDirectory("graft-src-csv")
     Files.write(dir.resolve("dim.csv"), "id,name\n1,alpha\n2,beta\n".getBytes)
