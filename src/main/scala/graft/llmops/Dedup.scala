@@ -119,6 +119,10 @@ object Dedup {
   val q27 = QuerySpec(
     "q27_ngram_jaccard",
     (s, d) => {
+      // harness queries persist intermediates but return lazy frames, so
+      // there is no post-materialization unpersist hook; clearing at entry
+      // bounds cache growth to one query's worth across a bench run
+      s.catalog.clearCache()
       val bg = shingles(Tables.documents(s, d), 3).persist()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
       val inter = bg.as("a")
@@ -231,8 +235,11 @@ object Dedup {
     */
   val q30 = QuerySpec(
     "q30_dedup_minhash_lsh",
-    (s, d) => minhashPairs(
-      minhashSignatures(Tables.documents(s, d), k = 3).persist(), minSim = 0.3),
+    (s, d) => {
+      s.catalog.clearCache() // see q27 — bound cache growth across runs
+      minhashPairs(
+        minhashSignatures(Tables.documents(s, d), k = 3).persist(), minSim = 0.3)
+    },
     None
   )
 

@@ -52,9 +52,6 @@ object OffsetNamedSink {
     */
   final case class BatchResult(files: Seq[CommittedFile], offsetsToCommit: Map[(String, Int), Long])
 
-  private def zeroPad(offset: Long, width: Int): Column =
-    lpad(lit(offset).cast("string"), width, "0")
-
   /** Adds the file-group columns. Input must carry `topic` (string),
     * `partition` (int), `offset` (long), plus whatever the partitioner /
     * extractor reference.
@@ -127,8 +124,13 @@ object OffsetNamedSink {
       extractor: TimestampExtractor = RecordTimestamp,
       extraGroupCols: Seq[Column] = Nil): BatchResult = {
 
+    // persist: the grouped plan feeds BOTH the write pass and the metadata
+    // pass — without it the whole upstream plan re-executes for metadata,
+    // and a Wallclock extractor could even re-bucket differently between
+    // the two passes, reporting files that were never written
     val grouped = withFileGroups(df, cfg, partitioner, extractor, format.extension, extraGroupCols)
       .withColumn("__payload", payload)
+      .persist()
     val rows = grouped.select(col("__path"), col("offset"), col("__payload"))
     val payloadType = rows.schema("__payload").dataType
     val entries = confEntries(df)
@@ -172,7 +174,9 @@ object OffsetNamedSink {
           it.foreach { r =>
             val path = r.getString(0)
             if (path != current) { close(); open(path); current = path }
-            format match {
+            // null payloads (Kafka tombstones) are skipped, not written —
+            // one delete marker must not poison the whole micro-batch
+            if (!r.isNullAt(2)) format match {
               case j: JsonFormat =>
                 out.write(r.getString(2).getBytes("UTF-8")); out.write(j.lineSeparator)
               case b: ByteArrayFormat =>
@@ -185,7 +189,7 @@ object OffsetNamedSink {
         } finally close()
       }
 
-    collectResult(grouped)
+    try collectResult(grouped) finally grouped.unpersist()
   }
 
   /** Parquet path (F4/F5): Spark's vectorized parquet writer does the
@@ -208,7 +212,9 @@ object OffsetNamedSink {
       extraGroupCols: Seq[Column] = Nil): BatchResult = {
 
     val spark = df.sparkSession
+    // persisted for the same write-vs-metadata consistency reason as writeBatch
     val grouped = withFileGroups(df, cfg, partitioner, extractor, format.extension, extraGroupCols)
+      .persist()
     val tmp = new Path(baseDir, s".graft-tmp-${java.util.UUID.randomUUID}")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = tmp.getFileSystem(conf)
@@ -244,7 +250,7 @@ object OffsetNamedSink {
     } finally {
       fs.delete(tmp, true)
     }
-    collectResult(grouped)
+    try collectResult(grouped) finally grouped.unpersist()
   }
 
   /** Hive partition-path unescape (%XX sequences only — '+' stays '+'). */

@@ -18,14 +18,23 @@ object LandedFiles {
 
   /** Parquet-landed records + (topic, partition, file_start_offset)
     * provenance columns parsed from the deterministic file names.
+    * `recursiveFileLookup` handles any partitioner depth (hourly, a
+    * multi-level `yyyy/MM/dd` path format, ...) and a non-default
+    * `topicsDir`.
     */
-  def readParquet(spark: SparkSession, baseDir: String): DataFrame =
-    withProvenance(spark.read.parquet(s"$baseDir/topics/*/*"))
+  def readParquet(spark: SparkSession, baseDir: String,
+                  topicsDir: String = "topics"): DataFrame =
+    withProvenance(spark.read
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$baseDir/$topicsDir"))
 
   /** JSON-landed records (schema required — landed JSON carries none). */
   def readJson(spark: SparkSession, baseDir: String,
-               schema: org.apache.spark.sql.types.StructType): DataFrame =
-    withProvenance(spark.read.schema(schema).json(s"$baseDir/topics/*/*"))
+               schema: org.apache.spark.sql.types.StructType,
+               topicsDir: String = "topics"): DataFrame =
+    withProvenance(spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .json(s"$baseDir/$topicsDir"))
 
   def withProvenance(df: DataFrame): DataFrame = {
     val f = input_file_name()

@@ -101,8 +101,25 @@ object ParityPipeline {
       extractor: TimestampExtractor = RecordTimestamp): OffsetNamedSink.BatchResult =
     format match {
       case p: ParquetFormat =>
-        val payloadCols = batch.schema.fieldNames.toSeq
-        OffsetNamedSink.writeBatchParquet(batch, cfg, partitioner, p, baseDir, payloadCols, extractor)
+        // Honor `payload` for parquet exactly like the other formats: a
+        // struct column → its FIELDS are the file schema; lit(null)
+        // (NullType) → the whole batch row is the payload.
+        batch.select(payload.as("__p")).schema.head.dataType match {
+          case st: StructType =>
+            val inner = st.fieldNames.toSeq
+            val routing = Seq("topic", "partition", "offset", "timestamp")
+              .filter(batch.columns.contains).filterNot(inner.contains)
+            val flat = batch
+              .select(routing.map(col) :+ payload.as("__p"): _*)
+              .select(routing.map(col) ++ inner.map(f => col(s"__p.`$f`")): _*)
+            OffsetNamedSink.writeBatchParquet(
+              flat, cfg, partitioner, p, baseDir, inner, extractor)
+          case org.apache.spark.sql.types.NullType =>
+            OffsetNamedSink.writeBatchParquet(
+              batch, cfg, partitioner, p, baseDir, batch.schema.fieldNames.toSeq, extractor)
+          case other => throw new IllegalArgumentException(
+            s"parquet payload must be a struct column or lit(null), got $other")
+        }
       case other =>
         OffsetNamedSink.writeBatch(batch, cfg, partitioner, other, baseDir, payload, extractor)
     }

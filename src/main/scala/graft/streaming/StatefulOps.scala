@@ -43,6 +43,10 @@ object StatefulOps {
             val prior = state.getOption
             val next = (prior.toSeq ++ incoming.toSeq)
               .reduceOption((a, b) => if (beats(b, a)) b else a)
+            // refresh the TTL on EVERY batch that touches this key — an
+            // actively-updated key must never expire just because its
+            // champion is stable
+            if (ttlMillis > 0 && state.exists) state.setTimeoutDuration(ttlMillis)
             next match {
               case Some(c) if !prior.contains(c) =>
                 state.update(c)
