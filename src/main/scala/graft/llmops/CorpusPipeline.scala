@@ -85,5 +85,31 @@ object CorpusPipeline {
             FROM filtered GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46)
+  // ---------------------------------------------------------------- q47
+  /** Content-addressed sampling: select ~1/8 of the corpus by md5-prefix
+    * of the normalized text. Unlike `sample()` (engine-RNG-specific),
+    * hash sampling is stable across engines, runs, partitionings, and
+    * re-ingestions of the same document — the property that makes
+    * held-out splits reproducible at 100 TB. Oracled exactly.
+    */
+  val q47 = QuerySpec(
+    "q47_hash_sample",
+    (s, d) => {
+      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+      Tables.documents(s, d)
+        .filter(substring(fp, 1, 1).isin("0", "1"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("text"))).cast("long").as("sampled_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_sampled,
+              CAST(SUM(length(text)) AS BIGINT) AS sampled_chars
+            FROM documents
+            WHERE substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1)
+                  IN ('0', '1')
+            GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q46, q47)
 }

@@ -75,6 +75,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Rec]
+    val sessions = stream.toDF()
+      .withWatermark("timestamp", "1 hour")
+      .groupBy(session_window(col("timestamp"), "30 seconds"), col("partition"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.outputMode("complete")
+      .format("memory").queryName("sess")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // two bursts of 1s-spaced events separated by a >30s gap → 2 sessions
+      stream.addData(recs(0, 20) ++ recs(60, 80))
+      q.processAllAvailable()
+      val out = spark.table("sess").collect()
+      assert(out.length == 2)
+      assert(out.map(_.getAs[Long]("n")).sorted.toSeq == Seq(20L, 20L))
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates dedups across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
