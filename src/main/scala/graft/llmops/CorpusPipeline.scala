@@ -15,10 +15,15 @@ import graft.operators.Ops.ffloor
   */
 object CorpusPipeline {
 
-  /** Whitespace-normalized, lowercased text. */
+  /** Whitespace-normalized, lowercased text. The whitespace class is
+    * explicit — `\s` means different sets in Java regex (includes \x0B)
+    * vs RE2 (doesn't), and md5 downstream amplifies a one-char divergence
+    * into a fingerprint/sample-membership flip between engines.
+    */
+  val WhitespaceClass = "[ \\t\\n\\r\\f]+"
   def normalize(docs: DataFrame): DataFrame =
     docs.withColumn("text_norm",
-      regexp_replace(lower(col("text")), "\\s+", " "))
+      regexp_replace(lower(col("text")), WhitespaceClass, " "))
 
   /** Exact dedup on normalized-content fingerprint, lowest doc_id wins. */
   def dedupExact(normalized: DataFrame): DataFrame = {
@@ -60,7 +65,7 @@ object CorpusPipeline {
         minTokens = 20, maxTokens = 300, maxStopRatio = 0.15)),
     Some("""WITH norm AS (
               SELECT doc_id, lang,
-                regexp_replace(lower(text), '\s+', ' ', 'g') AS text_norm
+                regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g') AS text_norm
               FROM documents),
             deduped AS (
               SELECT * FROM (
@@ -94,19 +99,17 @@ object CorpusPipeline {
     */
   val q47 = QuerySpec(
     "q47_hash_sample",
-    (s, d) => {
-      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
-      Tables.documents(s, d)
-        .filter(substring(fp, 1, 1).isin("0", "1"))
+    (s, d) =>
+      normalize(Tables.documents(s, d))
+        .filter(substring(md5(col("text_norm")), 1, 1).isin("0", "1"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"),
           sum(length(col("text"))).cast("long").as("sampled_chars"))
-        .orderBy("lang")
-    },
+        .orderBy("lang"),
     Some("""SELECT lang, COUNT(*) AS n_sampled,
               CAST(SUM(length(text)) AS BIGINT) AS sampled_chars
             FROM documents
-            WHERE substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 1)
+            WHERE substr(md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), 1, 1)
                   IN ('0', '1')
             GROUP BY lang ORDER BY lang""")
   )

@@ -130,7 +130,8 @@ object TextAnalysis {
     (s, d) => {
       // single scan: cluster size via a window over the fingerprint, not a
       // groupBy + self-join (which would scan and hash the corpus twice)
-      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+      // explicit whitespace class: Java \s ≠ RE2 \s (see CorpusPipeline)
+      val fp = md5(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " "))
       Tables.documents(s, d)
         .select(col("doc_id"), fp.as("fingerprint"))
         .withColumn("n_same",
@@ -138,8 +139,8 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-              md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
-              COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_same
+              md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS fingerprint,
+              COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS n_same
             FROM documents ORDER BY doc_id""")
   )
 
