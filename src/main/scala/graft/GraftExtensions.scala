@@ -31,9 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.Expression
 
-  /** The shared name → expression-builder registry. */
+  /** The shared name → expression-builder registry. (Aggregate builders
+    * return the AggregateFunction; the analyzer wraps it.)
+    */
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (exprs => FloatVectorDot(exprs(0), exprs(1))))
+    "vec_dot" -> (exprs => FloatVectorDot(exprs(0), exprs(1))),
+    "minhash_sketch" -> (exprs => graft.functions.MinHashSketchAgg(
+      exprs.head, graft.llmops.Dedup.minhashParams, graft.llmops.Dedup.MersennePrime)))
 
   /** Register on an already-running session (extensions only take effect
     * for sessions created with `.withExtensions` / `spark.sql.extensions`).

@@ -168,10 +168,10 @@ object Dedup {
   val NumHashes = 64
   val NumBands = 16
   private val RowsPerBand = NumHashes / NumBands
-  private val MersennePrime = 2147483647L // 2^31 - 1
+  val MersennePrime = 2147483647L // 2^31 - 1
 
   /** Deterministic (a,b) pairs for h_i(x) = (a·x + b) mod p, seeded. */
-  private val hashParams: Seq[(Long, Long)] = {
+  val minhashParams: Seq[(Long, Long)] = {
     val r = new scala.util.Random(42)
     Seq.fill(NumHashes)((1L + r.nextInt(Int.MaxValue - 1).toLong,
                          r.nextInt(Int.MaxValue).toLong))
@@ -189,7 +189,7 @@ object Dedup {
       .select(col("doc_id"), pmod(xxhash64(col("shingle")), lit(MersennePrime)).as("h"))
     sh.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg
-        .minhash_sketch(col("h"), hashParams, MersennePrime).as("sig"))
+        .minhash_sketch(col("h"), minhashParams, MersennePrime).as("sig"))
   }
 
   /** Candidate pairs whose signatures collide in ≥1 LSH band, with the

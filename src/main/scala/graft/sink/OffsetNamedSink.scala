@@ -236,17 +236,32 @@ object OffsetNamedSink {
       // Rename part files to their deterministic names (D1). Partition dir
       // names are Hive-escaped (%2F for '/', etc.) — unescape, then
       // delete+rename (overwrite semantics, OSSStorage.java:78-90).
+      // Renames are metadata-only but one RPC each; with thousands of
+      // files per batch they run on a small thread pool (object stores
+      // serve concurrent metadata ops well — reference pools 2048 OSS
+      // connections, core-site.xml:22-25).
       val dirs = fs.globStatus(new Path(tmp, "__dir=*/__fname=*"))
-      dirs.foreach { d =>
-        val fname = unescapePartitionValue(d.getPath.getName.stripPrefix("__fname="))
-        val rel = unescapePartitionValue(d.getPath.getParent.getName.stripPrefix("__dir="))
-        val parts = fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
-        require(parts.length == 1, s"expected 1 part file per group, got ${parts.length} in ${d.getPath}")
-        val target = new Path(new Path(baseDir, rel), fname)
-        fs.mkdirs(target.getParent)
-        if (fs.exists(target)) fs.delete(target, false)
-        fs.rename(parts.head.getPath, target)
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(16, dirs.length)))
+      try {
+        val futures = dirs.toSeq.map { d =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val fname = unescapePartitionValue(d.getPath.getName.stripPrefix("__fname="))
+              val rel = unescapePartitionValue(d.getPath.getParent.getName.stripPrefix("__dir="))
+              val parts = fs.listStatus(d.getPath).filter(_.getPath.getName.startsWith("part-"))
+              require(parts.length == 1,
+                s"expected 1 part file per group, got ${parts.length} in ${d.getPath}")
+              val target = new Path(new Path(baseDir, rel), fname)
+              fs.mkdirs(target.getParent)
+              if (fs.exists(target)) fs.delete(target, false)
+              fs.rename(parts.head.getPath, target)
+              ()
+            }
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
     } finally {
       fs.delete(tmp, true)
     }

@@ -15,4 +15,22 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(out.head.getDouble(0) == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
     spark.catalog.dropTempView("vecs")
   }
+
+  test("minhash_sketch aggregate is SQL-callable and matches the library path") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L)).toDF("doc_id", "h")
+      .createOrReplaceTempView("hashes")
+    val sql = spark.sql(
+      "SELECT doc_id, minhash_sketch(h) AS sig FROM hashes GROUP BY doc_id ORDER BY doc_id")
+      .collect()
+    assert(sql.length == 2)
+    val sig1 = sql.head.getSeq[Long](1)
+    assert(sig1.length == graft.llmops.Dedup.NumHashes)
+    // doc 2's single-hash mins: (a*10+b) mod p per function — spot check
+    val sig2 = sql(1).getSeq[Long](1)
+    val (a0, b0) = graft.llmops.Dedup.minhashParams.head
+    assert(sig2.head == (a0 * 10L + b0) % graft.llmops.Dedup.MersennePrime)
+    spark.catalog.dropTempView("hashes")
+  }
 }
