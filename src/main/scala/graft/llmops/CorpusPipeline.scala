@@ -114,5 +114,51 @@ object CorpusPipeline {
             GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47)
+  // ------------------------------------------------------------ chunking
+  /** Split documents into fixed-size token chunks with overlap — the
+    * standard pre-training/embedding chunking pass. Pure per-row expression
+    * work (sequence → slice → explode): narrow until the explode, no
+    * shuffle, output rows ≈ tokens/stride per doc at any corpus size.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val stride = chunkSize - overlap
+    val ts = split(lower(col("text")), " ")
+    val n = size(ts)
+    val lastIdx = floor((n - 1).cast("double") / stride).cast("int")
+    docs
+      .withColumn("__chunk_idx", explode(sequence(lit(0), lastIdx)))
+      .select(
+        col("doc_id"),
+        col("__chunk_idx").as("chunk_idx"),
+        concat_ws(" ", slice(ts, col("__chunk_idx") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+      .withColumn("chunk_tokens", size(split(col("chunk_text"), " ")))
+  }
+
+  /** q48: chunking over documents (50-token chunks, 10 overlap), chunk
+    * text content-hashed for compact exact comparison.
+    */
+  val q48 = QuerySpec(
+    "q48_doc_chunking",
+    (s, d) =>
+      chunk(Tables.documents(s, d), chunkSize = 50, overlap = 10)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+            idx AS (
+              SELECT doc_id, ts,
+                unnest(range(0, (len(ts) - 1) // 40 + 1)) AS chunk_idx
+              FROM toks)
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+              CAST(len(list_slice(ts, chunk_idx * 40 + 1,
+                LEAST(chunk_idx * 40 + 50, len(ts)))) AS INTEGER) AS chunk_tokens,
+              md5(array_to_string(list_slice(ts, chunk_idx * 40 + 1,
+                LEAST(chunk_idx * 40 + 50, len(ts))), ' ')) AS chunk_md5
+            FROM idx ORDER BY doc_id, chunk_idx""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48)
 }
