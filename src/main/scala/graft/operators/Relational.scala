@@ -233,19 +233,28 @@ object Relational {
 
   // ---------------------------------------------------------------- Q11
   // Range self-join (as-of analog): pairs of events of the same user within
-  // a 30-minute forward window. Equi-key user_id keeps it a hash join with
-  // a range residual — no cartesian, shuffles once on user_id at scale.
+  // a 30-minute forward window. Implemented as a BUCKETED equi-join — the
+  // scale-correct range-join plan: a 30-min window means bucket(ts2) ∈
+  // {bucket(ts1), bucket(ts1)+1} for 30-min buckets, so the left side is
+  // replicated into its two probe buckets and the join key becomes the
+  // pure equi (user_id, bucket). Candidates per key are bounded by bucket
+  // density instead of per-user event count² — a plain equi-join with a
+  // range residual degrades quadratically on dense users at 100 TB.
   val q11 = QuerySpec(
     "q11_join_range",
     (s, d) => {
-      val e1 = Tables.events(s, d).select(
-        col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"))
-      val e2 = Tables.events(s, d).select(
-        col("user_id").as("uid2"), col("ts").as("ts2"), col("event_id").as("id2"))
-      e1.join(
-          e2,
-          col("user_id") === col("uid2") &&
-            col("ts2") > col("ts1") &&
+      val bucketMs = 1800000L // = the window width
+      val e = Tables.events(s, d)
+      val e1 = e.select(
+          col("user_id"), col("ts").as("ts1"), col("event_id").as("id1"),
+          floor(unix_millis(col("ts")) / bucketMs).cast("long").as("b1"))
+        .withColumn("bucket", explode(array(col("b1"), col("b1") + 1)))
+      val e2 = e.select(
+        col("user_id"), col("ts").as("ts2"),
+        floor(unix_millis(col("ts")) / bucketMs).cast("long").as("bucket"))
+      e1.join(e2, Seq("user_id", "bucket"))
+        .filter(
+          col("ts2") > col("ts1") &&
             col("ts2") <= col("ts1") + expr("INTERVAL 30 MINUTES"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"))
