@@ -31,7 +31,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm vectors yield NULL (not an ANSI divide-by-zero error) —
+    * degenerate embeddings exist in real corpora and must not kill the
+    * query; NULL sorts last under `desc_nulls_last` ranking.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Exact brute-force cosine top-k: for each query vector, rank all
     * candidates. Query side is tiny → `broadcast`; the candidate scan is
@@ -46,10 +51,12 @@ object Similarity {
       norm(col("embedding")).as("qn"))
     val c = candidates.select(col("vec_id"), col("embedding").as("ce"),
       norm(col("embedding")).as("cn"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_raw").desc_nulls_last, col("vec_id"))
     broadcast(q).join(c, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos_raw"))
+        (dot(col("qe"), col("ce")) / nullif(col("qn") * col("cn"), lit(0.0)))
+          .as("cos_raw"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
@@ -83,9 +90,10 @@ object Similarity {
               WHERE vec_id <> qid)
             SELECT qid, rn, vec_id, cos FROM (
               SELECT qid, vec_id,
-                ROUND(dot / (SQRT(nq) * SQRT(nc)), 4) AS cos,
+                ROUND(dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0), 4) AS cos,
                 ROW_NUMBER() OVER (PARTITION BY qid
-                  ORDER BY dot / (SQRT(nq) * SQRT(nc)) DESC, vec_id) AS rn
+                  ORDER BY dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0)
+                    DESC NULLS LAST, vec_id) AS rn
               FROM s)
             WHERE rn <= 10 ORDER BY qid, rn""")
   )
@@ -239,7 +247,8 @@ object Similarity {
       val q = ivfProbe(
         e.filter(col("vec_id").isin(100L, 101L, 102L)), centroids, nprobe = 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
-      val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_raw").desc_nulls_last, col("vec_id"))
       broadcast(q)
         .join(assigned.select(col("vec_id"), col("embedding").as("ce"), col("cell")), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))

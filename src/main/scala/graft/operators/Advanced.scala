@@ -176,13 +176,13 @@ object Advanced {
         .groupBy((col("k") % 10).as("k_mod"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-        .orderBy("k_mod"),
+        .orderBy(col("k_mod").asc_nulls_first),
     Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
               COUNT(*) AS n,
               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-            FROM events GROUP BY 1 ORDER BY k_mod""")
+            FROM events GROUP BY 1 ORDER BY k_mod NULLS FIRST""")
   )
 
   // ---------------------------------------------------------------- q41
