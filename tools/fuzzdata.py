@@ -14,7 +14,7 @@ import pyarrow.parquet as pq
 out = sys.argv[1]
 scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
 os.makedirs(out, exist_ok=True)
-rng = random.Random(1337)
+rng = random.Random(int(sys.argv[3]) if len(sys.argv) > 3 else 1337)
 
 def nasty_price():
     r = rng.random()
