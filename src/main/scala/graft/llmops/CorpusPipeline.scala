@@ -4,7 +4,7 @@ import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.Ops.ffloor
+import graft.operators.Ops.{asciiLower, ffloor}
 
 /** The composed training-data pipeline — the end-to-end flow the llmops
   * operators exist for: normalize → exact-dedup → quality-filter →
@@ -23,7 +23,7 @@ object CorpusPipeline {
   val WhitespaceClass = "[ \\t\\n\\r\\f]+"
   def normalize(docs: DataFrame): DataFrame =
     docs.withColumn("text_norm",
-      regexp_replace(lower(col("text")), WhitespaceClass, " "))
+      regexp_replace(asciiLower(col("text")), WhitespaceClass, " "))
 
   /** Exact dedup on normalized-content fingerprint, lowest doc_id wins. */
   def dedupExact(normalized: DataFrame): DataFrame = {
@@ -65,7 +65,7 @@ object CorpusPipeline {
         minTokens = 20, maxTokens = 300, maxStopRatio = 0.15)),
     Some("""WITH norm AS (
               SELECT doc_id, lang,
-                regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g') AS text_norm
+                regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f]+', ' ', 'g') AS text_norm
               FROM documents),
             deduped AS (
               SELECT * FROM (
@@ -109,7 +109,7 @@ object CorpusPipeline {
     Some("""SELECT lang, COUNT(*) AS n_sampled,
               CAST(SUM(length(text)) AS BIGINT) AS sampled_chars
             FROM documents
-            WHERE substr(md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')), 1, 1)
+            WHERE substr(md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f]+', ' ', 'g')), 1, 1)
                   IN ('0', '1')
             GROUP BY lang ORDER BY lang""")
   )
@@ -123,7 +123,7 @@ object CorpusPipeline {
   def chunk(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
     val stride = chunkSize - overlap
-    val ts = split(lower(col("text")), " ")
+    val ts = split(asciiLower(col("text")), " ")
     val n = size(ts)
     val lastIdx = floor((n - 1).cast("double") / stride).cast("int")
     docs
@@ -147,7 +147,7 @@ object CorpusPipeline {
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx"),
     Some("""WITH toks AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+              SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ts FROM documents),
             idx AS (
               SELECT doc_id, ts,
                 unnest(range(0, (len(ts) - 1) // 40 + 1)) AS chunk_idx

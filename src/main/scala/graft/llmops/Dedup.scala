@@ -91,7 +91,7 @@ object Dedup {
     // parallelism must be sized to post-explode volume — without this the
     // whole shingle+agg pipeline runs on the input's partition count.
     val toks = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .select(col("doc_id"), split(asciiLower(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= k)
     val exploded = toks
       .select(
@@ -140,8 +140,8 @@ object Dedup {
         .orderBy("d1", "d2")
     },
     Some("""WITH toks AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
-              WHERE len(string_split(lower(text), ' ')) >= 3),
+              SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ts FROM documents
+              WHERE len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) >= 3),
             trigrams AS (
               SELECT DISTINCT doc_id, bg FROM (
                 SELECT doc_id,
@@ -250,7 +250,7 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs.repartition(col("doc_id")) // parallelize past few input splits
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val bitSums = (0 until 64).map { k =>

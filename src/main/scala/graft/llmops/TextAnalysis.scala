@@ -4,6 +4,8 @@ import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+import graft.operators.Ops.asciiLower
+
 /** Text-analysis operators over the `documents` table: tokenization +
   * top-k token counts, quality scoring, language-ID heuristic, and
   * document fingerprinting. All are single-shuffle DataFrame plans
@@ -25,14 +27,14 @@ object TextAnalysis {
     (s, d) =>
       Tables.documents(s, d)
         .repartition(col("doc_id")) // parallelize the explode past one input split
-        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .select(explode(split(asciiLower(col("text")), " ")).as("token"))
         .filter(!col("token").isin(StopWords: _*) && col("token") =!= "")
         .groupBy("token")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50),
     Some("""SELECT token, COUNT(*) AS n FROM (
-              SELECT unnest(string_split(lower(text), ' ')) AS token
+              SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
               FROM documents)
             WHERE token NOT IN ('the', 'a') AND token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 50""")
@@ -48,7 +50,7 @@ object TextAnalysis {
     "q25_text_quality",
     (s, d) => {
       import graft.operators.Ops.ffloor
-      val ts = split(lower(col("text")), " ")
+      val ts = split(asciiLower(col("text")), " ")
       val nTok = size(ts)
       val stopRatio = ffloor(
         size(filter(ts, t => t.isin(StopWords: _*))).cast("double") / nTok, 4)
@@ -66,17 +68,17 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-              CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+              CAST(len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS INTEGER) AS n_tokens,
               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
               CAST(FLOOR(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-                / len(string_split(lower(text), ' ')) * 100.0) AS DOUBLE) / 100.0 AS avg_token_len,
-              CAST(FLOOR(CAST(len(list_filter(string_split(lower(text), ' '),
+                / len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) * 100.0) AS DOUBLE) / 100.0 AS avg_token_len,
+              CAST(FLOOR(CAST(len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                   t -> t IN ('the', 'a'))) AS DOUBLE)
-                / len(string_split(lower(text), ' ')) * 10000.0) AS DOUBLE) / 10000.0 AS stopword_ratio,
-              CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 20 AND 300
-                    AND CAST(FLOOR(CAST(len(list_filter(string_split(lower(text), ' '),
+                / len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) * 10000.0) AS DOUBLE) / 10000.0 AS stopword_ratio,
+              CASE WHEN len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) BETWEEN 20 AND 300
+                    AND CAST(FLOOR(CAST(len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                         t -> t IN ('the', 'a'))) AS DOUBLE)
-                      / len(string_split(lower(text), ' ')) * 10000.0) AS DOUBLE) / 10000.0 < 0.15
+                      / len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) * 10000.0) AS DOUBLE) / 10000.0 < 0.15
                    THEN 'good' ELSE 'poor' END AS quality
             FROM documents ORDER BY doc_id""")
   )
@@ -131,7 +133,7 @@ object TextAnalysis {
       // single scan: cluster size via a window over the fingerprint, not a
       // groupBy + self-join (which would scan and hash the corpus twice)
       // explicit whitespace class: Java \s ≠ RE2 \s (see CorpusPipeline)
-      val fp = md5(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " "))
+      val fp = md5(regexp_replace(asciiLower(col("text")), "[ \\t\\n\\r\\f]+", " "))
       Tables.documents(s, d)
         .select(col("doc_id"), fp.as("fingerprint"))
         .withColumn("n_same",
@@ -139,8 +141,8 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-              md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS fingerprint,
-              COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS n_same
+              md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f]+', ' ', 'g')) AS fingerprint,
+              COUNT(*) OVER (PARTITION BY md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f]+', ' ', 'g'))) AS n_same
             FROM documents ORDER BY doc_id""")
   )
 

@@ -91,7 +91,7 @@ object Extras {
   val q45 = QuerySpec(
     "q45_array_funcs",
     (s, d) => {
-      val ts = split(lower(col("text")), " ")
+      val ts = split(asciiLower(col("text")), " ")
       Tables.documents(s, d)
         .select(
           col("doc_id"),
@@ -104,12 +104,12 @@ object Extras {
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
-              CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
-              array_to_string(list_sort(string_split(lower(text), ' '))[1:3], '|') AS first3_sorted,
-              CAST(len(list_distinct(string_split(lower(text), ' '))) AS INTEGER) AS n_distinct,
-              list_contains(string_split(lower(text), ' '), 'spark') AS has_spark,
-              string_split(lower(text), ' ')[1] AS first_token,
-              string_split(lower(text), ' ')[-1] AS last_token
+              CAST(len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS INTEGER) AS n_tokens,
+              array_to_string(list_sort(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))[1:3], '|') AS first3_sorted,
+              CAST(len(list_distinct(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))) AS INTEGER) AS n_distinct,
+              list_contains(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), 'spark') AS has_spark,
+              string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')[1] AS first_token,
+              string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')[-1] AS last_token
             FROM documents ORDER BY doc_id""")
   )
 

@@ -49,4 +49,19 @@ object Ops {
   /** Exact decimal sum over a window frame, rounded, as double. */
   def dsumOver(c: Column, w: WindowSpec): Column =
     round(sum(c.cast(Dec)).over(w), 2).cast(DoubleType)
+
+  /** ASCII-only case folding via char translation. Full-Unicode `lower()`
+    * is library-dependent (JDK folds İ to "i"+combining-dot, utf8proc to
+    * "i") — content-addressed fingerprints, dedup keys, and token stats
+    * must be bit-stable across engines and runtimes, so text pipelines
+    * fold ASCII only. DuckDB equivalent:
+    * translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz').
+    */
+  val AsciiUpper: String = ('A' to 'Z').mkString
+  val AsciiLower: String = ('a' to 'z').mkString
+  def asciiLower(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
+
+  /** The DuckDB-side spelling of [[asciiLower]]. */
+  def asciiLowerSql(expr: String): String =
+    s"translate($expr, '$AsciiUpper', '$AsciiLower')"
 }
