@@ -176,6 +176,24 @@ class SinkSpec extends SparkTestBase {
       f"topics/h/2023-11-14-23/h+0+${47}%010d.json"))
   }
 
+  test("multi-topic batch routes each topic to its own directory tree") {
+    val base = tmpDir()
+    val cfg = PipelineConfig(flushSize = 150)
+    val df = kafkaRecords("alpha", nParts = 1, perPart = 200)
+      .unionByName(kafkaRecords("beta", nParts = 2, perPart = 100))
+    val res = OffsetNamedSink.writeBatch(
+      df, cfg, DefaultPartitioner, JsonFormat(), base.toString,
+      payload = to_json(struct(col("a"))))
+    val expected = Seq(
+      f"topics/alpha/partition=0/alpha+0+${0}%010d.json",
+      f"topics/alpha/partition=0/alpha+0+${150}%010d.json",
+      f"topics/beta/partition=0/beta+0+${0}%010d.json",
+      f"topics/beta/partition=1/beta+1+${0}%010d.json")
+    assert(listFiles(base) == expected)
+    assert(res.offsetsToCommit == Map(
+      ("alpha", 0) -> 200L, ("beta", 0) -> 100L, ("beta", 1) -> 100L))
+  }
+
   test("unescapePartitionValue handles hive-escaped dirs, preserves '+'") {
     assert(OffsetNamedSink.unescapePartitionValue("a%2Fb%3Dc") == "a/b=c")
     assert(OffsetNamedSink.unescapePartitionValue("t+0+0000000001.json") == "t+0+0000000001.json")
