@@ -4,7 +4,7 @@ import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.operators.Ops.{asciiLower, ffloor}
+import graft.operators.Ops.{asciiLower, asciiLowerSql, ffloor}
 
 /** The composed training-data pipeline — the end-to-end flow the llmops
   * operators exist for: normalize → exact-dedup → quality-filter →
@@ -63,9 +63,9 @@ object CorpusPipeline {
     (s, d) =>
       corpusStats(qualityFilter(dedupExact(normalize(Tables.documents(s, d))),
         minTokens = 20, maxTokens = 300, maxStopRatio = 0.15)),
-    Some("""WITH norm AS (
+    Some(s"""WITH norm AS (
               SELECT doc_id, lang,
-                regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f]+', ' ', 'g') AS text_norm
+                regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g') AS text_norm
               FROM documents),
             deduped AS (
               SELECT * FROM (
@@ -106,10 +106,10 @@ object CorpusPipeline {
         .agg(count(lit(1)).as("n_sampled"),
           sum(length(col("text"))).cast("long").as("sampled_chars"))
         .orderBy("lang"),
-    Some("""SELECT lang, COUNT(*) AS n_sampled,
+    Some(s"""SELECT lang, COUNT(*) AS n_sampled,
               CAST(SUM(length(text)) AS BIGINT) AS sampled_chars
             FROM documents
-            WHERE substr(md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f]+', ' ', 'g')), 1, 1)
+            WHERE substr(md5(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g')), 1, 1)
                   IN ('0', '1')
             GROUP BY lang ORDER BY lang""")
   )
@@ -146,8 +146,8 @@ object CorpusPipeline {
         .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx"),
-    Some("""WITH toks AS (
-              SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ts FROM documents),
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents),
             idx AS (
               SELECT doc_id, ts,
                 unnest(range(0, (len(ts) - 1) // 40 + 1)) AS chunk_idx

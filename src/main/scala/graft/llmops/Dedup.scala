@@ -139,9 +139,9 @@ object Dedup {
         .filter(col("jaccard") >= 0.1)
         .orderBy("d1", "d2")
     },
-    Some("""WITH toks AS (
-              SELECT doc_id, string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS ts FROM documents
-              WHERE len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) >= 3),
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
             trigrams AS (
               SELECT DISTINCT doc_id, bg FROM (
                 SELECT doc_id,

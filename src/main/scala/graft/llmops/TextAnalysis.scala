@@ -4,7 +4,7 @@ import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.operators.Ops.asciiLower
+import graft.operators.Ops.{asciiLower, asciiLowerSql}
 
 /** Text-analysis operators over the `documents` table: tokenization +
   * top-k token counts, quality scoring, language-ID heuristic, and
@@ -33,8 +33,8 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50),
-    Some("""SELECT token, COUNT(*) AS n FROM (
-              SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS token
+    Some(s"""SELECT token, COUNT(*) AS n FROM (
+              SELECT unnest(string_split(${asciiLowerSql("text")}, ' ')) AS token
               FROM documents)
             WHERE token NOT IN ('the', 'a') AND token <> ''
             GROUP BY token ORDER BY n DESC, token LIMIT 50""")
@@ -67,18 +67,18 @@ object TextAnalysis {
             .otherwise("poor").as("quality"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id,
-              CAST(len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS INTEGER) AS n_tokens,
+    Some(s"""SELECT doc_id,
+              CAST(len(string_split(${asciiLowerSql("text")}, ' ')) AS INTEGER) AS n_tokens,
               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
               CAST(FLOOR(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-                / len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) * 100.0) AS DOUBLE) / 100.0 AS avg_token_len,
-              CAST(FLOOR(CAST(len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
+                / len(string_split(${asciiLowerSql("text")}, ' ')) * 100.0) AS DOUBLE) / 100.0 AS avg_token_len,
+              CAST(FLOOR(CAST(len(list_filter(string_split(${asciiLowerSql("text")}, ' '),
                   t -> t IN ('the', 'a'))) AS DOUBLE)
-                / len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) * 10000.0) AS DOUBLE) / 10000.0 AS stopword_ratio,
-              CASE WHEN len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) BETWEEN 20 AND 300
-                    AND CAST(FLOOR(CAST(len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
+                / len(string_split(${asciiLowerSql("text")}, ' ')) * 10000.0) AS DOUBLE) / 10000.0 AS stopword_ratio,
+              CASE WHEN len(string_split(${asciiLowerSql("text")}, ' ')) BETWEEN 20 AND 300
+                    AND CAST(FLOOR(CAST(len(list_filter(string_split(${asciiLowerSql("text")}, ' '),
                         t -> t IN ('the', 'a'))) AS DOUBLE)
-                      / len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) * 10000.0) AS DOUBLE) / 10000.0 < 0.15
+                      / len(string_split(${asciiLowerSql("text")}, ' ')) * 10000.0) AS DOUBLE) / 10000.0 < 0.15
                    THEN 'good' ELSE 'poor' END AS quality
             FROM documents ORDER BY doc_id""")
   )
@@ -140,9 +140,9 @@ object TextAnalysis {
           count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id,
-              md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f]+', ' ', 'g')) AS fingerprint,
-              COUNT(*) OVER (PARTITION BY md5(regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[ \t\n\r\f]+', ' ', 'g'))) AS n_same
+    Some(s"""SELECT doc_id,
+              md5(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g')) AS fingerprint,
+              COUNT(*) OVER (PARTITION BY md5(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g'))) AS n_same
             FROM documents ORDER BY doc_id""")
   )
 

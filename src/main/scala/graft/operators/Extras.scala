@@ -103,13 +103,13 @@ object Extras {
           element_at(ts, -1).as("last_token"))
         .orderBy("doc_id")
     },
-    Some("""SELECT doc_id,
-              CAST(len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS INTEGER) AS n_tokens,
-              array_to_string(list_sort(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))[1:3], '|') AS first3_sorted,
-              CAST(len(list_distinct(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))) AS INTEGER) AS n_distinct,
-              list_contains(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), 'spark') AS has_spark,
-              string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')[1] AS first_token,
-              string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')[-1] AS last_token
+    Some(s"""SELECT doc_id,
+              CAST(len(string_split(${asciiLowerSql("text")}, ' ')) AS INTEGER) AS n_tokens,
+              array_to_string(list_sort(string_split(${asciiLowerSql("text")}, ' '))[1:3], '|') AS first3_sorted,
+              CAST(len(list_distinct(string_split(${asciiLowerSql("text")}, ' '))) AS INTEGER) AS n_distinct,
+              list_contains(string_split(${asciiLowerSql("text")}, ' '), 'spark') AS has_spark,
+              string_split(${asciiLowerSql("text")}, ' ')[1] AS first_token,
+              string_split(${asciiLowerSql("text")}, ' ')[-1] AS last_token
             FROM documents ORDER BY doc_id""")
   )
 

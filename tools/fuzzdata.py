@@ -5,7 +5,7 @@ boundaries (x.xx5), zeros, empty/unicode-ish strings, duplicate keys,
 ties in sort columns. Used to fuzz the Spark<->DuckDB oracle alignment
 beyond the driver's fixed seed=42 data.
 
-Usage: python3 tools/fuzzdata.py /tmp/fuzz-sf [rows_scale]
+Usage: python3 tools/fuzzdata.py /tmp/fuzz-sf [rows_scale] [seed]
 """
 import sys, os, random
 import pyarrow as pa
@@ -127,9 +127,11 @@ pq.write_table(pa.table({
     "n_chars": pa.array([len(t) for t in texts], pa.int64())}),
     f"{out}/documents.parquet")
 
-embs = [[rng.uniform(-0.2, 0.2) for _ in range(64)] for _ in range(N["embeddings"])]
+embs = [[rng.uniform(-0.2, 0.2) for _ in range(64)] for _ in range(max(3, N["embeddings"]))]
 embs[1] = embs[0][:]  # exact duplicate vector
 embs[2] = [0.0] * 64  # zero vector (norm 0!)
+embs = embs[:max(3, N["embeddings"])]
+N["embeddings"] = len(embs)
 pq.write_table(pa.table({
     "vec_id": pa.array(range(N["embeddings"]), pa.int64()),
     "embedding": pa.array([[float(x) for x in e] for e in embs], pa.list_(pa.float32())),
