@@ -12,8 +12,10 @@ class QueriesSpec extends SparkTestBase {
   test("all registry queries execute on sf0.001") {
     val dir = sf("sf0.001")
     QueryRegistry.all.foreach { q =>
-      val n = q.run(spark, dir).count()
-      assert(n >= 0, s"${q.name} failed")
+      try q.run(spark, dir).count()
+      catch { case e: Throwable =>
+        fail(s"${q.name} failed: ${e.getMessage}", e)
+      }
     }
   }
 

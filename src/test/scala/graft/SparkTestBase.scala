@@ -16,6 +16,16 @@ trait SparkTestBase extends AnyFunSuite {
 
   def sf(name: String): String = s"/root/testdata/$name"
 
+  /** Non-hidden regular files under `base`, relativized + sorted. */
+  def listFiles(base: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => base.relativize(p).toString)
+      .toSeq.sorted
+  }
+
   /** Canonical Kafka-shaped records: `nParts` partitions × `perPart`
     * offsets, payload fields (a: long, b: string), timestamps advancing
     * `stepMs` per offset from epoch `baseMs`.

@@ -23,8 +23,14 @@ class VectorFunctionsSpec extends SparkTestBase {
       assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
         java.lang.Double.doubleToLongBits(r.getDouble(2)), s"id=${r.getLong(0)}")
     }
-    // interpreted path (no codegen): force via eval on literal-free filter
-    assert(rows.find(_.getLong(0) == 2L).get.getDouble(1) == 1.5 * 0.5 + -2.5 * 4.0 + 3.25 * -1.25)
+    // interpreted path: disable whole-stage codegen so nullSafeEval runs
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.filter(col("id") === 2L)
+        .select(vec_dot(col("a"), col("b"))).collect().head.getDouble(0)
+      assert(interp == 1.5 * 0.5 + -2.5 * 4.0 + 3.25 * -1.25)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
   test("vec_cosine on orthogonal / identical vectors") {

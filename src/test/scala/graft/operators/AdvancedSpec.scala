@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.{QueryRegistry, SparkTestBase}
+import graft.SparkTestBase
 import graft.llmops.Similarity
 
 /** Behavior checks for the advanced operators on controlled inputs. */
@@ -21,8 +21,9 @@ class AdvancedSpec extends SparkTestBase {
       (5L, ts(5), 1L, "purchase", 0.0),
       (6L, ts(50), 2L, "purchase", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    rows.write.mode("overwrite").parquet("/tmp/asof-test/events.parquet")
-    val out = Advanced.q34.run(spark, "/tmp/asof-test").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Advanced.q34.run(spark, dir).collect()
       .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
     assert(out(2L).contains(1.0))  // latest prior click
     assert(out(4L).contains(3.0))  // inclusive at equal ts
@@ -54,7 +55,6 @@ class AdvancedSpec extends SparkTestBase {
 
   test("IVF top-k achieves reasonable recall vs brute force") {
     val dir = sf("sf0.001")
-    val ivf = Advanced // touch to avoid unused warnings
     val got = Similarity.q38.run(spark, dir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val e = graft.Tables.embeddings(spark, dir)

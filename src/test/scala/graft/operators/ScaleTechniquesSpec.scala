@@ -36,9 +36,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
 
   test("salted join returns identical rows to a plain join under skew") {
     import spark.implicits._
-    // 10k rows, 90% on one hot key
+    // 10k rows: 90% on hot key 0, the rest spread over keys 0-4
     val left = spark.range(10000)
-      .select(col("id"), when(col("id") % 10 === 0, col("id") % 5).otherwise(0L).as("k"))
+      .select(col("id"), when(col("id") % 10 === 0, expr("(id div 10) % 5")).otherwise(0L).as("k"))
     val right = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
     val plain = left.join(right, "k").select("id", "v")
     val salted = SkewJoin.saltedEquiJoin(left, right, "k", leftUniqueCol = "id", salts = 8)

@@ -20,12 +20,6 @@ class SinkSpec extends SparkTestBase {
 
   private def tmpDir(): JPath = Files.createTempDirectory("graft-sink")
 
-  private def listFiles(base: JPath): Seq[String] =
-    Files.walk(base).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-      .map(p => base.relativize(p).toString)
-      .toSeq.sorted
-
   test("json: flush.size rotation, offset-exact names, per-file counts") {
     val base = tmpDir()
     val cfg = PipelineConfig(flushSize = 300, zeroPadWidth = 10)

@@ -36,10 +36,7 @@ class EvolvingSinkSpec extends SparkTestBase {
           .otherwise(struct(col("a"), col("b"), lit(null).cast("string").as("c"))))
   }
 
-  private def files(base: JPath): Seq[String] =
-    Files.walk(base).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-      .map(base.relativize(_).toString).toSeq.sorted
+  private def files(base: JPath): Seq[String] = listFiles(base)
 
   test("NONE: schema change rotates files at the version boundaries (R5)") {
     val base = Files.createTempDirectory("graft-evolve-none")

@@ -59,9 +59,7 @@ class RecoverySpec extends SparkTestBase {
     val q2 = startQuery()
     try q2.processAllAvailable() finally q2.stop()
 
-    val files = Files.walk(out).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-      .map(out.relativize(_).toString).toSeq.sorted
+    val files = listFiles(out)
     assert(files == Seq(
       f"topics/r/partition=0/r+0+${0}%010d.json",
       f"topics/r/partition=0/r+0+${100}%010d.json"))

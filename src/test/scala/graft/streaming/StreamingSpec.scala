@@ -45,8 +45,7 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
     } finally q.stop()
 
-    val files = Files.walk(base).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(base.relativize(_).toString).toSeq.sorted
+    val files = listFiles(base)
     assert(files.contains(f"topics/s/partition=0/s+0+${0}%010d.json"))
     assert(files.contains(f"topics/s/partition=0/s+0+${100}%010d.json"))
     assert(files.contains(f"topics/s/partition=0/s+0+${120}%010d.json"))
