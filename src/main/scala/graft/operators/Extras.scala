@@ -113,5 +113,86 @@ object Extras {
             FROM documents ORDER BY doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q42, q43, q44, q45)
+  // ---------------------------------------------------------------- q49
+  /** Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+    * multiplicities (q17 covers the DISTINCT variants).
+    */
+  val q49 = QuerySpec(
+    "q49_set_ops_all",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_quantity") >= 25).select("l_partkey")
+      val b = li.filter(col("l_returnflag") === "R").select("l_partkey")
+      def cnt(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("tag"), col("n"))
+      cnt(a.exceptAll(b), "except_all")
+        .unionAll(cnt(a.intersectAll(b), "intersect_all"))
+        .orderBy("tag")
+    },
+    Some("""WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 25),
+                 b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+            SELECT 'except_all' AS tag, COUNT(*) AS n FROM
+              (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+            UNION ALL
+            SELECT 'intersect_all' AS tag, COUNT(*) AS n FROM
+              (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+            ORDER BY tag""")
+  )
+
+  // ---------------------------------------------------------------- q50
+  /** Conditional aggregates: count_if / bool_or / bool_and — identical
+    * names and semantics on both engines.
+    */
+  val q50 = QuerySpec(
+    "q50_conditional_agg",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("count_if(o_totalprice > 200000)").as("n_big"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("bool_and(o_totalprice >= 0)").as("all_nonneg"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+              count_if(o_totalprice > 200000) AS n_big,
+              bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+              bool_and(o_totalprice >= 0) AS all_nonneg,
+              COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  // ---------------------------------------------------------------- q51
+  /** Navigation window functions: first/last/nth value over an explicit
+    * full frame (deterministic with a unique ordering).
+    */
+  val q51 = QuerySpec(
+    "q51_window_navigation",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(
+          col("c_nationkey"), col("c_custkey"),
+          first(col("c_custkey")).over(w).as("richest"),
+          last(col("c_custkey")).over(w).as("poorest"),
+          nth_value(col("c_custkey"), 2).over(w).as("second"))
+        .filter(col("c_custkey") % 20 === 0)
+        .orderBy("c_nationkey", "c_custkey")
+    },
+    Some("""SELECT c_nationkey, c_custkey, richest, poorest, second FROM (
+              SELECT c_nationkey, c_custkey,
+                FIRST_VALUE(c_custkey) OVER w AS richest,
+                LAST_VALUE(c_custkey) OVER w AS poorest,
+                NTH_VALUE(c_custkey, 2) OVER w AS second
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+            WHERE c_custkey % 20 = 0
+            ORDER BY c_nationkey, c_custkey""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q42, q43, q44, q45, q49, q50, q51)
 }
