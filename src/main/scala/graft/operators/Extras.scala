@@ -194,5 +194,82 @@ object Extras {
             ORDER BY c_nationkey, c_custkey""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q42, q43, q44, q45, q49, q50, q51)
+  // ---------------------------------------------------------------- q52
+  /** Explicit GROUPING SETS (beyond rollup q12 / cube q35): two single-
+    * dimension sets plus the grand total, via the SQL surface.
+    */
+  val q52 = QuerySpec(
+    "q52_grouping_sets",
+    (s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
+          COUNT(*) AS cnt
+        FROM graft_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS cnt
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  )
+
+  // ---------------------------------------------------------------- q53
+  /** LATERAL correlated derived table: top-2 customers per nation —
+    * the SQL-standard lateral join both engines support.
+    */
+  val q53 = QuerySpec(
+    "q53_lateral_topk",
+    (s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("graft_nation")
+      Tables.customer(s, d).createOrReplaceTempView("graft_customer")
+      s.sql("""
+        SELECT n_name, t.c_custkey, t.c_acctbal
+        FROM graft_nation,
+        LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer
+                 WHERE c_nationkey = n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n_name, t.c_custkey""")
+    },
+    Some("""SELECT n_name, t.c_custkey, t.c_acctbal
+            FROM nation,
+            LATERAL (SELECT c_custkey, c_acctbal FROM customer
+                     WHERE c_nationkey = n_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+            ORDER BY n_name, t.c_custkey""")
+  )
+
+  // ---------------------------------------------------------------- q54
+  /** Value-RANGE window frame (peers included by value distance, not row
+    * count): running sum over prices within 10000 below the current row's
+    * price, per order status.
+    */
+  val q54 = QuerySpec(
+    "q54_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-10000L, Window.currentRow)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          dsumOver(col("o_totalprice"), w).as("near_sum"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))) OVER (
+                PARTITION BY o_orderstatus ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                AS near_sum
+            FROM orders
+            WHERE o_orderkey % 10 = 0
+            ORDER BY o_orderkey""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q42, q43, q44, q45, q49, q50, q51, q52, q53, q54)
 }
