@@ -95,6 +95,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(frames.select("media_id").distinct().collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("observe(): data-quality counters ride the corpus pipeline for free") {
+    import org.apache.spark.sql.Observation
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog here today twenty one two three four five six seven eight nine ten"),
+      (2L, "a b"),
+      (3L, "the quick brown fox jumps over the lazy dog here today twenty one two three four five six seven eight nine ten"))
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val obs = Observation("corpus-quality")
+    val pipeline = CorpusPipeline.normalize(d)
+      .observe(obs,
+        count(lit(1)).as("docs_in"),
+        count(when(length(col("text_norm")) < 10, 1)).as("too_short"))
+    val out = CorpusPipeline.dedupExact(pipeline).count()
+    assert(out == 2) // docs 1 and 3 are exact dups post-normalization
+    val m = obs.get
+    assert(m("docs_in") == 3L && m("too_short") == 1L)
+  }
+
   test("langIdScore picks the profile with most hits") {
     val d = docs((1L, "der hund und die katze"), (2L, "the cat and the dog"))
     val out = TextAnalysis.langIdScore(d,

@@ -66,6 +66,20 @@ class EvolvingSinkSpec extends SparkTestBase {
     assert(!lines(0).contains("\"c\""))
   }
 
+  test("FORWARD: records project DOWN to the oldest schema, one file (E2)") {
+    val base = Files.createTempDirectory("graft-evolve-fwd")
+    val cfg = PipelineConfig(flushSize = 1000000, compatibility = SchemaCompat.Forward)
+    ParityPipeline.writeEvolving(
+      evolvingBatch(), Map(1 -> v1, 2 -> v2), col("schema_id"),
+      cfg, DefaultPartitioner, JsonFormat(), base.toString,
+      toPayload = df => to_json(df.col("payload")))
+    assert(files(base) == Seq(f"topics/ev/partition=0/ev+0+${0}%010d.json"))
+    val lines = Files.readAllLines(base.resolve(f"topics/ev/partition=0/ev+0+${0}%010d.json")).asScala
+    assert(lines.size == 300)
+    // v2 records lose field c when projected down to v1
+    assert(!lines(150).contains("\"c\""))
+  }
+
   test("F5 analog: JSON value bytes → from_json(StructType) → parquet payload") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-f5")
