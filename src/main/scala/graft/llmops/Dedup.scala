@@ -130,7 +130,8 @@ object Dedup {
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
-      val jac = round(
+      // ffloor, not round: round(double) is not engine-portable (Ops.scala)
+      val jac = ffloor(
         col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
       inter
         .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
@@ -155,11 +156,11 @@ object Dedup {
                 ON a.bg = b.bg AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT d1, d2,
-              ROUND(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter), 4) AS jaccard
+              CAST(FLOOR(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 AS jaccard
             FROM pairs
             JOIN sizes s1 ON d1 = s1.doc_id
             JOIN sizes s2 ON d2 = s2.doc_id
-            WHERE ROUND(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter), 4) >= 0.1
+            WHERE CAST(FLOOR(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.1
             ORDER BY d1, d2""")
   )
 
@@ -264,15 +265,21 @@ object Dedup {
       .select(col("doc_id"), packed.as("simhash"))
   }
 
-  /** Near-dup pairs with Hamming distance ≤ maxHamming, candidates from
-    * 4×16-bit chunk collisions (any pair within Hamming 3 of a 64-bit hash
-    * shares at least one exact 16-bit chunk — pigeonhole).
+  /** Near-dup pairs with Hamming distance ≤ maxHamming. Candidates come
+    * from exact-chunk collisions; by pigeonhole the chunk count must
+    * EXCEED maxHamming for full recall (a pair differing in k bits spread
+    * across k distinct chunks shares none of those k chunks), so the
+    * smallest divisor-of-64 chunk count > maxHamming is used.
     */
   def simhashPairs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nChunks = Seq(2, 4, 8, 16, 32, 64).find(_ > maxHamming)
+      .getOrElse(throw new IllegalArgumentException(s"maxHamming $maxHamming >= 64"))
+    val bits = 64 / nChunks
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val chunks = sh.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until nChunks).map(c =>
+        shiftright(col("simhash"), c * bits).bitwiseAND(mask)): _*)))
       .toDF("doc_id", "simhash", "chunk_idx", "chunk")
     chunks.as("x")
       .join(chunks.as("y"),

@@ -59,7 +59,7 @@ object Similarity {
           .as("cos_raw"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("qid"), col("rn"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+      .select(col("qid"), col("rn"), col("vec_id"), graft.operators.Ops.ffloor(col("cos_raw"), 4).as("cos"))
       .orderBy("qid", "rn")
   }
 
@@ -90,7 +90,7 @@ object Similarity {
               WHERE vec_id <> qid)
             SELECT qid, rn, vec_id, cos FROM (
               SELECT qid, vec_id,
-                ROUND(dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0), 4) AS cos,
+                CAST(FLOOR(dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0) * 10000.0) AS DOUBLE) / 10000.0 AS cos,
                 ROW_NUMBER() OVER (PARTITION BY qid
                   ORDER BY dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0)
                     DESC NULLS LAST, vec_id) AS rn
@@ -153,7 +153,7 @@ object Similarity {
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        round(cosine(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+        graft.operators.Ops.ffloor(cosine(col("x.embedding"), col("y.embedding")), 4).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy("v1", "v2")
   }
@@ -255,7 +255,7 @@ object Similarity {
         .select(col("qid"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos_raw"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+        .select(col("qid"), col("rn"), col("vec_id"), graft.operators.Ops.ffloor(col("cos_raw"), 4).as("cos"))
         .orderBy("qid", "rn")
     },
     None

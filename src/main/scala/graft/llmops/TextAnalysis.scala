@@ -111,14 +111,17 @@ object TextAnalysis {
     * doc_id, lang guess + score. Hash-based profile → not oracled.
     */
   def langIdScore(docs: DataFrame, profiles: Map[String, Seq[String]]): DataFrame = {
+    require(profiles.nonEmpty, "langIdScore needs at least one language profile")
     val scores = profiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
       val hits = grams.map(g => when(col("text").contains(g), 1).otherwise(0))
         .reduce[Column](_ + _)
       struct(hits.cast("double").as("score"), lit(lang).as("lang"))
     }
+    // greatest() needs ≥2 args; a single profile is its own argmax
+    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
     docs.select(col("doc_id"),
-      greatest(scores: _*).getField("lang").as("lang_pred"),
-      greatest(scores: _*).getField("score").as("score"))
+      best.getField("lang").as("lang_pred"),
+      best.getField("score").as("score"))
   }
 
   // ---------------------------------------------------------------- q28
@@ -146,18 +149,26 @@ object TextAnalysis {
             FROM documents ORDER BY doc_id""")
   )
 
-  /** Rolling (polynomial, base-31 mod 2^61-1) hash fingerprints of every
-    * `window`-token span, winnowed to the per-doc minimum per block of
-    * `blockSize` consecutive spans — the classic winnowing sketch for
-    * partial-overlap detection. Sketch size O(len/blockSize) per doc.
+  /** Rolling-hash fingerprints of every `window`-token span, reduced to
+    * the minimum per block of `blockSize` CONSECUTIVE spans (positional
+    * blocked-minima — the fixed-stride winnowing variant). Sketch size
+    * O(len/blockSize) per doc; two documents sharing a span run that
+    * covers an aligned block share that block's fingerprint, enabling
+    * partial-overlap detection.
     */
   def rollingFingerprints(docs: DataFrame, window: Int = 5, blockSize: Int = 4): DataFrame = {
-    val spans = Dedup.shingles(docs, window)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("span_hash"))
-    spans
-      .withColumn("block", pmod(col("span_hash"), lit(blockSize)))
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(asciiLower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= window)
+    toks
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("ts")) - (window - 1)),
+        i => concat_ws("_", (0 until window).map(o => element_at(col("ts"), i + o)): _*))))
+      .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), (col("pos") / blockSize).cast("long").as("block"),
+        xxhash64(col("span")).as("h"))
       .groupBy("doc_id", "block")
-      .agg(min(col("span_hash")).as("fingerprint"))
+      .agg(min("h").as("fingerprint"))
       .select("doc_id", "fingerprint")
   }
 

@@ -189,7 +189,9 @@ object OffsetNamedSink {
         } finally close()
       }
 
-    try collectResult(grouped) finally grouped.unpersist()
+    // records = payload rows actually written (tombstones are skipped by
+    // the writer loop, so they must not inflate the metadata)
+    try collectResult(grouped, count(col("__payload"))) finally grouped.unpersist()
   }
 
   /** Parquet path (F4/F5): Spark's vectorized parquet writer does the
@@ -265,7 +267,7 @@ object OffsetNamedSink {
     } finally {
       fs.delete(tmp, true)
     }
-    try collectResult(grouped) finally grouped.unpersist()
+    try collectResult(grouped, count(lit(1))) finally grouped.unpersist()
   }
 
   /** Hive partition-path unescape (%XX sequences only — '+' stays '+'). */
@@ -282,11 +284,14 @@ object OffsetNamedSink {
     sb.toString
   }
 
-  /** O(#files) metadata: per-file counts + offset ranges + preCommit map. */
-  private def collectResult(grouped: DataFrame): BatchResult = {
+  /** O(#files) metadata: per-file counts + offset ranges + preCommit map.
+    * `recordCount` counts what the writer actually emits (non-null payloads
+    * for the byte writers; every row for parquet).
+    */
+  private def collectResult(grouped: DataFrame, recordCount: Column): BatchResult = {
     val files = grouped
       .groupBy("__path", "topic", "partition")
-      .agg(count(lit(1)).as("n"), min("offset").as("lo"), max("offset").as("hi"))
+      .agg(recordCount.as("n"), min("offset").as("lo"), max("offset").as("hi"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
     val committed = files.map { case (p, _, _, n, lo, hi) => CommittedFile(p, n, lo, hi) }

@@ -14,7 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LandedFiles {
 
-  private val FilePattern = "([^/+]+)\\+(\\d+)\\+(\\d+)\\.[a-z.]+$"
+  /** Name pattern derived from the sink's config: the same `fileDelim`
+    * that built `<topic><delim><partition><delim><paddedOffset><ext>`
+    * must parse it back. The extension class covers compressed/custom
+    * extensions (`.json.gz`, `.bin`, `.mp4`, ...).
+    */
+  private def filePattern(fileDelim: String): String = {
+    val d = java.util.regex.Pattern.quote(fileDelim)
+    s"([^/]+?)$d(\\d+)$d(\\d+)\\.[A-Za-z0-9.]+$$"
+  }
 
   /** Parquet-landed records + (topic, partition, file_start_offset)
     * provenance columns parsed from the deterministic file names.
@@ -23,24 +31,27 @@ object LandedFiles {
     * `topicsDir`.
     */
   def readParquet(spark: SparkSession, baseDir: String,
-                  topicsDir: String = "topics"): DataFrame =
+                  topicsDir: String = "topics",
+                  fileDelim: String = "+"): DataFrame =
     withProvenance(spark.read
       .option("recursiveFileLookup", "true")
-      .parquet(s"$baseDir/$topicsDir"))
+      .parquet(s"$baseDir/$topicsDir"), fileDelim)
 
   /** JSON-landed records (schema required — landed JSON carries none). */
   def readJson(spark: SparkSession, baseDir: String,
                schema: org.apache.spark.sql.types.StructType,
-               topicsDir: String = "topics"): DataFrame =
+               topicsDir: String = "topics",
+               fileDelim: String = "+"): DataFrame =
     withProvenance(spark.read.schema(schema)
       .option("recursiveFileLookup", "true")
-      .json(s"$baseDir/$topicsDir"))
+      .json(s"$baseDir/$topicsDir"), fileDelim)
 
-  def withProvenance(df: DataFrame): DataFrame = {
+  def withProvenance(df: DataFrame, fileDelim: String = "+"): DataFrame = {
     val f = input_file_name()
+    val p = filePattern(fileDelim)
     df
-      .withColumn("_topic", regexp_extract(f, FilePattern, 1))
-      .withColumn("_kafka_partition", regexp_extract(f, FilePattern, 2).cast("int"))
-      .withColumn("_file_start_offset", regexp_extract(f, FilePattern, 3).cast("long"))
+      .withColumn("_topic", regexp_extract(f, p, 1))
+      .withColumn("_kafka_partition", regexp_extract(f, p, 2).cast("int"))
+      .withColumn("_file_start_offset", regexp_extract(f, p, 3).cast("long"))
   }
 }

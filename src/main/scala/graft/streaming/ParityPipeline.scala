@@ -108,7 +108,14 @@ object ParityPipeline {
           case st: StructType =>
             val inner = st.fieldNames.toSeq
             val routing = Seq("topic", "partition", "offset", "timestamp")
-              .filter(batch.columns.contains).filterNot(inner.contains)
+              .filter(batch.columns.contains)
+            // refuse shadowing rather than silently grouping/naming files
+            // by a payload field — offsetsToCommit computed from a payload
+            // 'offset' would corrupt the exactly-once contract
+            val clash = inner.intersect(routing)
+            require(clash.isEmpty,
+              s"parquet payload struct fields $clash collide with Kafka routing " +
+                "columns; rename them in the payload (e.g. payload_offset)")
             val flat = batch
               .select(routing.map(col) :+ payload.as("__p"): _*)
               .select(routing.map(col) ++ inner.map(f => col(s"__p.`$f`")): _*)
@@ -138,7 +145,21 @@ object ParityPipeline {
       partitioner: Partitioner,
       format: OutputFormat,
       baseDir: String,
-      toPayload: DataFrame => Column): OffsetNamedSink.BatchResult =
+      toPayload: DataFrame => Column): OffsetNamedSink.BatchResult = {
+    // parquet needs the rename-based writer; the streamed byte writer
+    // throws for it — dispatch per format like writeMicroBatch does
+    def dispatch(df: DataFrame, extraGroupCols: Seq[Column]): OffsetNamedSink.BatchResult =
+      format match {
+        case p: ParquetFormat =>
+          OffsetNamedSink.writeBatchParquet(
+            df, cfg, partitioner, p, baseDir,
+            df.schema.fieldNames.toSeq.filterNot(_.startsWith("__")),
+            extraGroupCols = extraGroupCols)
+        case other =>
+          OffsetNamedSink.writeBatch(
+            df, cfg, partitioner, other, baseDir, toPayload(df),
+            extraGroupCols = extraGroupCols)
+      }
     cfg.compatibility match {
       case SchemaCompat.None_ =>
         // Rotation happens on every schema CHANGE (TopicPartitionWriter
@@ -151,26 +172,19 @@ object ParityPipeline {
           1).otherwise(0)
         val withRun = batch.withColumn("__schemaRun",
           sum(changed).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        OffsetNamedSink.writeBatch(
-          withRun, cfg, partitioner, format, baseDir, toPayload(withRun),
-          extraGroupCols = Seq(col("__schemaRun")))
+        dispatch(withRun, Seq(col("__schemaRun")))
       case SchemaCompat.Backward | SchemaCompat.Full =>
-        val target = schemas(schemas.keys.max)
-        val projected = projectPayload(batch, target)
-        OffsetNamedSink.writeBatch(projected, cfg, partitioner, format, baseDir, toPayload(projected))
+        dispatch(projectPayload(batch, schemas(schemas.keys.max)), Nil)
       case SchemaCompat.Forward =>
-        val target = schemas(schemas.keys.min)
-        val projected = projectPayload(batch, target)
-        OffsetNamedSink.writeBatch(projected, cfg, partitioner, format, baseDir, toPayload(projected))
+        dispatch(projectPayload(batch, schemas(schemas.keys.min)), Nil)
     }
-
-  /** Project the `payload` struct column of `batch` onto `target`. */
-  private def projectPayload(batch: DataFrame, target: StructType): DataFrame = {
-    val cols = target.fields.map { f =>
-      when(col("payload").getField(f.name).isNotNull,
-        col("payload").getField(f.name).cast(f.dataType))
-        .otherwise(lit(null).cast(f.dataType)).as(f.name)
-    }
-    batch.withColumn("payload", struct(cols.toSeq: _*))
   }
+
+  /** Project the `payload` struct column of `batch` onto `target`
+    * (cast(null) is already null, so a plain cast per field suffices).
+    */
+  private def projectPayload(batch: DataFrame, target: StructType): DataFrame =
+    batch.withColumn("payload", struct(
+      target.fields.toSeq.map(f =>
+        col("payload").getField(f.name).cast(f.dataType).as(f.name)): _*))
 }
