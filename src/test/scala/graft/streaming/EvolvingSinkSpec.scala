@@ -80,6 +80,19 @@ class EvolvingSinkSpec extends SparkTestBase {
     assert(!lines(150).contains("\"c\""))
   }
 
+  test("NONE + parquet: schema-run rotation dispatches to the parquet writer") {
+    val base = Files.createTempDirectory("graft-evolve-pq")
+    val cfg = PipelineConfig(flushSize = 1000000, compatibility = SchemaCompat.None_)
+    ParityPipeline.writeEvolving(
+      evolvingBatch(), Map(1 -> v1, 2 -> v2), col("schema_id"),
+      cfg, DefaultPartitioner, graft.sink.ParquetFormat(), base.toString,
+      toPayload = df => to_json(df.col("payload")))
+    assert(files(base) == Seq(0, 100, 200).map(o => f"topics/ev/partition=0/ev+0+$o%010d.parquet"))
+    val back = spark.read.parquet(base.resolve(f"topics/ev/partition=0/ev+0+${100}%010d.parquet").toString)
+    assert(back.count() == 100)
+    assert(back.select("payload.c").where(col("c").isNotNull).count() == 100) // v2 run keeps c
+  }
+
   test("F5 analog: JSON value bytes → from_json(StructType) → parquet payload") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-f5")
