@@ -174,4 +174,32 @@ object AvroSupport {
     w.create(schema, out)
     w
   }
+
+  /** Inverse of [[toGenericRecord]]: Avro value → Spark external row value
+    * for the given Spark type (Utf8 → String, ByteBuffer → bytes, nested
+    * record/array/map recursion).
+    */
+  def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (r: GenericRecord, st: StructType) => fromGenericRecord(r, st)
+    case (s: CharSequence, StringType) => s.toString
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      import scala.jdk.CollectionConverters._
+      l.asScala.map(fromAvroValue(_, et)).toSeq
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.map { case (k, mv) => k.toString -> fromAvroValue(mv, vt) }.toMap
+    case (n: java.lang.Number, IntegerType) => n.intValue()
+    case (n: java.lang.Number, LongType) => n.longValue()
+    case (n: java.lang.Number, FloatType) => n.floatValue()
+    case (n: java.lang.Number, DoubleType) => n.doubleValue()
+    case (n: java.lang.Long, TimestampType) => new java.sql.Timestamp(n)
+    case (other, _) => other
+  }
+
+  def fromGenericRecord(rec: GenericRecord, st: StructType): org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row.fromSeq(
+      st.fields.toSeq.map(f => fromAvroValue(rec.get(f.name), f.dataType)))
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Read the sink's landed files back WITH their Kafka provenance — the
   * inverse of [[graft.sink.OffsetNamedSink]]'s naming scheme
@@ -46,8 +46,43 @@ object LandedFiles {
       .option("recursiveFileLookup", "true")
       .json(s"$baseDir/$topicsDir"), fileDelim)
 
-  def withProvenance(df: DataFrame, fileDelim: String = "+"): DataFrame = {
-    val f = input_file_name()
+  /** Avro-landed records decoded WITHOUT the spark-avro connector: the
+    * `binaryFile` source delivers whole container files, avro-core decodes
+    * them per partition (one decoder per file, the classic opaque-blob →
+    * rows pattern), and provenance is parsed from the path. Container
+    * files are file-at-a-time units here — appropriate for the sink's
+    * flush-size-bounded objects, not for multi-GB avro.
+    */
+  def readAvro(spark: SparkSession, baseDir: String,
+               schema: org.apache.spark.sql.types.StructType,
+               topicsDir: String = "topics",
+               fileDelim: String = "+"): DataFrame = {
+    import org.apache.avro.file.{DataFileStream, SeekableByteArrayInput, DataFileReader}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import spark.implicits._
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.avro")
+      .load(s"$baseDir/$topicsDir")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val outSchema = schema.add("__path", org.apache.spark.sql.types.StringType)
+    val rows = files.flatMap { case (path, content) =>
+      val reader = new DataFileStream[GenericRecord](
+        new SeekableByteArrayInput(content), new GenericDatumReader[GenericRecord]())
+      import scala.jdk.CollectionConverters._
+      try reader.iterator().asScala.map { rec =>
+        org.apache.spark.sql.Row.fromSeq(
+          graft.sink.AvroSupport.fromGenericRecord(rec, schema).toSeq :+ path)
+      }.toVector
+      finally reader.close()
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    withProvenance(rows.toDF(), fileDelim, pathCol = col("__path")).drop("__path")
+  }
+
+  def withProvenance(df: DataFrame, fileDelim: String = "+",
+                     pathCol: Column = input_file_name()): DataFrame = {
+    val f = pathCol
     val p = filePattern(fileDelim)
     df
       .withColumn("_topic", regexp_extract(f, p, 1))

@@ -68,6 +68,23 @@ class SourcesSpec extends SparkTestBase {
     } yield ("lp", p, o, n)))
   }
 
+  test("avro landed files decode back without spark-avro, with provenance") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft-src-avro")
+    val df = kafkaRecords("av", nParts = 1, perPart = 120)
+    OffsetNamedSink.writeBatch(
+      df, PipelineConfig(flushSize = 50), DefaultPartitioner,
+      AvroFormat("deflate"), base.toString,
+      payload = struct(col("a"), col("b")))
+    val schema = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val back = graft.sources.LandedFiles.readAvro(spark, base.toString, schema)
+    assert(back.count() == 120)
+    assert(back.agg(sum("a")).collect().head.getLong(0) == (0 until 120).map(_ * 10L).sum)
+    val prov = back.groupBy("_file_start_offset").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prov == Map(0L -> 50L, 50L -> 50L, 100L -> 20L))
+  }
+
   test("csv/text scans compose with the relational layer") {
     val dir = Files.createTempDirectory("graft-src-csv")
     Files.write(dir.resolve("dim.csv"), "id,name\n1,alpha\n2,beta\n".getBytes)
