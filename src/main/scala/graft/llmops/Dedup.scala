@@ -84,24 +84,36 @@ object Dedup {
     * distinct — min() is duplicate-insensitive, and the dedup shuffle of
     * the full shingle stream would be pure waste at corpus scale.
     */
-  private[llmops] def shingles(docs: DataFrame, k: Int, dedup: Boolean = true): DataFrame = {
-    // repartition BEFORE the explode: the corpus may arrive in few input
-    // splits (one small parquet here; a handful of row groups at scale),
-    // but the explode inflates rows ~(tokens-k)×, so downstream
-    // parallelism must be sized to post-explode volume — without this the
-    // whole shingle+agg pipeline runs on the input's partition count.
-    val toks = docs.repartition(col("doc_id"))
+  /** Shared span-array builder: doc_id → array of k-gram spans. The
+    * repartition BEFORE the explode matters: the corpus may arrive in few
+    * input splits (one small parquet here; a handful of row groups at
+    * scale), but the explode inflates rows ~(tokens-k)×, so downstream
+    * parallelism must be sized to post-explode volume.
+    */
+  private[llmops] def spanArrays(docs: DataFrame, k: Int): DataFrame =
+    docs.repartition(col("doc_id"))
       .select(col("doc_id"), split(asciiLower(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= k)
-    val exploded = toks
       .select(
         col("doc_id"),
-        explode(transform(
+        transform(
           sequence(lit(1), size(col("ts")) - (k - 1)),
           i => concat_ws("_", (0 until k).map(o => element_at(col("ts"), i + o)): _*)
-        )).as("shingle"))
+        ).as("spans"))
+
+  private[llmops] def shingles(docs: DataFrame, k: Int, dedup: Boolean = true): DataFrame = {
+    val exploded = spanArrays(docs, k)
+      .select(col("doc_id"), explode(col("spans")).as("shingle"))
     if (dedup) exploded.distinct() else exploded
   }
+
+  /** Positional variant: (doc_id, pos, shingle) — for winnowing-style
+    * blocked minima where span position matters.
+    */
+  private[llmops] def shinglesWithPos(docs: DataFrame, k: Int): DataFrame =
+    spanArrays(docs, k)
+      .select(col("doc_id"), posexplode(col("spans")))
+      .toDF("doc_id", "pos", "shingle")
 
   // ---------------------------------------------------------------- q27
   /** Exact n-gram (trigram) Jaccard near-dup pairs via shared-shingle

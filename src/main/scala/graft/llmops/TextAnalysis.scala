@@ -156,21 +156,13 @@ object TextAnalysis {
     * covers an aligned block share that block's fingerprint, enabling
     * partial-overlap detection.
     */
-  def rollingFingerprints(docs: DataFrame, window: Int = 5, blockSize: Int = 4): DataFrame = {
-    val toks = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), split(asciiLower(col("text")), " ").as("ts"))
-      .filter(size(col("ts")) >= window)
-    toks
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("ts")) - (window - 1)),
-        i => concat_ws("_", (0 until window).map(o => element_at(col("ts"), i + o)): _*))))
-      .toDF("doc_id", "pos", "span")
+  def rollingFingerprints(docs: DataFrame, window: Int = 5, blockSize: Int = 4): DataFrame =
+    Dedup.shinglesWithPos(docs, window)
       .select(col("doc_id"), (col("pos") / blockSize).cast("long").as("block"),
-        xxhash64(col("span")).as("h"))
+        xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id", "block")
       .agg(min("h").as("fingerprint"))
       .select("doc_id", "fingerprint")
-  }
 
   val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28)
 }

@@ -192,6 +192,8 @@ object AvroSupport {
       import scala.jdk.CollectionConverters._
       m.asScala.map { case (k, mv) => k.toString -> fromAvroValue(mv, vt) }.toMap
     case (n: java.lang.Number, IntegerType) => n.intValue()
+    case (n: java.lang.Number, ShortType) => n.shortValue()
+    case (n: java.lang.Number, ByteType) => n.byteValue()
     case (n: java.lang.Number, LongType) => n.longValue()
     case (n: java.lang.Number, FloatType) => n.floatValue()
     case (n: java.lang.Number, DoubleType) => n.doubleValue()

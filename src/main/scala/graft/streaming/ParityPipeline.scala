@@ -147,13 +147,17 @@ object ParityPipeline {
       baseDir: String,
       toPayload: DataFrame => Column): OffsetNamedSink.BatchResult = {
     // parquet needs the rename-based writer; the streamed byte writer
-    // throws for it — dispatch per format like writeMicroBatch does
+    // throws for it — dispatch per format like writeMicroBatch does.
+    // Parquet writes ONLY the `payload` struct (the same record content
+    // toPayload serializes for the byte formats) — never the batch's
+    // scratch/routing columns.
+    require(batch.columns.contains("payload"),
+      "writeEvolving expects a `payload` struct column")
     def dispatch(df: DataFrame, extraGroupCols: Seq[Column]): OffsetNamedSink.BatchResult =
       format match {
         case p: ParquetFormat =>
           OffsetNamedSink.writeBatchParquet(
-            df, cfg, partitioner, p, baseDir,
-            df.schema.fieldNames.toSeq.filterNot(_.startsWith("__")),
+            df, cfg, partitioner, p, baseDir, Seq("payload"),
             extraGroupCols = extraGroupCols)
         case other =>
           OffsetNamedSink.writeBatch(
