@@ -90,16 +90,23 @@ object Dedup {
     * scale), but the explode inflates rows ~(tokens-k)×, so downstream
     * parallelism must be sized to post-explode volume.
     */
-  private[llmops] def spanArrays(docs: DataFrame, k: Int): DataFrame =
+  private[llmops] def spanArrays(docs: DataFrame, k: Int): DataFrame = {
+    // The span expression must be TOTAL (safe on docs shorter than k):
+    // Catalyst's InferFiltersFromGenerate derives size(spans) > 0 and can
+    // evaluate it below/next to the size(ts) >= k guard, so out-of-bounds
+    // safety must not depend on filter ordering. Short docs get an empty
+    // index sequence and drop out at the explode.
+    val n = size(col("ts"))
+    val idx = when(n >= k, sequence(lit(1), n - (k - 1)))
+      .otherwise(array().cast("array<int>"))
     docs.repartition(col("doc_id"))
       .select(col("doc_id"), split(asciiLower(col("text")), " ").as("ts"))
-      .filter(size(col("ts")) >= k)
       .select(
         col("doc_id"),
-        transform(
-          sequence(lit(1), size(col("ts")) - (k - 1)),
+        transform(idx,
           i => concat_ws("_", (0 until k).map(o => element_at(col("ts"), i + o)): _*)
         ).as("spans"))
+  }
 
   private[llmops] def shingles(docs: DataFrame, k: Int, dedup: Boolean = true): DataFrame = {
     val exploded = spanArrays(docs, k)
