@@ -14,6 +14,17 @@ class LlmOpsSpec extends SparkTestBase {
     rows.toDF("doc_id", "text")
   }
 
+  test("shingle pipelines are total on docs shorter than k (empty/1-token)") {
+    // regression: InferFiltersFromGenerate can evaluate size(spans)>0
+    // below the length guard — short docs must yield empty spans, not
+    // out-of-bounds element_at
+    val d = docs((1L, ""), (2L, "a"), (3L, "one two"), (4L, "x y z w v u t s"))
+    assert(Dedup.minhashSignatures(d, k = 3).count() == 1)
+    assert(TextAnalysis.rollingFingerprints(d, window = 5).count() == 1)
+    val pairs = Dedup.minhashPairs(Dedup.minhashSignatures(d, 3), minSim = 0.0)
+    assert(pairs.count() == 0) // one doc → no pairs, no crash
+  }
+
   test("minhash: identical docs get identical signatures and est 1.0") {
     val d = docs(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
