@@ -25,8 +25,11 @@ object Bench {
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         // a failed query records a large penalty, never a fast time — a
-        // regression must not masquerade as a speed-up
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        // regression must not masquerade as a speed-up.
+        // toRdd.count() executes the FULL physical plan (final sort and
+        // projection included) — df.count() would let Catalyst collapse
+        // the plan to a bare aggregate and under-measure the query.
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); 3600.0
         }

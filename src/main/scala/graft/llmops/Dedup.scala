@@ -79,50 +79,72 @@ object Dedup {
   )
 
   // ------------------------------------------------------------ shingles
+  /** doc_id → (pos, tok) token stream: one codegen'd split + posexplode,
+    * no higher-order functions. Pre-shuffle parallelism is input-split
+    * grain (many row groups at corpus scale; one file locally) and the
+    * per-row work there is a single split, so a thin map side is fine —
+    * the k-gram assembly happens after the doc_id shuffle at full width.
+    */
+  private[llmops] def tokensWithPos(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(asciiLower(col("text")), " ")).as(Seq("pos", "tok")))
+
+  /** (doc_id, pos, shingle): k-gram spans assembled with lead() over the
+    * doc-ordered token stream — one shuffle (by doc_id), fully codegen'd.
+    *
+    * Design note — this REPLACES a repartition + `transform(sequence(...))`
+    * span-array build. That shape has a hidden quadratic trap: Catalyst's
+    * InferFiltersFromGenerate derives `size(spans) > 0` from the explode
+    * and PushDownPredicates carries it below the repartition, where
+    * expression substitution inlines the whole interpreted HOF — with the
+    * token split re-evaluated inside every element_at — onto the
+    * pre-shuffle (single-input-split) side: measured as an 11–14s
+    * single-task stage in q27/q30 at sf0.1. With lead() the only Generate
+    * child is one split() per document, so the inferred guard is cheap,
+    * and no interpreted higher-order function exists in the pipeline.
+    *
+    * concat_ws SKIPS null arguments, so the filter on the last lead is
+    * what keeps trailing windows (< k tokens left) out — without it they
+    * would silently shrink to shorter grams instead of dropping. Docs
+    * shorter than k tokens drop here too (their first span already lacks
+    * a k-th token), preserving the "no spans for short docs" totality the
+    * oracle SQL guards with `len(ts) >= k`.
+    */
+  private[llmops] def shinglesWithPos(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("tok") +: (1 until k).map(o => lead(col("tok"), o).over(w))
+    tokensWithPos(docs)
+      .select(col("doc_id"), col("pos"),
+        parts.last.as("last_tok"), concat_ws("_", parts: _*).as("shingle"))
+      .filter(col("last_tok").isNotNull)
+      .select(col("doc_id"), col("pos"), col("shingle"))
+  }
+
   /** doc_id → exploded k-gram token shingles ("a_b_c"). `dedup = true`
     * gives set semantics (needed for exact Jaccard); MinHash skips the
     * distinct — min() is duplicate-insensitive, and the dedup shuffle of
-    * the full shingle stream would be pure waste at corpus scale.
+    * the full shingle stream would be pure waste at corpus scale. When
+    * dedup runs it needs NO extra shuffle: the stream is already
+    * hash-partitioned by doc_id, which satisfies the (doc_id, shingle)
+    * clustering the aggregate asks for.
     */
-  /** Shared span-array builder: doc_id → array of k-gram spans. The
-    * repartition BEFORE the explode matters: the corpus may arrive in few
-    * input splits (one small parquet here; a handful of row groups at
-    * scale), but the explode inflates rows ~(tokens-k)×, so downstream
-    * parallelism must be sized to post-explode volume.
-    */
-  private[llmops] def spanArrays(docs: DataFrame, k: Int): DataFrame = {
-    // The span expression must be TOTAL (safe on docs shorter than k):
-    // Catalyst's InferFiltersFromGenerate derives size(spans) > 0 and can
-    // evaluate it below/next to the size(ts) >= k guard, so out-of-bounds
-    // safety must not depend on filter ordering. Short docs get an empty
-    // index sequence and drop out at the explode.
-    val n = size(col("ts"))
-    val idx = when(n >= k, sequence(lit(1), n - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    docs.repartition(col("doc_id"))
-      .select(col("doc_id"), split(asciiLower(col("text")), " ").as("ts"))
-      .select(
-        col("doc_id"),
-        transform(idx,
-          i => concat_ws("_", (0 until k).map(o => element_at(col("ts"), i + o)): _*)
-        ).as("spans"))
-  }
-
   private[llmops] def shingles(docs: DataFrame, k: Int, dedup: Boolean = true): DataFrame = {
-    val exploded = spanArrays(docs, k)
-      .select(col("doc_id"), explode(col("spans")).as("shingle"))
-    if (dedup) exploded.distinct() else exploded
+    val sh = shinglesWithPos(docs, k).select("doc_id", "shingle")
+    if (dedup) sh.distinct() else sh
   }
-
-  /** Positional variant: (doc_id, pos, shingle) — for winnowing-style
-    * blocked minima where span position matters.
-    */
-  private[llmops] def shinglesWithPos(docs: DataFrame, k: Int): DataFrame =
-    spanArrays(docs, k)
-      .select(col("doc_id"), posexplode(col("spans")))
-      .toDF("doc_id", "pos", "shingle")
 
   // ---------------------------------------------------------------- q27
+  /** A shingle present in more than this many documents is dropped from the
+    * exact-Jaccard universe (on BOTH the intersection and size side, so the
+    * measure stays a true Jaccard over the reduced universe). This is the
+    * exact-path analog of `maxBucket` in [[minhashPairs]]: without it, one
+    * stop-phrase trigram shared by 1% of a 100 TB corpus makes the
+    * shared-shingle candidate join quadratic. At test scale no trigram
+    * comes near the cap, so results equal the uncapped exact Jaccard (and
+    * the DuckDB oracle applies the identical cap).
+    */
+  val MaxShingleDocFreq = 1000
+
   /** Exact n-gram (trigram) Jaccard near-dup pairs via shared-shingle
     * equi-join: |A∩B| from a join on the shingle itself, |A|,|B| from
     * per-doc counts. Expressible in ANSI SQL → DuckDB-oracled.
@@ -130,19 +152,23 @@ object Dedup {
     * Scale notes: k=3 (not 2) is load-bearing — shingle cardinality grows
     * with vocab^k, so buckets stay small and the candidate join stays
     * near-linear (with k=2 on this ~40-word vocab the join explodes ~10×).
-    * The shingle set is persisted (used by both join sides + the size agg
-    * — one scan instead of three), and the tiny per-doc size table is
-    * broadcast. The MinHash variant (q30) is the sub-linear-candidate path
-    * for corpora where even trigram buckets skew.
+    * Hot shingles above [[MaxShingleDocFreq]] are dropped (the window's
+    * shuffle key — shingle — is the same as the join key, so the cap rides
+    * the partitioning the join needs anyway). The capped shingle set is
+    * consumed three times (both join sides + the size agg), so it is
+    * materialized ONCE via an eager localCheckpoint — scoped to this query
+    * plan and reclaimed by the ContextCleaner when the plan is dropped,
+    * unlike `persist`, whose CacheManager entry pins it until an explicit
+    * global `clearCache()`.
     */
   val q27 = QuerySpec(
     "q27_ngram_jaccard",
     (s, d) => {
-      // harness queries persist intermediates but return lazy frames, so
-      // there is no post-materialization unpersist hook; clearing at entry
-      // bounds cache growth to one query's worth across a bench run
-      s.catalog.clearCache()
-      val bg = shingles(Tables.documents(s, d), 3).persist()
+      val bg = shingles(Tables.documents(s, d), 3)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("df") <= MaxShingleDocFreq)
+        .drop("df")
+        .localCheckpoint()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
       val inter = bg.as("a")
         .join(bg.as("b"),
@@ -162,12 +188,15 @@ object Dedup {
     Some(s"""WITH toks AS (
               SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
               WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
-            trigrams AS (
+            trigrams_all AS (
               SELECT DISTINCT doc_id, bg FROM (
                 SELECT doc_id,
                   unnest(list_transform(range(1, len(ts) - 1),
                     i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
                 FROM toks)),
+            trigrams AS (
+              SELECT doc_id, bg FROM trigrams_all
+              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= 1000),
             sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
             pairs AS (
               SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
@@ -249,17 +278,16 @@ object Dedup {
 
   /** q30: MinHash-LSH near-dup pairs on documents. Deterministic (fixed
     * seed 42) but hash-based → rows-only driver check, no SQL oracle.
-    * Signatures are persisted — they feed the band explode AND both sides
-    * of the estimate join, and recomputing the 64-min aggregation three
-    * times dominated the runtime otherwise.
+    * Signatures feed the band explode AND both sides of the estimate join;
+    * the eager localCheckpoint computes the 64-min aggregation exactly once
+    * and is scope-cleaned by the ContextCleaner (see q27 — no global
+    * CacheManager entry, no `clearCache` side effect on other consumers).
     */
   val q30 = QuerySpec(
     "q30_dedup_minhash_lsh",
-    (s, d) => {
-      s.catalog.clearCache() // see q27 — bound cache growth across runs
-      minhashPairs(
-        minhashSignatures(Tables.documents(s, d), k = 3).persist(), minSim = 0.3)
-    },
+    (s, d) => minhashPairs(
+      minhashSignatures(Tables.documents(s, d), k = 3).localCheckpoint(),
+      minSim = 0.3),
     None
   )
 
@@ -269,7 +297,12 @@ object Dedup {
     * aggregate state.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.repartition(col("doc_id")) // parallelize past few input splits
+    // explicit count: a count-less `repartition(col)` is an AQE-coalescible
+    // shuffle, and the pre-explode map output is tiny (docs, not tokens),
+    // so AQE would fold it back to one partition and run the 64-column
+    // partial aggregate on one core
+    val toks = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))

@@ -155,7 +155,7 @@ object Extras {
           count(lit(1)).as("n"))
         .orderBy("o_orderstatus"),
     Some("""SELECT o_orderstatus,
-              count_if(o_totalprice > 200000) AS n_big,
+              CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
               bool_and(o_totalprice >= 0) AS all_nonneg,
               COUNT(*) AS n
