@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 54 queries × whole-stage-codegen classes overflow the default 240 MB
+  // JIT code cache mid-bench; once full, C2 compilation stalls and a band
+  // of queries runs interpreted/deoptimized (measured: q34-q45 inflated
+  // 3-8x in a full bench run, fast in isolation). Same flag a production
+  // long-running Spark driver/executor would set.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,18 +21,21 @@ object Bench {
     // min of 2 iterations per query: this container shows ±30% run-to-run
     // noise; the min is the standard stable microbenchmark statistic.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
+      val times = (1 to iterations).map { i =>
         val t0 = System.nanoTime()
         // a failed query records a large penalty, never a fast time — a
         // regression must not masquerade as a speed-up.
         // toRdd.count() executes the FULL physical plan (final sort and
         // projection included) — df.count() would let Catalyst collapse
         // the plan to a bare aggregate and under-measure the query.
-        try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+        val t = try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); 3600.0
         }
+        if (debug) System.err.println(f"[bench] $name iter$i ${t}%.2fs")
+        t
       }
       name -> times.min
     }.toMap

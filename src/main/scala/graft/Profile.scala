@@ -37,6 +37,17 @@ object Profile {
       }
     })
 
+    // SPARK_GRAFT_PROFILE_WARMALL=1 reproduces the full-bench context:
+    // in-context slowdowns (code-cache pressure, accumulated session
+    // state) don't show in isolated runs.
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_WARMALL")) {
+      QueryRegistry.all.filter(_.name < name).foreach { spec =>
+        try spec.run(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable => println(s"[warm] ${spec.name} failed: ${e.getMessage}") }
+      }
+      println(s"[warm] done")
+    }
+
     val q = QueryRegistry.byName(name)
     (1 to iters).foreach { i =>
       stages.synchronized(stages.clear())

@@ -293,28 +293,25 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
   /** doc_id → 64-bit SimHash over tokens: per bit, sum ±1 weighted by the
-    * token hash's bit, sign → bit. One groupBy(doc_id) shuffle; 64 longs of
-    * aggregate state.
+    * token hash's bit, sign → bit. One groupBy(doc_id) shuffle; the 64
+    * counters live in one [[graft.functions.SimHashSketchAgg]] sketch
+    * buffer (same fixed-width-sketch pattern as MinHash — a 64-column
+    * sum(when) aggregate spent more time touching 64 generated slots per
+    * row than doing the math).
+    *
+    * The explicit repartition width matters twice: a count-less
+    * `repartition(col)` is an AQE-coalescible shuffle that folds the tiny
+    * pre-explode doc stream to one partition, and the explode+hash+partial
+    * aggregate downstream must run at full width.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    // explicit count: a count-less `repartition(col)` is an AQE-coalescible
-    // shuffle, and the pre-explode map output is tiny (docs, not tokens),
-    // so AQE would fold it back to one partition and run the 64-column
-    // partial aggregate on one core
     val toks = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
       .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
-    }
-    val packed = (0 until 64).map { k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)
-    }.reduce(_ + _) // bits are disjoint, so + ≡ bitwise OR
     toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+      .agg(graft.functions.SimHashAgg.simhash_sketch(col("h")).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ maxHamming. Candidates come

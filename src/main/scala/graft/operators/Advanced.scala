@@ -63,7 +63,9 @@ object Advanced {
   val q35 = QuerySpec(
     "q35_cube_grouping",
     (s, d) =>
-      Tables.lineitem(s, d)
+      // fanOut: CUBE expands every row ×4 before the partial aggregate;
+      // on a single-split scan that whole expansion runs on one core
+      fanOut(Tables.lineitem(s, d))
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g_flag"),
@@ -94,7 +96,9 @@ object Advanced {
   val q36 = QuerySpec(
     "q36_approx_distinct",
     (s, d) =>
-      Tables.orders(s, d)
+      // fanOut: the HLL partial-update loop is the CPU cost here; give it
+      // session width when the scan is a single split
+      fanOut(Tables.orders(s, d))
         .groupBy("o_orderstatus")
         .agg(
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
@@ -169,7 +173,9 @@ object Advanced {
   val q40 = QuerySpec(
     "q40_json_funcs",
     (s, d) =>
-      Tables.events(s, d)
+      // fanOut: per-row JSON parsing is ~µs-scale CPU work; single-split
+      // scans would serialize it on one core
+      fanOut(Tables.events(s, d))
         .select(
           get_json_object(col("props"), "$.k").cast("long").as("k"),
           col("value"))

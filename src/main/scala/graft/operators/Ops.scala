@@ -64,4 +64,21 @@ object Ops {
   /** The DuckDB-side spelling of [[asciiLower]]. */
   def asciiLowerSql(expr: String): String =
     s"translate($expr, '$AsciiUpper', '$AsciiLower')"
+
+  /** Fan a CPU-dense pipeline out to session parallelism when the source
+    * scan cannot supply it. Parquet splits at row-group boundaries, so a
+    * small single-row-group file yields ONE input partition no matter what
+    * `files.maxPartitionBytes` says — and an expensive per-row projection
+    * sitting directly on such a scan (JSON path extraction, sketch
+    * updates, wide Expand) runs single-threaded.
+    *
+    * Scale-safe by construction: the repartition is inserted only when the
+    * scan has fewer files than the configured shuffle width. A production
+    * corpus arrives in hundreds of splits → this is a no-op passthrough
+    * (no shuffle); the check reads only file metadata (no job).
+    */
+  def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.inputFiles.length >= target) df else df.repartition(target)
+  }
 }
