@@ -14,8 +14,16 @@ final case class PipelineConfig(
       * (`TopicPartitionWriter.java:343-346`). */
     rotateIntervalMs: Long = -1L,
     /** `rotate.schedule.interval.ms`: wallclock rotation; -1 = disabled.
-      * Maps to the streaming trigger interval (`TopicPartitionWriter.java:359-384`). */
+      * Boundaries are aligned to the start of day in
+      * [[rotateScheduleTimezone]] (`TopicPartitionWriter.java:359-384`,
+      * next boundary via `getNextTimeAdjustedByDay`) — see
+      * [[graft.streaming.RotationSchedule]]. */
     rotateScheduleIntervalMs: Long = -1L,
+    /** `timezone` (storage-common partitioner key, read for scheduling at
+      * `TopicPartitionWriter.java:127-132`): the day-alignment zone for
+      * scheduled rotation. The reference demo uses Asia/Shanghai
+      * (README.md:178). */
+    rotateScheduleTimezone: String = "UTC",
     /** `topics.dir` path prefix (`TopicPartitionWriter.java:268-285`). */
     topicsDir: String = "topics",
     /** `filename.offset.zero.pad.width` (`TopicPartitionWriter.java:272-274`). */

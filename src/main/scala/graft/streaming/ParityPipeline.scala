@@ -26,8 +26,11 @@ import graft.sink._
   *   - D4 retries → `spark.task.maxFailures` + query restart policy
   *   - D5 backpressure → `maxOffsetsPerTrigger` (declarative pause/resume)
   *   - D6 rebalance → Kafka source + checkpoint recovery, no code
-  *   - R4 wallclock rotation → `Trigger.ProcessingTime`
-  *     (`rotate.schedule.interval.ms`, `TopicPartitionWriter.java:359-384`)
+  *   - R4 wallclock rotation → timezone-day-aligned scheduled drains
+  *     ([[startScheduled]] / [[RotationSchedule]],
+  *     `rotate.schedule.interval.ms`, `TopicPartitionWriter.java:359-384`);
+  *     [[start]] keeps the simpler continuous `Trigger.ProcessingTime`
+  *     cadence for pipelines that don't need day alignment
   */
 object ParityPipeline {
 
@@ -85,6 +88,43 @@ object ParityPipeline {
         ()
       }
       .start()
+  }
+
+  /** R4 faithful form: scheduled rotation aligned to the day boundary of
+    * `cfg.rotateScheduleTimezone` — a 24h schedule in Asia/Shanghai drains
+    * and rotates at Shanghai midnight, matching the reference's
+    * `getNextTimeAdjustedByDay` behavior. Each boundary runs one
+    * `Trigger.AvailableNow` cycle against the same checkpoint; between
+    * boundaries nothing runs. Exactly-once is unchanged (checkpoint WALs +
+    * deterministic file names).
+    */
+  def startScheduled(
+      records: DataFrame,
+      cfg: PipelineConfig,
+      partitioner: Partitioner,
+      format: OutputFormat,
+      baseDir: String,
+      checkpointDir: String,
+      payload: Column,
+      extractor: TimestampExtractor = RecordTimestamp,
+      queryName: String = "graft-parity-sink-scheduled",
+      clock: () => Long = () => System.currentTimeMillis(),
+      sleeper: Long => Unit = Thread.sleep): RotationSchedule.ScheduledRotation = {
+    require(cfg.rotateScheduleIntervalMs > 0,
+      "startScheduled requires rotate.schedule.interval.ms > 0")
+    RotationSchedule.schedule(
+      () => records.writeStream
+        .queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeMicroBatch(batch, cfg, partitioner, format, baseDir, payload, extractor)
+          ()
+        }
+        .start(),
+      cfg.rotateScheduleIntervalMs,
+      java.time.ZoneId.of(cfg.rotateScheduleTimezone),
+      clock, sleeper)
   }
 
   /** One micro-batch through the parity sink — also the direct entry the
