@@ -31,12 +31,21 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Zero-norm vectors yield NULL (not an ANSI divide-by-zero error) —
+  /** Cosine from a precomputed dot product and norms — the overload for
+    * plans that materialize per-vector norms once before a pairwise join.
+    * Zero-norm vectors yield NULL (not an ANSI divide-by-zero error) —
     * degenerate embeddings exist in real corpora and must not kill the
     * query; NULL sorts last under `desc_nulls_last` ranking.
     */
+  def cosineFromParts(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / nullif(normA * normB, lit(0.0))
+
+  /** Cosine computed from scratch (norms per pair) — for one-shot pair
+    * scoring; pairwise plans should precompute norms and use
+    * [[cosineFromParts]].
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+    cosineFromParts(dot(a, b), norm(a), norm(b))
 
   /** Exact brute-force cosine top-k: for each query vector, rank all
     * candidates. Query side is tiny → `broadcast`; the candidate scan is
@@ -55,7 +64,7 @@ object Similarity {
       .orderBy(col("cos_raw").desc_nulls_last, col("vec_id"))
     broadcast(q).join(c, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dot(col("qe"), col("ce")) / nullif(col("qn") * col("cn"), lit(0.0)))
+        cosineFromParts(dot(col("qe"), col("ce")), col("qn"), col("cn"))
           .as("cos_raw"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -164,5 +164,100 @@ object TextAnalysis {
       .agg(min("h").as("fingerprint"))
       .select("doc_id", "fingerprint")
 
-  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28)
+  // ---------------------------------------------------------------- q55
+  /** TF-IDF: top-3 scoring terms per document. The canonical three-shuffle
+    * plan: (doc, term) tf aggregate → per-term document frequency (small:
+    * one row per vocab term) → join back + per-doc top-k window. N comes
+    * from a broadcast single-row aggregate (no collect). Ranked by the
+    * TRUNCATED score on both engines so a sub-ulp ln() divergence can
+    * never flip an ordering the oracle disagrees with.
+    */
+  val q55 = QuerySpec(
+    "q55_tfidf",
+    (s, d) => {
+      import graft.operators.Ops.ffloor
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val toks = graft.operators.Ops.fanOut(docs)
+        .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val score = ffloor(
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4)
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), score.as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
+        .orderBy("doc_id", "rn")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   WHERE term <> '' GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term,
+                CAST(FLOOR(CAST(tf AS DOUBLE)
+                  * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                  * 10000.0) AS DOUBLE) / 10000.0 AS tfidf
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, rn, term, tfidf FROM (
+              SELECT doc_id, term, tfidf,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS rn
+              FROM scored)
+            WHERE rn <= 3 ORDER BY doc_id, rn""")
+  )
+
+  // ---------------------------------------------------------------- q56
+  /** Repetition-quality signal (the Gopher-style duplicate-content rule):
+    * per document, token count, distinct-token count, duplicate-token
+    * ratio, and the share of the single most repeated token. Two chained
+    * aggregates — the (doc, term) partial collapses the token stream
+    * before anything wide happens, so the second shuffle carries one row
+    * per distinct (doc, term).
+    */
+  val q56 = QuerySpec(
+    "q56_repetition",
+    (s, d) => {
+      import graft.operators.Ops.ffloor
+      val tf = graft.operators.Ops.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      tf.groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_distinct"),
+          max("tf").as("max_tf"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"),
+          ffloor(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+            .as("dup_ratio"),
+          ffloor(col("max_tf").cast("double") / col("n_tokens"), 4)
+            .as("top_token_share"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
+                FROM documents)
+              WHERE term <> '' GROUP BY 1, 2)
+            SELECT doc_id,
+              CAST(SUM(tf) AS BIGINT) AS n_tokens,
+              COUNT(*) AS n_distinct,
+              CAST(FLOOR((1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS BIGINT))
+                * 10000.0) AS DOUBLE) / 10000.0 AS dup_ratio,
+              CAST(FLOOR(CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS BIGINT)
+                * 10000.0) AS DOUBLE) / 10000.0 AS top_token_share
+            FROM tf GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56)
 }

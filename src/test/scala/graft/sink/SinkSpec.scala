@@ -124,6 +124,93 @@ class SinkSpec extends SparkTestBase {
     reader.close()
   }
 
+  test("avro: bzip2 codec round-trips (reference codec matrix)") {
+    val base = tmpDir()
+    val df = kafkaRecords("bz", nParts = 1, perPart = 10)
+    OffsetNamedSink.writeBatch(
+      df, PipelineConfig(flushSize = 500), DefaultPartitioner,
+      AvroFormat("bzip2"), base.toString,
+      payload = struct(col("a"), col("b")))
+    val f = base.resolve(f"topics/bz/partition=0/bz+0+${0}%010d.avro")
+    val reader = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.file.SeekableFileInput(f.toFile),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    assert(reader.getMetaString("avro.codec") == "bzip2")
+    val recs = reader.iterator().asScala.toList
+    assert(recs.size == 10)
+    assert(recs.last.get("b").toString == "v9")
+    reader.close()
+  }
+
+  test("bytearray: custom extension + separator + gzip compose " +
+    "(testWithCustomExtensionAndLineSeparator / testWithGzipCompression)") {
+    // Reference: extension '.kafka.oss', separator 'OSS'
+    // (TestDataWriterByteArray.java:97-138); gzip splices AFTER the custom
+    // extension the way .bin.gz does.
+    val base = tmpDir()
+    val df = kafkaRecords("cx", nParts = 1, perPart = 5)
+      .withColumn("value", encode(concat(lit("rec-"), col("offset")), "UTF-8"))
+    OffsetNamedSink.writeBatch(
+      df, PipelineConfig(flushSize = 100), DefaultPartitioner,
+      ByteArrayFormat(separator = "OSS".getBytes("UTF-8"), ext = ".kafka.oss",
+        compression = Gzip),
+      base.toString, payload = col("value"))
+    val f = base.resolve(f"topics/cx/partition=0/cx+0+${0}%010d.kafka.oss.gz")
+    assert(Files.exists(f), s"expected $f among ${listFiles(base)}")
+    val in = new java.util.zip.GZIPInputStream(Files.newInputStream(f))
+    val decoded = new String(in.readAllBytes(), "UTF-8")
+    assert(decoded.split("OSS").toSeq == (0 until 5).map(o => s"rec-$o"))
+  }
+
+  test("interleaved multi-partition batch with non-zero initial offsets") {
+    // testWriteInterleavedRecordsInMultiplePartitionsWithNonZeroInitialOffset:
+    // file names and flush boundaries follow the RECORD offsets, which
+    // need not start at zero (a task picking up mid-topic).
+    val base = tmpDir()
+    val start = 12445L // reference: TEST_FLUSH_SIZE + 12345
+    val df = kafkaRecords("nz", nParts = 2, perPart = 700)
+      .withColumn("offset", col("offset") + start)
+    val res = OffsetNamedSink.writeBatch(
+      df, PipelineConfig(flushSize = 300), DefaultPartitioner, JsonFormat(),
+      base.toString, payload = to_json(struct(col("a"))))
+    val expected = for {
+      p <- 0 to 1; o <- Seq(start, start + 300, start + 600)
+    } yield f"topics/nz/partition=$p/nz+$p+$o%010d.json"
+    assert(listFiles(base) == expected.sorted)
+    assert(res.offsetsToCommit == Map(("nz", 0) -> (start + 700), ("nz", 1) -> (start + 700)))
+  }
+
+  test("rebalance (D6): reassigned partition set keeps offset continuity " +
+    "and leaves closed partitions' files intact (testPartitionsRebalanced)") {
+    val base = tmpDir()
+    val cfg = PipelineConfig(flushSize = 300)
+    def write(df: org.apache.spark.sql.DataFrame) = OffsetNamedSink.writeBatch(
+      df, cfg, DefaultPartitioner, JsonFormat(), base.toString,
+      payload = to_json(struct(col("a"))))
+
+    // assignment {0,1}: one full flush each
+    write(kafkaRecords("rb", nParts = 2, perPart = 600))
+    val afterFirst = listFiles(base)
+    assert(afterFirst == Seq(
+      f"topics/rb/partition=0/rb+0+${0}%010d.json",
+      f"topics/rb/partition=0/rb+0+${300}%010d.json",
+      f"topics/rb/partition=1/rb+1+${0}%010d.json",
+      f"topics/rb/partition=1/rb+1+${300}%010d.json"))
+
+    // rebalance → assignment {0,2}: partition 0 continues FROM ITS LAST
+    // OFFSET, partition 2 starts fresh, partition 1's files are untouched
+    val cont = kafkaRecords("rb", nParts = 1, perPart = 600)
+      .withColumn("offset", col("offset") + 600L)
+      .unionByName(
+        kafkaRecords("rb", nParts = 1, perPart = 300).withColumn("partition", lit(2)))
+    val res = write(cont)
+    assert(listFiles(base).diff(afterFirst) == Seq(
+      f"topics/rb/partition=0/rb+0+${600}%010d.json",
+      f"topics/rb/partition=0/rb+0+${900}%010d.json",
+      f"topics/rb/partition=2/rb+2+${0}%010d.json"))
+    assert(res.offsetsToCommit == Map(("rb", 0) -> 1200L, ("rb", 2) -> 300L))
+  }
+
   test("parquet: spark-native write + deterministic rename, read-back") {
     val base = tmpDir()
     val cfg = PipelineConfig(flushSize = 400)
