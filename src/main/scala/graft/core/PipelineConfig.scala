@@ -32,7 +32,14 @@ final case class PipelineConfig(
     dirDelim: String = "/",
     fileDelim: String = "+",
     /** `schema.compatibility` (README.md:127-141). */
-    compatibility: graft.schema.SchemaCompat.Mode = graft.schema.SchemaCompat.None_)
+    compatibility: graft.schema.SchemaCompat.Mode = graft.schema.SchemaCompat.None_,
+    /** `retry.backoff.ms` (`OSSSinkConnectorConfiguration.java`, default
+      * 5000): pause before retrying a failed storage write — see
+      * [[Retry]]. */
+    retryBackoffMs: Long = 5000L,
+    /** In-task write attempts per file before the failure escalates to
+      * Spark's task retry (D4's platform layer). */
+    writeMaxAttempts: Int = 3)
 
 object PipelineConfig {
   /** The reference quick-start demo settings (README.md:153,169-179). */

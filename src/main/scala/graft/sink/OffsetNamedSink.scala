@@ -136,57 +136,72 @@ object OffsetNamedSink {
     val entries = confEntries(df)
     val base = baseDir
 
+    val retryBackoffMs = cfg.retryBackoffMs
+    val writeMaxAttempts = cfg.writeMaxAttempts
     rows
       .repartition(col("__path"))
       .sortWithinPartitions(col("__path"), col("offset"))
       .foreachPartition { (it: Iterator[Row]) =>
         val conf = buildConf(entries)
         var fs: FileSystem = null
-        var current: String = null
-        var out: java.io.OutputStream = null
-        var avro: org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord] = null
         var avroSchema: org.apache.avro.Schema = null
         val structType = payloadType match {
           case st: StructType => st
           case _ => null
         }
-        def close(): Unit = {
-          if (avro != null) { avro.close(); avro = null; out = null }
-          else if (out != null) { out.close(); out = null }
-        }
-        def open(path: String): Unit = {
+        // One FILE is the retry unit, exactly like the reference (its
+        // record buffer + retry.backoff.ms, TopicPartitionWriter.java:
+        // 158-171): rows arrive grouped by __path, each file's rows are
+        // buffered (bounded by flush.size — the same bound the reference's
+        // buffer has) and the whole file write retries on IOException with
+        // overwrite-create, so a partial file from a failed attempt is
+        // simply rewritten.
+        def writeFile(path: String, fileRows: Seq[Row]): Unit = {
           val p = new Path(base, path)
           if (fs == null) fs = p.getFileSystem(conf)
-          // overwrite-create (OSSStorage.java:78-90), buffered: the record
-          // loop writes one small payload at a time
-          val raw = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
-          format match {
-            case j: JsonFormat => out = j.compression.wrap(raw)
-            case b: ByteArrayFormat => out = b.compression.wrap(raw)
-            case a: AvroFormat =>
-              if (avroSchema == null) avroSchema = AvroSupport.toAvroSchema(structType)
-              avro = AvroSupport.containerWriter(raw, avroSchema, a.codecFactory)
-            case _: ParquetFormat =>
-              throw new IllegalArgumentException("use writeBatchParquet for parquet")
-          }
-        }
-        try {
-          it.foreach { r =>
-            val path = r.getString(0)
-            if (path != current) { close(); open(path); current = path }
-            // null payloads (Kafka tombstones) are skipped, not written —
-            // one delete marker must not poison the whole micro-batch
-            if (!r.isNullAt(2)) format match {
-              case j: JsonFormat =>
-                out.write(r.getString(2).getBytes("UTF-8")); out.write(j.lineSeparator)
-              case b: ByteArrayFormat =>
-                out.write(r.getAs[Array[Byte]](2)); out.write(b.separator)
-              case _: AvroFormat =>
-                avro.append(AvroSupport.toGenericRecord(r.getStruct(2), structType, avroSchema))
-              case _ => ()
+          graft.core.Retry.withBackoff(writeMaxAttempts, retryBackoffMs) {
+            var out: java.io.OutputStream = null
+            var avro: org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord] = null
+            // overwrite-create (OSSStorage.java:78-90), buffered: the
+            // record loop writes one small payload at a time
+            val raw = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+            try {
+              format match {
+                case j: JsonFormat => out = j.compression.wrap(raw)
+                case b: ByteArrayFormat => out = b.compression.wrap(raw)
+                case a: AvroFormat =>
+                  if (avroSchema == null) avroSchema = AvroSupport.toAvroSchema(structType)
+                  avro = AvroSupport.containerWriter(raw, avroSchema, a.codecFactory)
+                case _: ParquetFormat =>
+                  throw new IllegalArgumentException("use writeBatchParquet for parquet")
+              }
+              fileRows.foreach { r =>
+                // null payloads (Kafka tombstones) are skipped, not written —
+                // one delete marker must not poison the whole micro-batch
+                if (!r.isNullAt(2)) format match {
+                  case j: JsonFormat =>
+                    out.write(r.getString(2).getBytes("UTF-8")); out.write(j.lineSeparator)
+                  case b: ByteArrayFormat =>
+                    out.write(r.getAs[Array[Byte]](2)); out.write(b.separator)
+                  case _: AvroFormat =>
+                    avro.append(AvroSupport.toGenericRecord(r.getStruct(2), structType, avroSchema))
+                  case _ => ()
+                }
+              }
+            } finally {
+              if (avro != null) avro.close() else if (out != null) out.close() else raw.close()
             }
           }
-        } finally close()
+        }
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var current: String = null
+        it.foreach { r =>
+          val path = r.getString(0)
+          if (path != current && current != null) { writeFile(current, buf.toSeq); buf.clear() }
+          current = path
+          buf += r
+        }
+        if (current != null) writeFile(current, buf.toSeq)
       }
 
     // records = payload rows actually written (tombstones are skipped by
@@ -255,9 +270,13 @@ object OffsetNamedSink {
               require(parts.length == 1,
                 s"expected 1 part file per group, got ${parts.length} in ${d.getPath}")
               val target = new Path(new Path(baseDir, rel), fname)
-              fs.mkdirs(target.getParent)
-              if (fs.exists(target)) fs.delete(target, false)
-              fs.rename(parts.head.getPath, target)
+              // D4: each rename is one object-store metadata RPC — retry
+              // transient failures with the same backoff as data writes
+              graft.core.Retry.withBackoff(cfg.writeMaxAttempts, cfg.retryBackoffMs) {
+                fs.mkdirs(target.getParent)
+                if (fs.exists(target)) fs.delete(target, false)
+                fs.rename(parts.head.getPath, target)
+              }
               ()
             }
           })
