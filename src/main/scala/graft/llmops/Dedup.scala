@@ -342,10 +342,16 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** q31: SimHash near-dup pairs (rows-only check — hash-based). */
+  /** q31: SimHash near-dup pairs (rows-only check — hash-based). The
+    * sketch table feeds BOTH sides of the chunk-collision self-join;
+    * without the eager localCheckpoint the whole tokenize+sketch pipeline
+    * executes twice (visible as two full ObjectHashAggregate branches in
+    * the plan).
+    */
   val q31 = QuerySpec(
     "q31_dedup_simhash",
-    (s, d) => simhashPairs(simhash(Tables.documents(s, d)), maxHamming = 6),
+    (s, d) => simhashPairs(
+      simhash(Tables.documents(s, d)).localCheckpoint(), maxHamming = 6),
     None
   )
 
