@@ -243,8 +243,70 @@ object Similarity {
       .toDF("vec_id", "embedding", "cell")
   }
 
-  /** q38: IVF top-k — centroids = first 8 vectors, 3-probe search, exact
-    * cosine rank inside the probed cells. Rows-only check (the centroid
+  /** Sampled Lloyd k-means for IVF centroid training — the 100 TB path:
+    * membership in the training sample is content-addressed
+    * (`xxhash64(vec_id) % sampleMod == 0`, the same engine- and
+    * partitioning-independent idiom as CorpusPipeline's split sampling),
+    * so the index is reproducible no matter how the corpus is laid out.
+    *
+    * Each Lloyd iteration is ONE assignment pass ([[ivfAssign]]'s dense
+    * mapPartitions math) + ONE distributed mean: per-partition partial
+    * (cell, count, per-dim sums) rows — k rows per partition, NOT an
+    * n×dim explode of the sample — reduced by a (cell, pos) aggregate.
+    * Only the final k×dim centroid matrix is collected (broadcast-sized
+    * by construction). Deterministic: seeded hash init (k smallest
+    * vec_id hashes), fixed iteration count; empty cells keep their
+    * previous centroid.
+    */
+  def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int = 3,
+                      sampleMod: Int = 1, seed: Long = 42L): Seq[(Long, Seq[Double])] = {
+    require(k >= 1 && iters >= 0 && sampleMod >= 1)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sample = (if (sampleMod <= 1) vectors
+      else vectors.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(sampleMod)) === 0))
+      .select(col("vec_id"), col("embedding"))
+    var cents: Seq[(Long, Seq[Double])] = sample
+      .withColumn("__h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy("__h", "vec_id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1).map(_.toDouble).toSeq) }
+      .toSeq
+    for (_ <- 0 until iters) {
+      val centArr = cents // stable closure capture for this iteration
+      val partials = ivfAssign(sample, centArr)
+        .select(col("cell"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val sums = scala.collection.mutable.Map.empty[Long, (Array[Double], Long)]
+          it.foreach { case (cell, emb) =>
+            val (s, _) = sums.getOrElseUpdate(cell, (new Array[Double](emb.length), 0L))
+            var j = 0
+            while (j < emb.length && j < s.length) { s(j) += emb(j); j += 1 }
+            sums(cell) = (s, sums(cell)._2 + 1)
+          }
+          sums.iterator.map { case (cell, (s, n)) => (cell, n, s.toSeq) }
+        }
+        .toDF("cell", "n", "sums")
+      val counts = partials.groupBy("cell").agg(sum("n").as("n"))
+      val dims = partials
+        .select(col("cell"), posexplode(col("sums")).as(Seq("pos", "s")))
+        .groupBy("cell", "pos").agg(sum("s").as("s"))
+      val means = dims.join(counts, "cell")
+        .select(col("cell"), col("pos"), (col("s") / col("n")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** q38: IVF top-k — centroids from [[kmeansCentroids]] (k=8, 3 Lloyd
+    * iterations, deterministic seeded init), 3-probe search, exact cosine
+    * rank inside the probed cells. Rows-only check (the centroid
     * assignment isn't reasonably SQL-expressible); recall vs brute force
     * is asserted in ScalaTest.
     */
@@ -252,9 +314,7 @@ object Similarity {
     "q38_embedding_ivf_topk",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val centroids = e.filter(col("vec_id") < 8)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val centroids = kmeansCentroids(e, k = 8, iters = 3)
       val assigned = ivfAssign(e, centroids)
       val q = ivfProbe(
         e.filter(col("vec_id").isin(100L, 101L, 102L)), centroids, nprobe = 3)

@@ -259,5 +259,42 @@ object TextAnalysis {
             FROM tf GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56)
+  // ---------------------------------------------------------------- q57
+  /** Winnowing partial-overlap candidates: doc pairs sharing ≥ 2 block
+    * fingerprints from [[rollingFingerprints]] — catches documents that
+    * share a long span (quote, boilerplate, plagiarized section) even
+    * when whole-document measures (Jaccard/MinHash) stay low. Same scale
+    * shape as every other near-dup operator: candidates come from an
+    * equi-join on the fingerprint (shuffle key = fingerprint), hot
+    * fingerprints are capped, and the O(len/blockSize)-per-doc sketch is
+    * checkpointed once for both join sides. xxhash-based → rows-only
+    * driver check; span-sharing semantics are asserted in ScalaTest.
+    */
+  def winnowingOverlapPairs(docs: DataFrame, window: Int = 5, blockSize: Int = 4,
+                            minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
+    // distinct: a fingerprint repeating across several blocks of ONE doc
+    // must count once, or shared_blocks double-counts block pairings
+    val fp = rollingFingerprints(docs, window, blockSize)
+      .distinct()
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+      .filter(col("n") <= maxDocFreq) // hot-fingerprint cap (cf. Dedup.MaxShingleDocFreq)
+      .drop("n")
+      .localCheckpoint()
+    fp.as("x").join(fp.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("shared_blocks"))
+      .filter(col("shared_blocks") >= minShared)
+      .orderBy("d1", "d2")
+  }
+
+  val q57 = QuerySpec(
+    "q57_winnowing_overlap",
+    (s, d) => winnowingOverlapPairs(Tables.documents(s, d)),
+    None
+  )
+
+  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56, q57)
 }

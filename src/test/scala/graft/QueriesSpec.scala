@@ -25,6 +25,7 @@ class QueriesSpec extends SparkTestBase {
     // hash-seeded / sketch-based ops are intentionally rows-only
     val rowsOnly = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.forall(n => n.contains("minhash") || n.contains("simhash") ||
-      n.contains("lsh") || n.contains("approx") || n.contains("ivf")))
+      n.contains("lsh") || n.contains("approx") || n.contains("ivf") ||
+      n.contains("winnowing")))
   }
 }

@@ -88,6 +88,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("winnowing overlap: doc pair sharing a long span is found, disjoint doc is not") {
+    val shared = (1 to 60).map(i => s"tok$i").mkString(" ") // 60-token shared span
+    val d = docs(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three four $shared five six"),
+      (3L, "completely different words with no overlap at all whatsoever in any block"))
+    val pairs = TextAnalysis.winnowingOverlapPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("kmeansCentroids: recovers two well-separated clusters, deterministic") {
+    import spark.implicits._
+    // two tight clusters around +e1 and +e2 (20 vectors each, dim 4)
+    val pts = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      (i.toLong, base.zipWithIndex.map { case (x, j) => x + ((i * 7 + j) % 5) * 0.01f }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansCentroids(pts, k = 2, iters = 4)
+    val c2 = Similarity.kmeansCentroids(pts, k = 2, iters = 4)
+    assert(c1 == c2) // deterministic: seeded init, fixed iterations
+    // one centroid near each cluster mean (dominant axis ≈ 10)
+    val axes = c1.map(_._2.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(axes == Set(0, 1), s"centroids collapsed onto one cluster: $c1")
+    c1.foreach { case (_, v) => assert(math.abs(v.max - 10.0) < 0.1) }
+  }
+
   test("multimodal: stub decode is deterministic, schema intact, frames sample") {
     import spark.implicits._
     val d = Seq((0L, "video payload text", "en", "src0", 18L),
