@@ -18,9 +18,11 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().collect()
-    // min of 2 iterations per query: this container shows ±30% run-to-run
-    // noise; the min is the standard stable microbenchmark statistic.
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // min of 3 iterations per query: this container shows ±2x run-to-run
+    // noise spikes (GC/JIT/scheduling); the min is the standard stable
+    // microbenchmark statistic, and 3 samples make a single co-located
+    // spike unable to poison a query's recorded time.
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).map { i =>
