@@ -37,7 +37,8 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (exprs => FloatVectorDot(exprs(0), exprs(1))),
     "minhash_sketch" -> (exprs => graft.functions.MinHashSketchAgg(
-      exprs.head, graft.llmops.Dedup.minhashParams, graft.llmops.Dedup.MersennePrime)))
+      exprs.head, graft.llmops.Dedup.minhashParams, graft.llmops.Dedup.MersennePrime)),
+    "simhash_sketch" -> (exprs => graft.functions.SimHashSketchAgg(exprs.head)))
 
   /** Register on an already-running session (extensions only take effect
     * for sessions created with `.withExtensions` / `spark.sql.extensions`).

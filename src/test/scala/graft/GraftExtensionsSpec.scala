@@ -33,4 +33,18 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(sig2.head == (a0 * 10L + b0) % graft.llmops.Dedup.MersennePrime)
     spark.catalog.dropTempView("hashes")
   }
+
+  test("simhash_sketch aggregate is SQL-callable with sign-packed bits") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    // two tokens with hash 0b01 and one with 0b11: bit0 sum = +3 → set;
+    // bit1 sum = -1+(-1)+1 = -1 → clear; all higher bits negative → clear
+    Seq((1L, 1L), (1L, 1L), (1L, 3L)).toDF("doc_id", "h")
+      .createOrReplaceTempView("tok_hashes")
+    val out = spark.sql(
+      "SELECT doc_id, simhash_sketch(h) AS sh FROM tok_hashes GROUP BY doc_id")
+      .collect()
+    assert(out.head.getLong(1) == 1L)
+    spark.catalog.dropTempView("tok_hashes")
+  }
 }
