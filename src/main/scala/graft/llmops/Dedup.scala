@@ -164,10 +164,8 @@ object Dedup {
   val q27 = QuerySpec(
     "q27_ngram_jaccard",
     (s, d) => {
-      val bg = shingles(Tables.documents(s, d), 3)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-        .filter(col("df") <= MaxShingleDocFreq)
-        .drop("df")
+      val bg = graft.operators.Ops
+        .capKeyFreq(shingles(Tables.documents(s, d), 3), MaxShingleDocFreq, col("shingle"))
         .localCheckpoint()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
       val inter = bg.as("a")
@@ -254,11 +252,8 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
       )))
       .toDF("doc_id", "band_idx", "band_hash")
-    val capped = bands
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val capped = graft.operators.Ops
+      .capKeyFreq(bands, maxBucket, col("band_idx"), col("band_hash"))
     val cand = capped.as("x")
       .join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

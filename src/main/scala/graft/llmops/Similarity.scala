@@ -247,16 +247,21 @@ object Similarity {
     * membership in the training sample is content-addressed
     * (`xxhash64(vec_id) % sampleMod == 0`, the same engine- and
     * partitioning-independent idiom as CorpusPipeline's split sampling),
-    * so the index is reproducible no matter how the corpus is laid out.
+    * so WHICH vectors train the index never depends on file layout. (The
+    * floating-point centroid means still sum in partition order — double
+    * addition is not associative — so centroids are deterministic for a
+    * fixed layout + seed, not bit-stable across re-layouts; acceptable
+    * for an index whose queries re-rank by exact cosine anyway.)
     *
     * Each Lloyd iteration is ONE assignment pass ([[ivfAssign]]'s dense
     * mapPartitions math) + ONE distributed mean: per-partition partial
     * (cell, count, per-dim sums) rows — k rows per partition, NOT an
-    * n×dim explode of the sample — reduced by a (cell, pos) aggregate.
-    * Only the final k×dim centroid matrix is collected (broadcast-sized
-    * by construction). Deterministic: seeded hash init (k smallest
-    * vec_id hashes), fixed iteration count; empty cells keep their
-    * previous centroid.
+    * n×dim explode of the sample — exploded to (cell, pos) grain and
+    * reduced by a single aggregate (each partial row contributes its
+    * count exactly once per pos, so sum(n) per (cell, pos) is the cell
+    * total — no second pass, no join). Only the final k×dim centroid
+    * matrix is collected (broadcast-sized by construction). Empty cells
+    * keep their previous centroid.
     */
   def kmeansCentroids(vectors: DataFrame, k: Int, iters: Int = 3,
                       sampleMod: Int = 1, seed: Long = 42L): Seq[(Long, Seq[Double])] = {
@@ -288,12 +293,11 @@ object Similarity {
           sums.iterator.map { case (cell, (s, n)) => (cell, n, s.toSeq) }
         }
         .toDF("cell", "n", "sums")
-      val counts = partials.groupBy("cell").agg(sum("n").as("n"))
-      val dims = partials
-        .select(col("cell"), posexplode(col("sums")).as(Seq("pos", "s")))
-        .groupBy("cell", "pos").agg(sum("s").as("s"))
-      val means = dims.join(counts, "cell")
-        .select(col("cell"), col("pos"), (col("s") / col("n")).as("m"))
+      val means = partials
+        .select(col("cell"), col("n"), posexplode(col("sums")).as(Seq("pos", "s")))
+        .groupBy("cell", "pos")
+        .agg((sum("s") / sum("n")).as("m"))
+        .select(col("cell"), col("pos"), col("m"))
         .collect()
         .groupBy(_.getLong(0))
         .map { case (cell, rows) =>

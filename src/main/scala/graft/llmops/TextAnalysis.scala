@@ -274,12 +274,9 @@ object TextAnalysis {
                             minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
     // distinct: a fingerprint repeating across several blocks of ONE doc
     // must count once, or shared_blocks double-counts block pairings
-    val fp = rollingFingerprints(docs, window, blockSize)
-      .distinct()
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
-      .filter(col("n") <= maxDocFreq) // hot-fingerprint cap (cf. Dedup.MaxShingleDocFreq)
-      .drop("n")
+    val fp = graft.operators.Ops
+      .capKeyFreq(rollingFingerprints(docs, window, blockSize).distinct(),
+        maxDocFreq, col("fingerprint"))
       .localCheckpoint()
     fp.as("x").join(fp.as("y"),
         col("x.fingerprint") === col("y.fingerprint") &&

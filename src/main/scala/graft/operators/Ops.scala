@@ -81,4 +81,20 @@ object Ops {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.inputFiles.length >= target) df else df.repartition(target)
   }
+
+  /** The skew guard shared by every candidate-generation operator (shingle
+    * doc-frequency cap, LSH bucket cap, fingerprint frequency cap): drop
+    * rows whose key occurs more than `maxFreq` times. Without it, one
+    * stop-phrase / degenerate bucket makes the downstream candidate
+    * equi-join quadratic at corpus scale. The window's shuffle key is the
+    * same key the join shuffles on, so the cap rides partitioning the
+    * join needs anyway.
+    */
+  def capKeyFreq(df: org.apache.spark.sql.DataFrame, maxFreq: Int,
+                 keys: Column*): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    df.withColumn("__keyfreq", count(lit(1)).over(w))
+      .filter(col("__keyfreq") <= maxFreq)
+      .drop("__keyfreq")
+  }
 }

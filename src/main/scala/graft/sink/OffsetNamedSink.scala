@@ -44,6 +44,12 @@ import graft.partition.{Partitioner, RecordTimestamp, TimestampExtractor}
   */
 object OffsetNamedSink {
 
+  /** Max rows buffered per file for the in-task D4 retry; files larger
+    * than this stream without buffering (their retry layer is Spark's
+    * task re-execution over the deterministic, overwrite-created names).
+    */
+  private[sink] val RetryBufferRows = 100000
+
   /** One committed file: full path + record count + offset range. */
   final case class CommittedFile(path: String, records: Long, startOffset: Long, endOffset: Long)
 
@@ -149,59 +155,70 @@ object OffsetNamedSink {
           case st: StructType => st
           case _ => null
         }
-        // One FILE is the retry unit, exactly like the reference (its
-        // record buffer + retry.backoff.ms, TopicPartitionWriter.java:
-        // 158-171): rows arrive grouped by __path, each file's rows are
-        // buffered (bounded by flush.size — the same bound the reference's
-        // buffer has) and the whole file write retries on IOException with
-        // overwrite-create, so a partial file from a failed attempt is
-        // simply rewritten.
-        def writeFile(path: String, fileRows: Seq[Row]): Unit = {
+        // One whole-file write attempt: open (overwrite-create,
+        // OSSStorage.java:78-90), append every row, close.
+        def writeOnce(path: String, fileRows: Iterator[Row]): Unit = {
           val p = new Path(base, path)
           if (fs == null) fs = p.getFileSystem(conf)
-          graft.core.Retry.withBackoff(writeMaxAttempts, retryBackoffMs) {
-            var out: java.io.OutputStream = null
-            var avro: org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord] = null
-            // overwrite-create (OSSStorage.java:78-90), buffered: the
-            // record loop writes one small payload at a time
-            val raw = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
-            try {
-              format match {
-                case j: JsonFormat => out = j.compression.wrap(raw)
-                case b: ByteArrayFormat => out = b.compression.wrap(raw)
-                case a: AvroFormat =>
-                  if (avroSchema == null) avroSchema = AvroSupport.toAvroSchema(structType)
-                  avro = AvroSupport.containerWriter(raw, avroSchema, a.codecFactory)
-                case _: ParquetFormat =>
-                  throw new IllegalArgumentException("use writeBatchParquet for parquet")
+          var out: java.io.OutputStream = null
+          var avro: org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord] = null
+          val raw = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+          try {
+            format match {
+              case j: JsonFormat => out = j.compression.wrap(raw)
+              case b: ByteArrayFormat => out = b.compression.wrap(raw)
+              case a: AvroFormat =>
+                if (avroSchema == null) avroSchema = AvroSupport.toAvroSchema(structType)
+                avro = AvroSupport.containerWriter(raw, avroSchema, a.codecFactory)
+              case _: ParquetFormat =>
+                throw new IllegalArgumentException("use writeBatchParquet for parquet")
+            }
+            fileRows.foreach { r =>
+              // null payloads (Kafka tombstones) are skipped, not written —
+              // one delete marker must not poison the whole micro-batch
+              if (!r.isNullAt(2)) format match {
+                case j: JsonFormat =>
+                  out.write(r.getString(2).getBytes("UTF-8")); out.write(j.lineSeparator)
+                case b: ByteArrayFormat =>
+                  out.write(r.getAs[Array[Byte]](2)); out.write(b.separator)
+                case _: AvroFormat =>
+                  avro.append(AvroSupport.toGenericRecord(r.getStruct(2), structType, avroSchema))
+                case _ => ()
               }
-              fileRows.foreach { r =>
-                // null payloads (Kafka tombstones) are skipped, not written —
-                // one delete marker must not poison the whole micro-batch
-                if (!r.isNullAt(2)) format match {
-                  case j: JsonFormat =>
-                    out.write(r.getString(2).getBytes("UTF-8")); out.write(j.lineSeparator)
-                  case b: ByteArrayFormat =>
-                    out.write(r.getAs[Array[Byte]](2)); out.write(b.separator)
-                  case _: AvroFormat =>
-                    avro.append(AvroSupport.toGenericRecord(r.getStruct(2), structType, avroSchema))
-                  case _ => ()
-                }
-              }
-            } finally {
-              if (avro != null) avro.close() else if (out != null) out.close() else raw.close()
+            }
+          } finally {
+            if (avro != null) avro.close() else if (out != null) out.close() else raw.close()
+          }
+        }
+        // One FILE is the retry unit, like the reference's record buffer +
+        // retry.backoff.ms (TopicPartitionWriter.java:158-171): a file
+        // whose rows fit in RetryBufferRows is buffered and the whole
+        // write retries on IOException (overwrite-create makes a partial
+        // file from a failed attempt harmless). A larger file streams
+        // straight through WITHOUT the in-task retry — the single-pass
+        // iterator can't be replayed, and buffering it would regress the
+        // writer from O(1) to O(file) heap — so its failures escalate
+        // directly to Spark's task retry, where the deterministic names +
+        // overwrite-create replay the whole partition idempotently.
+        val it2 = it.buffered
+        while (it2.hasNext) {
+          val path = it2.head.getString(0)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+          while (it2.hasNext && it2.head.getString(0) == path && buf.size < RetryBufferRows)
+            buf += it2.next()
+          if (it2.hasNext && it2.head.getString(0) == path) {
+            // oversized file: buffered prefix + rest of the stream, one pass
+            val rest = new Iterator[Row] {
+              def hasNext: Boolean = it2.hasNext && it2.head.getString(0) == path
+              def next(): Row = it2.next()
+            }
+            writeOnce(path, buf.iterator ++ rest)
+          } else {
+            graft.core.Retry.withBackoff(writeMaxAttempts, retryBackoffMs) {
+              writeOnce(path, buf.iterator)
             }
           }
         }
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-        var current: String = null
-        it.foreach { r =>
-          val path = r.getString(0)
-          if (path != current && current != null) { writeFile(current, buf.toSeq); buf.clear() }
-          current = path
-          buf += r
-        }
-        if (current != null) writeFile(current, buf.toSeq)
       }
 
     // records = payload rows actually written (tombstones are skipped by
@@ -270,12 +287,23 @@ object OffsetNamedSink {
               require(parts.length == 1,
                 s"expected 1 part file per group, got ${parts.length} in ${d.getPath}")
               val target = new Path(new Path(baseDir, rel), fname)
+              val source = parts.head.getPath
               // D4: each rename is one object-store metadata RPC — retry
-              // transient failures with the same backoff as data writes
+              // transient failures with the same backoff as data writes.
+              // The body is IDEMPOTENT: if a prior attempt applied
+              // server-side before its response was lost (source gone,
+              // target present), it's recognized as success rather than
+              // deleting the just-committed target; and Hadoop rename
+              // signals failure by returning false, which must become an
+              // IOException or the retry (and the whole batch) would
+              // silently report success on a lost file.
               graft.core.Retry.withBackoff(cfg.writeMaxAttempts, cfg.retryBackoffMs) {
-                fs.mkdirs(target.getParent)
-                if (fs.exists(target)) fs.delete(target, false)
-                fs.rename(parts.head.getPath, target)
+                if (!(fs.exists(target) && !fs.exists(source))) {
+                  fs.mkdirs(target.getParent)
+                  if (fs.exists(target)) fs.delete(target, false)
+                  if (!fs.rename(source, target))
+                    throw new java.io.IOException(s"rename $source -> $target returned false")
+                }
               }
               ()
             }

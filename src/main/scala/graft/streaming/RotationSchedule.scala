@@ -47,35 +47,63 @@ object RotationSchedule {
 
   /** Handle for a running scheduled-rotation loop. */
   final class ScheduledRotation private[RotationSchedule] (
-      runCycle: () => Unit,
+      mkCycle: () => StreamingQuery,
       periodMs: Long,
       zone: ZoneId,
       clock: () => Long,
       sleeper: Long => Unit) {
     @volatile private var stopped = false
     @volatile private var cycleCount = 0L
+    @volatile private var failureCount = 0L
+    @volatile private var lastFailureV: Option[Throwable] = None
+    @volatile private var inFlight: StreamingQuery = null
     /** Completed drain cycles (boundaries fired) so far. */
     def cycles: Long = cycleCount
+    /** Cycles that raised (storage outage past D4's retries, …). */
+    def failures: Long = failureCount
+    def lastFailure: Option[Throwable] = lastFailureV
 
     private val thread = new Thread(() => {
       while (!stopped) {
         try {
           sleeper(delayMs(clock(), periodMs, zone))
           if (!stopped) {
-            runCycle()
+            val q = mkCycle()
+            inFlight = q
+            try q.awaitTermination()
+            finally inFlight = null
             cycleCount += 1
           }
         } catch {
           // stop() interrupts whichever phase is in flight (the sleep or a
           // draining cycle); swallow and let the loop condition exit
           case _: InterruptedException => ()
+          // A failed cycle (e.g. storage outage outlasting D4's in-task
+          // retries) must NOT kill the schedule: the reference pauses and
+          // retries at the next opportunity. Record it, keep the loop
+          // alive — the next boundary retries from the same checkpoint,
+          // so no data is skipped.
+          case scala.util.control.NonFatal(e) =>
+            failureCount += 1
+            lastFailureV = Some(e)
         }
       }
     }, "graft-scheduled-rotation")
     thread.setDaemon(true)
     thread.start()
 
-    def stop(): Unit = { stopped = true; thread.interrupt(); thread.join(10000) }
+    def stop(): Unit = {
+      stopped = true
+      // stop the in-flight drain too — interrupting awaitTermination
+      // alone would leave the query running unsupervised after stop()
+      val q = inFlight
+      if (q != null) {
+        try q.stop()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      thread.interrupt()
+      thread.join(10000)
+    }
     /** Block until at least `n` cycles have completed (test hook). */
     def awaitCycles(n: Long, timeoutMs: Long = 30000): Boolean = {
       val deadline = System.currentTimeMillis() + timeoutMs
@@ -94,6 +122,5 @@ object RotationSchedule {
       zone: ZoneId,
       clock: () => Long = () => System.currentTimeMillis(),
       sleeper: Long => Unit = Thread.sleep): ScheduledRotation =
-    new ScheduledRotation(
-      () => mkCycle().awaitTermination(), periodMs, zone, clock, sleeper)
+    new ScheduledRotation(mkCycle, periodMs, zone, clock, sleeper)
 }
