@@ -211,6 +211,28 @@ class SinkSpec extends SparkTestBase {
     assert(res.offsetsToCommit == Map(("rb", 0) -> 1200L, ("rb", 2) -> 300L))
   }
 
+  test("file larger than the retry buffer streams through intact (one pass)") {
+    // flushSize larger than RetryBufferRows forces the single-pass
+    // streaming branch (no in-task retry) for the oversized file; the
+    // follow-on file in the same partition must still write correctly.
+    val base = tmpDir()
+    val n = OffsetNamedSink.RetryBufferRows + 5000
+    val cfg = PipelineConfig(flushSize = OffsetNamedSink.RetryBufferRows + 2000)
+    val df = kafkaRecords("big", nParts = 1, perPart = n)
+    val res = OffsetNamedSink.writeBatch(
+      df, cfg, DefaultPartitioner, JsonFormat(), base.toString,
+      payload = to_json(struct(col("a"))))
+    val f0 = base.resolve(f"topics/big/partition=0/big+0+${0}%010d.json")
+    val f1 = base.resolve(
+      f"topics/big/partition=0/big+0+${cfg.flushSize}%010d.json")
+    assert(Files.readAllLines(f0).size == cfg.flushSize)
+    assert(Files.readAllLines(f1).size == n - cfg.flushSize)
+    // spot-check ordering survived the buffered-prefix + streamed-rest path
+    assert(Files.readAllLines(f0).get(OffsetNamedSink.RetryBufferRows)
+      == s"""{"a":${OffsetNamedSink.RetryBufferRows.toLong * 10}}""")
+    assert(res.offsetsToCommit == Map(("big", 0) -> n.toLong))
+  }
+
   test("parquet: spark-native write + deterministic rename, read-back") {
     val base = tmpDir()
     val cfg = PipelineConfig(flushSize = 400)

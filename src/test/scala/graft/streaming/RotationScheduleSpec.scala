@@ -66,6 +66,34 @@ class RotationScheduleSpec extends SparkTestBase {
       == nextMidnight.toInstant.toEpochMilli)
   }
 
+  test("a failing cycle is recorded and the schedule keeps running") {
+    // mkCycle throws twice (storage outage outlasting D4 retries), then
+    // succeeds: the loop must survive the failures and still count the
+    // eventual success.
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, Int, Long)]
+    stream.addData(("t", 0, 0L))
+    val rot = RotationSchedule.schedule(
+      () => {
+        if (attempts.incrementAndGet() <= 2)
+          throw new java.io.IOException("storage outage")
+        stream.toDF().writeStream
+          .format("noop")
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-failck").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      },
+      periodMs = 30, zone = shanghai)
+    try {
+      assert(rot.awaitCycles(1), "schedule died instead of surviving failed cycles")
+      assert(rot.failures >= 2)
+      assert(rot.lastFailure.exists(_.getMessage == "storage outage"))
+    } finally rot.stop()
+  }
+
   test("scheduled drains: each aligned boundary runs one AvailableNow cycle") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
