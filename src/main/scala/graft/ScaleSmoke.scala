@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-sensitivity harness: materializes an N× corpus (doc_id-shifted,
+  * per-copy-perturbed so near-dup results stay meaningful) as a
+  * MULTI-FILE parquet directory — exercising the many-input-splits path
+  * the production corpus has — then times the document-centric operators
+  * on it. The point is the SHAPE of the curve, not the absolute numbers:
+  * candidate-join operators whose runtime grows super-linearly in corpus
+  * size would fail the 100 TB design goal long before any cluster did.
+  *
+  *   sbt "runMain graft.ScaleSmoke 10 /root/testdata/sf0.1"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = s"/tmp/graft-scale-${mult}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val copies = spark.range(mult).select(col("id").as("__copy"))
+    docs.crossJoin(copies)
+      .select(
+        (col("doc_id") + col("__copy") * nDocs).as("doc_id"),
+        // per-copy leading token: copies are near-dups of each other, not
+        // byte-identical — keeps candidate pair counts realistic
+        concat(lit("c"), col("__copy"), lit(" "), col("text")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + 3).as("n_chars"))
+      .repartition(16) // multi-file output = multi-split scans downstream
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nEmb = emb.count()
+    emb.crossJoin(copies)
+      .select((col("vec_id") + col("__copy") * nEmb).as("vec_id"), col("embedding"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val names = Seq(
+      "q21_dedup_exact" -> false, // needs events — skip
+      "q27_ngram_jaccard" -> true,
+      "q30_dedup_minhash_lsh" -> true,
+      "q31_dedup_simhash" -> true,
+      "q55_tfidf" -> true,
+      "q56_repetition" -> true,
+      "q57_winnowing_overlap" -> true,
+      "q29_embedding_topk" -> true,
+      "q32_embedding_lsh_neardup" -> true,
+      "q38_embedding_ivf_topk" -> true)
+    println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
+    names.filter(_._2).foreach { case (n, _) =>
+      val q = QueryRegistry.byName(n)
+      val t0 = System.nanoTime()
+      val rows = q.run(spark, out).queryExecution.toRdd.count()
+      println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$rows")
+    }
+    spark.stop()
+  }
+}
