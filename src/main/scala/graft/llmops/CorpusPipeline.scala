@@ -160,5 +160,77 @@ object CorpusPipeline {
             FROM idx ORDER BY doc_id, chunk_idx""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48)
+  // ------------------------------------------------------ decontamination
+  /** q58: benchmark decontamination — find corpus documents that share
+    * any 8-gram with a held-out evaluation set (here: doc_id < 10 plays
+    * the eval set; in production it's the benchmark suite). The standard
+    * train/test-overlap pass every serious pretraining pipeline runs.
+    *
+    * Scale shape: the eval side is SMALL by definition → its distinct
+    * 8-gram set broadcasts; the corpus side streams through one
+    * broadcast-hash semi-ish join keyed on the gram — no shuffle of the
+    * corpus at all, no candidate blowup (the join output is bounded by
+    * corpus-grams-that-hit, aggregated per doc). Exactly oracle-able.
+    */
+  val q58 = QuerySpec(
+    "q58_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalGrams = Dedup.shingles(docs.filter(col("doc_id") < 10), 8)
+        .select("shingle").distinct()
+      Dedup.shingles(docs.filter(col("doc_id") >= 10), 8)
+        .join(broadcast(evalGrams), "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 8),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 6),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                      || '_' || ts[i+4] || '_' || ts[i+5] || '_' || ts[i+6] || '_' || ts[i+7])) AS g
+                FROM toks)),
+            eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+            SELECT doc_id, COUNT(*) AS n_shared_8grams
+            FROM grams JOIN eval_grams USING (g)
+            WHERE doc_id >= 10
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------- stratified sample
+  /** q59: per-language stratified sample — 20% of each language stratum,
+    * membership decided by content-addressed hash rank within the
+    * stratum (not engine RNG): reproducible across engines, runs, and
+    * re-partitionings, and every stratum is represented proportionally —
+    * the balanced-multilingual-sampling pass. One window shuffle on the
+    * stratum key.
+    */
+  val q59 = QuerySpec(
+    "q59_stratified_sample",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byLang = Window.partitionBy("lang")
+      val w = byLang.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .filter(col("rn") <= ceil(col("n") * 0.2))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+    Some("""SELECT lang, doc_id FROM (
+              SELECT lang, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            WHERE rn <= CEIL(n * 0.2)
+            ORDER BY lang, doc_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59)
 }
