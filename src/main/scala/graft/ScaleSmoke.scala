@@ -18,16 +18,7 @@ object ScaleSmoke {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val out = s"/tmp/graft-scale-${mult}x"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession()
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
@@ -50,19 +41,13 @@ object ScaleSmoke {
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // the document/embedding-only subset (the rest need the TPC-H tables)
     val names = Seq(
-      "q21_dedup_exact" -> false, // needs events — skip
-      "q27_ngram_jaccard" -> true,
-      "q30_dedup_minhash_lsh" -> true,
-      "q31_dedup_simhash" -> true,
-      "q55_tfidf" -> true,
-      "q56_repetition" -> true,
-      "q57_winnowing_overlap" -> true,
-      "q29_embedding_topk" -> true,
-      "q32_embedding_lsh_neardup" -> true,
-      "q38_embedding_ivf_topk" -> true)
+      "q27_ngram_jaccard", "q30_dedup_minhash_lsh", "q31_dedup_simhash",
+      "q55_tfidf", "q56_repetition", "q57_winnowing_overlap",
+      "q29_embedding_topk", "q32_embedding_lsh_neardup", "q38_embedding_ivf_topk")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
-    names.filter(_._2).foreach { case (n, _) =>
+    names.foreach { n =>
       val q = QueryRegistry.byName(n)
       val t0 = System.nanoTime()
       val rows = q.run(spark, out).queryExecution.toRdd.count()

@@ -19,8 +19,7 @@ object Retry {
       n += 1
       try return body
       catch {
-        case e: java.io.IOException if n < attempts =>
-          sleeper(backoffMs)
+        case _: java.io.IOException if n < attempts => sleeper(backoffMs)
       }
     }
     throw new IllegalStateException("unreachable")

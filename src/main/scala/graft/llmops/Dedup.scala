@@ -164,8 +164,7 @@ object Dedup {
   val q27 = QuerySpec(
     "q27_ngram_jaccard",
     (s, d) => {
-      val bg = graft.operators.Ops
-        .capKeyFreq(shingles(Tables.documents(s, d), 3), MaxShingleDocFreq, col("shingle"))
+      val bg = capKeyFreq(shingles(Tables.documents(s, d), 3), MaxShingleDocFreq, col("shingle"))
         .localCheckpoint()
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
       val inter = bg.as("a")
@@ -252,8 +251,7 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
       )))
       .toDF("doc_id", "band_idx", "band_hash")
-    val capped = graft.operators.Ops
-      .capKeyFreq(bands, maxBucket, col("band_idx"), col("band_hash"))
+    val capped = capKeyFreq(bands, maxBucket, col("band_idx"), col("band_hash"))
     val cand = capped.as("x")
       .join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -4,7 +4,7 @@ import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.operators.Ops.{asciiLower, asciiLowerSql}
+import graft.operators.Ops.{asciiLower, asciiLowerSql, capKeyFreq, fanOut, ffloor}
 
 /** Text-analysis operators over the `documents` table: tokenization +
   * top-k token counts, quality scoring, language-ID heuristic, and
@@ -49,7 +49,6 @@ object TextAnalysis {
   val q25 = QuerySpec(
     "q25_text_quality",
     (s, d) => {
-      import graft.operators.Ops.ffloor
       val ts = split(asciiLower(col("text")), " ")
       val nTok = size(ts)
       val stopRatio = ffloor(
@@ -164,6 +163,15 @@ object TextAnalysis {
       .agg(min("h").as("fingerprint"))
       .select("doc_id", "fingerprint")
 
+  /** (doc_id, term, tf): the term-frequency table q55 and q56 both start
+    * from — one fanned-out tokenize pass + one (doc, term) aggregate.
+    */
+  private def termFreq(docs: DataFrame): DataFrame =
+    fanOut(docs)
+      .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
   // ---------------------------------------------------------------- q55
   /** TF-IDF: top-3 scoring terms per document. The canonical three-shuffle
     * plan: (doc, term) tf aggregate → per-term document frequency (small:
@@ -175,13 +183,9 @@ object TextAnalysis {
   val q55 = QuerySpec(
     "q55_tfidf",
     (s, d) => {
-      import graft.operators.Ops.ffloor
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val toks = graft.operators.Ops.fanOut(docs)
-        .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
-        .filter(col("term") =!= "")
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tf = termFreq(docs)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val score = ffloor(
@@ -227,13 +231,8 @@ object TextAnalysis {
     */
   val q56 = QuerySpec(
     "q56_repetition",
-    (s, d) => {
-      import graft.operators.Ops.ffloor
-      val tf = graft.operators.Ops.fanOut(Tables.documents(s, d))
-        .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      tf.groupBy("doc_id")
+    (s, d) =>
+      termFreq(Tables.documents(s, d)).groupBy("doc_id")
         .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_distinct"),
           max("tf").as("max_tf"))
         .select(
@@ -242,8 +241,7 @@ object TextAnalysis {
             .as("dup_ratio"),
           ffloor(col("max_tf").cast("double") / col("n_tokens"), 4)
             .as("top_token_share"))
-        .orderBy("doc_id")
-    },
+        .orderBy("doc_id"),
     Some(s"""WITH tf AS (
               SELECT doc_id, term, COUNT(*) AS tf FROM (
                 SELECT doc_id, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
