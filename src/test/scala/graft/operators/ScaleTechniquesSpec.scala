@@ -47,6 +47,29 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("fanOut widens single-file scans, passes multi-file scans through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fanout")
+    spark.range(1000).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/one")
+    spark.range(1000).repartition(8).write.mode("overwrite")
+      .parquet(s"$dir/many")
+    val one = spark.read.parquet(s"$dir/one")
+    val many = spark.read.parquet(s"$dir/many")
+    val width = spark.sessionState.conf.numShufflePartitions
+    assert(Ops.fanOut(one).rdd.getNumPartitions == width)
+    // >= width files: passthrough, no repartition node added
+    assert(Ops.fanOut(many) eq many)
+  }
+
+  test("capKeyFreq drops rows of keys above the frequency cap") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("hot") ++ Seq("a", "a", "b")).toDF("k")
+    val capped = Ops.capKeyFreq(df, maxFreq = 10, col("k"))
+      .groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -59,8 +82,10 @@ class ScaleTechniquesSpec extends SparkTestBase {
       spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("y"))
         .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_b2")
       val joined = spark.table("graft_b1").join(spark.table("graft_b2"), "k")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"), plan) // co-located: no shuffle at all
+      // AQE-aware walk, not a plan-string grep (AdaptiveSparkPlanExec hides
+      // its subtree from treeString-based checks in some phases)
+      assert(Bucketing.exchangeCount(joined) == 0,
+        joined.queryExecution.executedPlan.toString)
       assert(joined.count() == 1000)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
