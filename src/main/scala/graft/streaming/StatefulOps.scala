@@ -19,6 +19,85 @@ object StatefulOps {
   case class KeyedEvent(user_id: Long, event_id: Long, tsMillis: Long, value: Double)
   case class Champion(event_id: Long, tsMillis: Long, value: Double)
 
+  // --------------------------------------------------- streaming near-dup
+  /** A sketched document entering the stream: doc_id + its MinHash
+    * signature (64 longs, from [[graft.functions.MinHashSketchAgg]] or
+    * [[graft.llmops.Dedup.minhashSignatures]] run inside the batch/
+    * foreachBatch that feeds this operator).
+    */
+  case class SketchedDoc(doc_id: Long, sig: Seq[Long])
+  /** An online near-dup hit: the arriving doc vs an earlier one. */
+  case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double)
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** Streaming incremental near-dup detection — the online form of q30:
+    * as each sketched document arrives, report any earlier document whose
+    * signature agrees on ≥ `minSim` of the hash positions. Candidates
+    * come from LSH band buckets exactly like the batch path: the stream
+    * is exploded to (band, bandHash) keys, and per bucket a bounded set
+    * of recent signatures is kept in `flatMapGroupsWithState` state.
+    *
+    * State bounds (the 100 TB-of-stream concerns): per bucket at most
+    * `maxBucket` signatures are retained FIFO (same hot-bucket cap as the
+    * batch path — a stop-boilerplate bucket can't grow without bound),
+    * and an optional processing-time TTL evicts cold buckets entirely.
+    * A pair colliding in several bands is emitted once per colliding
+    * band — dedupe downstream if exact-once pairs matter (a batch
+    * `dropDuplicates` per sink epoch; the stream itself must not hold
+    * global pair state).
+    */
+  def streamingNearDup(
+      docs: Dataset[SketchedDoc],
+      minSim: Double,
+      maxBucket: Int = 1000,
+      ttlMillis: Long = -1L): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.llmops.Dedup.{NumBands, NumHashes}
+    val rowsPerBand = NumHashes / NumBands
+    docs
+      .flatMap { d =>
+        (0 until NumBands).map { b =>
+          val bandHash = d.sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+            .mkString(",").hashCode.toLong
+          (b.toLong * Int.MaxValue + bandHash, d.doc_id, d.sig)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append,
+        if (ttlMillis > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[(Long, Long, Seq[Long])], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BucketState(Nil, Nil))
+            val hits = Seq.newBuilder[NearDupHit]
+            batch.foreach { case (_, id, sig) =>
+              if (!st.ids.contains(id)) {
+                var i = 0
+                while (i < st.ids.length) {
+                  val other = st.sigs(i)
+                  var agree = 0
+                  var k = 0
+                  while (k < NumHashes) { if (other(k) == sig(k)) agree += 1; k += 1 }
+                  val est = agree.toDouble / NumHashes
+                  if (est >= minSim) hits += NearDupHit(id, st.ids(i), est)
+                  i += 1
+                }
+                // FIFO cap: evict the oldest signature past maxBucket
+                val (ids2, sigs2) =
+                  if (st.ids.length >= maxBucket) (st.ids.tail :+ id, st.sigs.tail :+ sig)
+                  else (st.ids :+ id, st.sigs :+ sig)
+                st = BucketState(ids2, sigs2)
+              }
+            }
+            state.update(st)
+            if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)
+            hits.result().iterator
+          }
+      }
+  }
+
   def latestWins(
       events: Dataset[KeyedEvent],
       ttlMillis: Long = -1L): Dataset[(Long, Champion)] = {

@@ -34,4 +34,35 @@ class StatefulOpsSpec extends SparkTestBase {
       assert(rows == List((1L, 101L), (1L, 103L), (2L, 200L)))
     } finally q.stop()
   }
+
+  test("streamingNearDup flags near-identical arrivals against earlier docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 64).map(i => (i * 131L) % 1009L)
+    val nearDup = base.updated(0, 999999L) // 63/64 positions agree
+    val distinct = (1 to 64).map(i => 500000L + i)
+    val stream = MemoryStream[SketchedDoc]
+    val q = streamingNearDup(stream.toDS(), minSim = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("near_dup")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      stream.addData(SketchedDoc(1L, base))
+      q.processAllAvailable()
+      assert(spark.table("near_dup").count() == 0) // nothing earlier to match
+      // batch 2: a near-dup of doc 1 and an unrelated doc
+      stream.addData(SketchedDoc(2L, nearDup), SketchedDoc(3L, distinct))
+      q.processAllAvailable()
+      val hits = spark.table("near_dup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // one logical hit (possibly reported from several colliding bands —
+      // the Set dedupes), correct direction, correct estimate
+      assert(hits == Set((2L, 1L, 63.0 / 64)))
+      // batch 3: replay of doc 2 must not match itself
+      stream.addData(SketchedDoc(2L, nearDup))
+      q.processAllAvailable()
+      assert(spark.table("near_dup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 1L)))
+    } finally q.stop()
+  }
 }
