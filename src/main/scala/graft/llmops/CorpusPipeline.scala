@@ -232,5 +232,44 @@ object CorpusPipeline {
             ORDER BY lang, doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59)
+  // ------------------------------------------------------- data mixture
+  /** q60: domain-mixture sampling — resample the corpus with a target
+    * rate per `source` domain (oversampled domains keep everything,
+    * down-weighted domains keep a hash-ranked fraction): the pretraining
+    * data-mixing pass ("2 epochs of wiki, 0.2 of crawl"). Membership is
+    * content-addressed hash rank within the domain — deterministic across
+    * engines/layouts, like q47/q59 — and the whole selection is one
+    * window shuffle on the domain key. Output: per-domain totals.
+    */
+  val q60 = QuerySpec(
+    "q60_data_mixture",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rate = when(col("source").isin("src0", "src1", "src2", "src3"), 1.0)
+        .when(col("source").isin("src4", "src5", "src6", "src7"), 0.5)
+        .otherwise(0.2)
+      val bySource = Window.partitionBy("source")
+      val w = bySource.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(bySource))
+        .filter(col("rn") <= ceil(col("n") * rate))
+        .groupBy("source")
+        .agg(max(col("n")).as("n_total"), count(lit(1)).as("n_sampled"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, MAX(n) AS n_total, COUNT(*) AS n_sampled FROM (
+              SELECT source, doc_id,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY source) AS n,
+                CASE WHEN source IN ('src0','src1','src2','src3') THEN 1.0
+                     WHEN source IN ('src4','src5','src6','src7') THEN 0.5
+                     ELSE 0.2 END AS rate
+              FROM documents)
+            WHERE rn <= CEIL(n * rate)
+            GROUP BY source ORDER BY source""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60)
 }
