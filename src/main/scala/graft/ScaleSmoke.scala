@@ -30,7 +30,9 @@ object ScaleSmoke {
         // byte-identical — keeps candidate pair counts realistic
         concat(lit("c"), col("__copy"), lit(" "), col("text")).as("text"),
         col("lang"), col("source"),
-        (col("n_chars") + 3).as("n_chars"))
+        // length of the actual prefix, not a constant: "c10 " is 4 chars
+        (col("n_chars") + length(concat(lit("c"), col("__copy"), lit(" "))))
+          .as("n_chars"))
       .repartition(16) // multi-file output = multi-split scans downstream
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 

@@ -58,8 +58,11 @@ object StatefulOps {
       .flatMap { d =>
         (0 until NumBands).map { b =>
           val bandHash = d.sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-            .mkString(",").hashCode.toLong
-          (b.toLong * Int.MaxValue + bandHash, d.doc_id, d.sig)
+            .mkString(",").hashCode
+          // band in the high 32 bits, hash in the low 32: distinct bands
+          // can NEVER share a bucket key (a multiplier smaller than the
+          // 2^32 hash range would alias adjacent bands' buckets)
+          ((b.toLong << 32) | (bandHash.toLong & 0xffffffffL), d.doc_id, d.sig)
         }
       }
       .groupByKey(_._1)
@@ -73,23 +76,32 @@ object StatefulOps {
             var st = state.getOption.getOrElse(BucketState(Nil, Nil))
             val hits = Seq.newBuilder[NearDupHit]
             batch.foreach { case (_, id, sig) =>
-              if (!st.ids.contains(id)) {
+              // a re-arriving doc REPLACES its stored signature (a revised
+              // document must not keep matching by its old sketch), is not
+              // compared against itself, and only a genuinely new version
+              // reports hits
+              val prevIdx = st.ids.indexOf(id)
+              val changed = prevIdx < 0 || st.sigs(prevIdx) != sig
+              val (ids0, sigs0) =
+                if (prevIdx < 0) (st.ids, st.sigs)
+                else (st.ids.patch(prevIdx, Nil, 1), st.sigs.patch(prevIdx, Nil, 1))
+              if (changed) {
                 var i = 0
-                while (i < st.ids.length) {
-                  val other = st.sigs(i)
+                while (i < ids0.length) {
+                  val other = sigs0(i)
                   var agree = 0
                   var k = 0
                   while (k < NumHashes) { if (other(k) == sig(k)) agree += 1; k += 1 }
                   val est = agree.toDouble / NumHashes
-                  if (est >= minSim) hits += NearDupHit(id, st.ids(i), est)
+                  if (est >= minSim) hits += NearDupHit(id, ids0(i), est)
                   i += 1
                 }
-                // FIFO cap: evict the oldest signature past maxBucket
-                val (ids2, sigs2) =
-                  if (st.ids.length >= maxBucket) (st.ids.tail :+ id, st.sigs.tail :+ sig)
-                  else (st.ids :+ id, st.sigs :+ sig)
-                st = BucketState(ids2, sigs2)
               }
+              // FIFO cap: evict the oldest signature past maxBucket
+              val (ids2, sigs2) =
+                if (ids0.length >= maxBucket) (ids0.tail :+ id, sigs0.tail :+ sig)
+                else (ids0 :+ id, sigs0 :+ sig)
+              st = BucketState(ids2, sigs2)
             }
             state.update(st)
             if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)

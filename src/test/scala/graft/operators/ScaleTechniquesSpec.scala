@@ -70,27 +70,6 @@ class ScaleTechniquesSpec extends SparkTestBase {
     assert(capped == Map("a" -> 2L, "b" -> 1L))
   }
 
-  test("bucketed tables join without a shuffle exchange") {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      import spark.implicits._
-      spark.sql("DROP TABLE IF EXISTS graft_b1")
-      spark.sql("DROP TABLE IF EXISTS graft_b2")
-      spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("x"))
-        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_b1")
-      spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("y"))
-        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_b2")
-      val joined = spark.table("graft_b1").join(spark.table("graft_b2"), "k")
-      // AQE-aware walk, not a plan-string grep (AdaptiveSparkPlanExec hides
-      // its subtree from treeString-based checks in some phases)
-      assert(Bucketing.exchangeCount(joined) == 0,
-        joined.queryExecution.executedPlan.toString)
-      assert(joined.count() == 1000)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.sql("DROP TABLE IF EXISTS graft_b1")
-      spark.sql("DROP TABLE IF EXISTS graft_b2")
-    }
-  }
+  // Bucketed co-located joins (zero-exchange assertion + plain-join
+  // contrast) live in BucketingSpec against the real testdata tables.
 }

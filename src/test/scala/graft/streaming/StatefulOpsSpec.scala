@@ -63,6 +63,13 @@ class StatefulOpsSpec extends SparkTestBase {
       q.processAllAvailable()
       assert(spark.table("near_dup").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 1L)))
+      // batch 4: doc 3 is REVISED to be a near-dup of doc 1 — the new
+      // signature replaces the stored one and the revision reports hits
+      stream.addData(SketchedDoc(3L, base.updated(1, 888888L)))
+      q.processAllAvailable()
+      val revised = spark.table("near_dup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(revised.contains((3L, 1L)) && revised.contains((3L, 2L)), revised)
     } finally q.stop()
   }
 }
