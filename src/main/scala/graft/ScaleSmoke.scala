@@ -48,6 +48,7 @@ object ScaleSmoke {
       "q27_ngram_jaccard", "q30_dedup_minhash_lsh", "q31_dedup_simhash",
       "q55_tfidf", "q56_repetition", "q57_winnowing_overlap",
       "q58_decontamination", "q59_stratified_sample", "q60_data_mixture",
+      "q61_stratified_sample_fast", "q62_data_mixture_fast",
       "q29_embedding_topk", "q32_embedding_lsh_neardup", "q38_embedding_ivf_topk")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>

@@ -1,0 +1,48 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The ONE materialization point for intermediate tables that feed multiple
+  * plan consumers (both sides of a candidate self-join, a sketch table read
+  * three times). Every near-dup operator calls [[Materialize.apply]] instead
+  * of hard-coding `localCheckpoint()` so the strategy is a deployment choice,
+  * not a code change.
+  *
+  * Failure-tolerance contract (set `spark.graft.materialize.mode`):
+  *
+  *   - `local` (default): `localCheckpoint()` — eager, truncates lineage,
+  *     blocks are scoped to the query plan and reclaimed by the
+  *     ContextCleaner (no global CacheManager entry to `clearCache()`).
+  *     NOT failure-tolerant: local checkpoint blocks live only on their
+  *     executor, so on a multi-node cluster a lost executor FAILS the query
+  *     (lineage is gone — Spark cannot recompute). Correct for local[n] and
+  *     for clusters where re-running a failed job beats paying replication.
+  *   - `reliable`: `checkpoint()` — eager write to the reliable checkpoint
+  *     directory (`SparkContext.setCheckpointDir`, typically HDFS/object
+  *     store). Survives executor AND node loss; the right mode for a
+  *     multi-hour 100 TB dedup job where one lost node must not kill the
+  *     run. Costs one distributed write + read of the sketch table.
+  *   - `persist`: `persist(MEMORY_AND_DISK_2)` — lazy, 2× replicated
+  *     blocks; survives single-executor loss (the replica serves reads and
+  *     recompute-from-lineage covers double loss). Middle ground: no
+  *     checkpoint-dir round trip, but entries pin the CacheManager until
+  *     the session drops them.
+  *
+  * All three modes compute the materialized table EXACTLY once — the
+  * property the call sites actually require (q27's capped shingle set feeds
+  * three consumers; recomputing a MinHash sketch per consumer doubles the
+  * dominant aggregation).
+  */
+object Materialize {
+  val ModeKey = "spark.graft.materialize.mode"
+
+  def apply(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ModeKey, "local") match {
+      case "local"    => df.localCheckpoint()
+      case "reliable" => df.checkpoint()
+      case "persist"  => df.persist(StorageLevel.MEMORY_AND_DISK_2)
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be local|reliable|persist, got '$other'")
+    }
+}

@@ -208,6 +208,12 @@ object CorpusPipeline {
     * re-partitionings, and every stratum is represented proportionally —
     * the balanced-multilingual-sampling pass. One window shuffle on the
     * stratum key.
+    *
+    * SCALE PAIRING: this rank-window form is the EXACT/oracle twin; the
+    * `partitionBy(lang)` window puts a whole stratum in one task, which at
+    * 100 TB is a multi-TB single-task sort. The production path is q61
+    * ([[q61]] — per-row hash-threshold, no window), exactly as q27(exact)
+    * pairs with q30(sketch).
     */
   val q59 = QuerySpec(
     "q59_stratified_sample",
@@ -240,6 +246,10 @@ object CorpusPipeline {
     * content-addressed hash rank within the domain — deterministic across
     * engines/layouts, like q47/q59 — and the whole selection is one
     * window shuffle on the domain key. Output: per-domain totals.
+    *
+    * SCALE PAIRING: exact/oracle twin of [[q62]] (per-row hash-threshold —
+    * the 100 TB path); see q59's note for why the rank window cannot be
+    * the production plan.
     */
   val q60 = QuerySpec(
     "q60_data_mixture",
@@ -271,5 +281,118 @@ object CorpusPipeline {
             GROUP BY source ORDER BY source""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60)
+  // ------------------------------------------- hash-threshold sampling
+  /** The 8-hex-digit md5 prefix of an id column — a uniform hash in
+    * [0, 2^32) that BOTH engines compute identically (md5 is md5; fixed-
+    * length lowercase hex compares lexicographically = numerically). The
+    * per-row membership primitive behind q61/q62: `hashFrac(id) < cutoff`
+    * needs no window, no sort, no per-stratum state — the selection that
+    * survives a 100 TB stratum where q59/q60's rank window (their exact
+    * oracle twin) would be a single-task multi-TB sort.
+    */
+  def hashFrac(id: Column): Column = substring(md5(id.cast("string")), 1, 8)
+
+  /** Hex cutoff for an expected sampling rate: floor(rate·2^32) as 8-digit
+    * hex. rate ≥ 1.0 → "g", which sorts after every hex digit → keep-all.
+    */
+  def rateCutoffHex(rate: Double): String =
+    if (rate >= 1.0) "g" else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+
+  /** q61: scale-safe stratified sample — the hash-threshold twin of q59
+    * (same pairing as q27 exact / q30 sketch). Membership is a pure
+    * per-row predicate `hashFrac(doc_id) < cutoff(rate)`: deterministic
+    * across engines/runs/layouts like q59's hash-rank, but with NO
+    * per-stratum rank window — at 100 TB each stratum samples itself in
+    * place, embarrassingly parallel, zero shuffle before the output agg.
+    * The trade: the realized count is binomial around rate·n instead of
+    * exactly ceil(rate·n); when the target must be hit closely, calibrate
+    * the cutoff per stratum from a count/quantile sketch
+    * ([[calibratedHashSample]]) — still no sort.
+    */
+  val q61 = QuerySpec(
+    "q61_stratified_sample_fast",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(hashFrac(col("doc_id")) < rateCutoffHex(0.2))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id"),
+    Some("""SELECT lang, doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+            ORDER BY lang, doc_id""")
+  )
+
+  /** q62: scale-safe domain-mixture sampling — the hash-threshold twin of
+    * q60. Per-source rates become per-row cutoffs (a CASE over the domain
+    * config — in production a broadcast-joined config table); totals and
+    * sampled counts come from ONE aggregate over the narrow scan
+    * (`count(when(member))`), so the whole query is scan → tiny agg: no
+    * window, no join, no second pass. 100 TB shape: perfect.
+    */
+  val q62 = QuerySpec(
+    "q62_data_mixture_fast",
+    (s, d) => {
+      val cutoff = when(col("source").isin("src0", "src1", "src2", "src3"),
+          rateCutoffHex(1.0))
+        .when(col("source").isin("src4", "src5", "src6", "src7"),
+          rateCutoffHex(0.5))
+        .otherwise(rateCutoffHex(0.2))
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(hashFrac(col("doc_id")) < cutoff, 1)).as("n_sampled"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_total,
+              COUNT(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                CASE WHEN source IN ('src0','src1','src2','src3') THEN 'g'
+                     WHEN source IN ('src4','src5','src6','src7') THEN '80000000'
+                     ELSE '33333333' END
+                THEN 1 END) AS n_sampled
+            FROM documents GROUP BY source ORDER BY source""")
+  )
+
+  /** Count-calibrated hash-threshold sampling — the production form when
+    * the realized per-stratum count must hit ceil(rate·n) closely, not
+    * just in expectation. Per stratum the cutoff is the rate-quantile of
+    * the id-hash distribution, estimated with `percentile_approx` — a
+    * fixed-size MERGEABLE sketch aggregate (map-side partials, one tiny
+    * shuffle of sketches, k·|rates| sketch buffers total), NOT a
+    * per-stratum sort. The cutoffs (one row per stratum) broadcast back
+    * and the selection stays a narrow per-row filter. Membership remains
+    * content-addressed: which rows pass depends only on their ids and the
+    * sketch — not on partitioning.
+    *
+    * `rates` maps stratum value → target rate; unlisted strata use
+    * `defaultRate`. percentile_approx needs a foldable percentage, so one
+    * sketch column is computed per DISTINCT rate (few by construction —
+    * mixtures have a handful of domain weights) and each stratum picks
+    * the column matching its rate.
+    */
+  def calibratedHashSample(docs: DataFrame, strataCol: String,
+                           rates: Map[String, Double], defaultRate: Double,
+                           idCol: String = "doc_id",
+                           accuracy: Int = 10000): DataFrame = {
+    val h = conv(hashFrac(col(idCol)), 16, 10).cast("long")
+    val distinctRates = (rates.values.toSet + defaultRate).toSeq.sorted
+    val sketches = distinctRates.zipWithIndex.map { case (r, i) =>
+      percentile_approx(col("__h"), lit(r), lit(accuracy)).as(s"__c$i")
+    }
+    val rateOf = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, r).otherwise(acc)
+    }
+    val pickCutoff = distinctRates.zipWithIndex.tail
+      .foldLeft(col(s"__c0")) { case (acc, (r, i)) =>
+        when(col("__rate") === r, col(s"__c$i")).otherwise(acc)
+      }
+    val cutoffs = docs.select(col(strataCol), h.as("__h"))
+      .groupBy(strataCol)
+      .agg(sketches.head, sketches.tail: _*)
+      .withColumn("__rate", rateOf)
+      .select(col(strataCol), pickCutoff.as("__cutoff"))
+    docs.join(broadcast(cutoffs), strataCol)
+      .filter(h <= col("__cutoff"))
+      .drop("__cutoff")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62)
 }

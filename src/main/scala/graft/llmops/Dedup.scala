@@ -156,16 +156,15 @@ object Dedup {
     * shuffle key — shingle — is the same as the join key, so the cap rides
     * the partitioning the join needs anyway). The capped shingle set is
     * consumed three times (both join sides + the size agg), so it is
-    * materialized ONCE via an eager localCheckpoint — scoped to this query
-    * plan and reclaimed by the ContextCleaner when the plan is dropped,
-    * unlike `persist`, whose CacheManager entry pins it until an explicit
-    * global `clearCache()`.
+    * materialized ONCE via [[graft.core.Materialize]] (localCheckpoint
+    * locally; reliable checkpoint / replicated persist under cluster
+    * config — see that object for the failure-tolerance contract).
     */
   val q27 = QuerySpec(
     "q27_ngram_jaccard",
     (s, d) => {
-      val bg = capKeyFreq(shingles(Tables.documents(s, d), 3), MaxShingleDocFreq, col("shingle"))
-        .localCheckpoint()
+      val bg = graft.core.Materialize(
+        capKeyFreq(shingles(Tables.documents(s, d), 3), MaxShingleDocFreq, col("shingle")))
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
       val inter = bg.as("a")
         .join(bg.as("b"),
@@ -272,14 +271,14 @@ object Dedup {
   /** q30: MinHash-LSH near-dup pairs on documents. Deterministic (fixed
     * seed 42) but hash-based → rows-only driver check, no SQL oracle.
     * Signatures feed the band explode AND both sides of the estimate join;
-    * the eager localCheckpoint computes the 64-min aggregation exactly once
-    * and is scope-cleaned by the ContextCleaner (see q27 — no global
-    * CacheManager entry, no `clearCache` side effect on other consumers).
+    * the eager [[graft.core.Materialize]] computes the 64-min aggregation
+    * exactly once (localCheckpoint locally; see Materialize for the
+    * cluster-mode failure-tolerance contract).
     */
   val q30 = QuerySpec(
     "q30_dedup_minhash_lsh",
     (s, d) => minhashPairs(
-      minhashSignatures(Tables.documents(s, d), k = 3).localCheckpoint(),
+      graft.core.Materialize(minhashSignatures(Tables.documents(s, d), k = 3)),
       minSim = 0.3),
     None
   )
@@ -337,14 +336,14 @@ object Dedup {
 
   /** q31: SimHash near-dup pairs (rows-only check — hash-based). The
     * sketch table feeds BOTH sides of the chunk-collision self-join;
-    * without the eager localCheckpoint the whole tokenize+sketch pipeline
+    * without the eager materialization the whole tokenize+sketch pipeline
     * executes twice (visible as two full ObjectHashAggregate branches in
     * the plan).
     */
   val q31 = QuerySpec(
     "q31_dedup_simhash",
     (s, d) => simhashPairs(
-      simhash(Tables.documents(s, d)).localCheckpoint(), maxHamming = 6),
+      graft.core.Materialize(simhash(Tables.documents(s, d))), maxHamming = 6),
     None
   )
 

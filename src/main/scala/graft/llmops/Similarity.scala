@@ -158,10 +158,10 @@ object Similarity {
     * is sum of per-bucket squares, controlled by nBits.
     */
   def lshNearDupPairs(vectors: DataFrame, minCos: Double, nBits: Int = 12): DataFrame = {
-    // eager localCheckpoint: the bucket table feeds both self-join sides;
-    // without it the mapPartitions signature pass runs twice (see q27/q30
-    // for the scoping rationale vs persist + global clearCache)
-    val b = lshBuckets(vectors, nBits).localCheckpoint()
+    // eager materialization: the bucket table feeds both self-join sides;
+    // without it the mapPartitions signature pass runs twice (Materialize
+    // holds the local-vs-cluster failure-tolerance contract)
+    val b = graft.core.Materialize(lshBuckets(vectors, nBits))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),

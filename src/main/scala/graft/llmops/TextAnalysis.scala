@@ -272,10 +272,9 @@ object TextAnalysis {
                             minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
     // distinct: a fingerprint repeating across several blocks of ONE doc
     // must count once, or shared_blocks double-counts block pairings
-    val fp = graft.operators.Ops
+    val fp = graft.core.Materialize(graft.operators.Ops
       .capKeyFreq(rollingFingerprints(docs, window, blockSize).distinct(),
-        maxDocFreq, col("fingerprint"))
-      .localCheckpoint()
+        maxDocFreq, col("fingerprint")))
     fp.as("x").join(fp.as("y"),
         col("x.fingerprint") === col("y.fingerprint") &&
           col("x.doc_id") < col("y.doc_id"))
