@@ -9,12 +9,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * `BinaryType` columns with a typed metadata struct, exactly as a 100 TB
   * training-data lake stores them (parquet binary + sidecar metadata).
   *
-  * The decode/feature-extract step is STUBBED (this container has no
-  * image/audio codecs): [[decodeStub]] derives deterministic fake
-  * width/height/duration from the payload hash. Everything around it —
-  * schema, per-partition batching, partitioning by modality, the
-  * mapPartitions signature a real decoder (or `mapInPandas` in PySpark)
-  * would plug into — is real and tested.
+  * Image DIMENSION decode is REAL — [[ImageMeta]] parses PNG IHDR and
+  * JPEG SOF headers byte-level, no codec library needed (q63). The
+  * pixel-decode / audio / video-duration step remains STUBBED (this
+  * container has no codecs): [[decodeStub]] derives deterministic fake
+  * features from the payload hash. Everything around it — schema,
+  * per-partition batching, partitioning by modality, the mapPartitions
+  * signature a real decoder (or `mapInPandas` in PySpark) would plug
+  * into — is real and tested.
   */
 object Multimodal {
 
@@ -137,5 +139,33 @@ object Multimodal {
             FROM documents ORDER BY media_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q33)
+  // ---------------------------------------------------------------- q63
+  /** Real image-metadata extraction, end to end: synthesize REAL PNG/JPEG
+    * header bytes (dimensions derived from doc_id — even ids PNG, odd ids
+    * JPEG), then recover the dimensions by PARSING THE BYTES with
+    * [[ImageMeta.imageMeta]]. The oracle computes the expected dimensions
+    * directly from doc_id, so a hash match proves the byte-level synth →
+    * parse round trip — the decoder is doing real work, not echoing
+    * metadata. Narrow per-row plan: no shuffle until the output sort.
+    */
+  val q63 = QuerySpec(
+    "q63_image_meta",
+    (s, d) => {
+      val w = (col("doc_id") % 1920 + 1).cast("int")
+      val h = (col("doc_id") % 1080 + 1).cast("int")
+      val payload = when(col("doc_id") % 2 === 0, ImageMeta.pngBytes(w, h))
+        .otherwise(ImageMeta.jpegBytes(w, h))
+      ImageMeta.imageMeta(
+          Tables.documents(s, d)
+            .select(col("doc_id").as("media_id"), payload.as("payload")))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+              CAST(doc_id % 1920 + 1 AS INTEGER) AS width,
+              CAST(doc_id % 1080 + 1 AS INTEGER) AS height
+            FROM documents ORDER BY media_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q33, q63)
 }

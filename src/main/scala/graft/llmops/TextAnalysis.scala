@@ -127,7 +127,7 @@ object TextAnalysis {
   /** Document fingerprinting: whitespace-normalized MD5 content hash plus
     * the count of docs sharing the fingerprint (exact-dup cluster size).
     * MD5 is identical across engines → oracled. The rolling-hash winnowing
-    * variant is [[rollingFingerprints]].
+    * variant is [[winnowFingerprints]].
     */
   val q28 = QuerySpec(
     "q28_doc_fingerprint",
@@ -148,20 +148,39 @@ object TextAnalysis {
             FROM documents ORDER BY doc_id""")
   )
 
-  /** Rolling-hash fingerprints of every `window`-token span, reduced to
-    * the minimum per block of `blockSize` CONSECUTIVE spans (positional
-    * blocked-minima — the fixed-stride winnowing variant). Sketch size
-    * O(len/blockSize) per doc; two documents sharing a span run that
-    * covers an aligned block share that block's fingerprint, enabling
-    * partial-overlap detection.
+  /** TRUE sliding-window winnowing (Schleimer/Wilkerson/Aiken): hash every
+    * `window`-token k-gram span, then keep the minimum of EVERY run of `w`
+    * consecutive span hashes — `min over (rows between w-1 preceding and
+    * current row)` per document, distinct.
+    *
+    * GUARANTEE (the one fixed-stride blocked minima lacks): every window
+    * of w consecutive span hashes contributes its minimum, so two
+    * documents sharing ANY token run of length ≥ window + w - 1 share at
+    * least one fingerprint — independent of where the run falls. Blocked
+    * minima miss overlaps that straddle a block boundary with unlucky
+    * alignment; a sliding frame has no boundaries to straddle.
+    *
+    * Scale shape: one shuffle on doc_id (the same shuffle the span build
+    * already does — both windows share the partitioning), sliding min is
+    * a linear per-partition pass, sketch size is the number of distinct
+    * window minima ≈ 2·spans/(w+1) per doc. Docs with fewer than w spans
+    * keep one fingerprint (the min of all their spans) — short docs stay
+    * representable instead of silently dropping out.
     */
-  def rollingFingerprints(docs: DataFrame, window: Int = 5, blockSize: Int = 4): DataFrame =
+  def winnowFingerprints(docs: DataFrame, window: Int = 5, w: Int = 4): DataFrame = {
+    require(w >= 1, "winnow window w must be >= 1")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val sliding = byDoc.orderBy("pos").rowsBetween(-(w - 1), 0)
     Dedup.shinglesWithPos(docs, window)
-      .select(col("doc_id"), (col("pos") / blockSize).cast("long").as("block"),
-        xxhash64(col("shingle")).as("h"))
-      .groupBy("doc_id", "block")
-      .agg(min("h").as("fingerprint"))
-      .select("doc_id", "fingerprint")
+      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("h"))
+      .withColumn("__maxpos", max("pos").over(byDoc))
+      .withColumn("__fp", min("h").over(sliding))
+      // complete windows only — except short docs (maxpos < w-1), which
+      // keep their final row: the min over everything they have
+      .filter(col("pos") >= least(lit(w - 1), col("__maxpos")))
+      .select(col("doc_id"), col("__fp").as("fingerprint"))
+      .distinct()
+  }
 
   /** (doc_id, term, tf): the term-frequency table q55 and q56 both start
     * from — one fanned-out tokenize pass + one (doc, term) aggregate.
@@ -258,29 +277,32 @@ object TextAnalysis {
   )
 
   // ---------------------------------------------------------------- q57
-  /** Winnowing partial-overlap candidates: doc pairs sharing ≥ 2 block
-    * fingerprints from [[rollingFingerprints]] — catches documents that
-    * share a long span (quote, boilerplate, plagiarized section) even
-    * when whole-document measures (Jaccard/MinHash) stay low. Same scale
-    * shape as every other near-dup operator: candidates come from an
-    * equi-join on the fingerprint (shuffle key = fingerprint), hot
-    * fingerprints are capped, and the O(len/blockSize)-per-doc sketch is
-    * checkpointed once for both join sides. xxhash-based → rows-only
-    * driver check; span-sharing semantics are asserted in ScalaTest.
+  /** Winnowing partial-overlap candidates: doc pairs sharing ≥ `minShared`
+    * winnowing fingerprints from [[winnowFingerprints]] — catches documents
+    * that share a long span (quote, boilerplate, plagiarized section) even
+    * when whole-document measures (Jaccard/MinHash) stay low. Any shared
+    * token run of length ≥ window + w - 1 is guaranteed a shared
+    * fingerprint (see winnowFingerprints). Same scale shape as every other
+    * near-dup operator: candidates come from an equi-join on the
+    * fingerprint (shuffle key = fingerprint), hot fingerprints are capped,
+    * and the per-doc sketch is materialized once for both join sides.
+    * xxhash-based → rows-only driver check; span-sharing semantics are
+    * asserted in ScalaTest.
     */
-  def winnowingOverlapPairs(docs: DataFrame, window: Int = 5, blockSize: Int = 4,
+  def winnowingOverlapPairs(docs: DataFrame, window: Int = 5, w: Int = 4,
                             minShared: Int = 2, maxDocFreq: Int = 1000): DataFrame = {
-    // distinct: a fingerprint repeating across several blocks of ONE doc
-    // must count once, or shared_blocks double-counts block pairings
+    // winnowFingerprints is already distinct per doc — a fingerprint
+    // recurring across several windows of ONE doc counts once, so
+    // shared_fps never double-counts window pairings
     val fp = graft.core.Materialize(graft.operators.Ops
-      .capKeyFreq(rollingFingerprints(docs, window, blockSize).distinct(),
+      .capKeyFreq(winnowFingerprints(docs, window, w),
         maxDocFreq, col("fingerprint")))
     fp.as("x").join(fp.as("y"),
         col("x.fingerprint") === col("y.fingerprint") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared_blocks"))
-      .filter(col("shared_blocks") >= minShared)
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
       .orderBy("d1", "d2")
   }
 

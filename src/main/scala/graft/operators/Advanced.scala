@@ -92,6 +92,16 @@ object Advanced {
     * the ScalaTest asserts <5% relative error vs exact. The sketch
     * matters at 100 TB: approx_count_distinct is a fixed-size mergeable
     * aggregate (no distinct shuffle of the key universe).
+    *
+    * Plan shape: `agg(approx_count_distinct, countDistinct, count)` in one
+    * step makes Catalyst plan the mixed distinct/non-distinct aggregate
+    * via Expand — every input row duplicated per aggregate group before
+    * the shuffle (the round-2 bench flagged exactly this). Pre-aggregating
+    * on (status, custkey) first removes the Expand: HLL is duplicate-
+    * insensitive (identical estimate over pre-deduped keys), the exact
+    * distinct becomes a plain count, and the total comes from summing the
+    * per-key counts — two keyed shuffles of |distinct keys| rows instead
+    * of one shuffle of 2× all rows.
     */
   val q36 = QuerySpec(
     "q36_approx_distinct",
@@ -99,11 +109,13 @@ object Advanced {
       // fanOut: the HLL partial-update loop is the CPU cost here; give it
       // session width when the scan is a single split
       fanOut(Tables.orders(s, d))
+        .groupBy("o_orderstatus", "o_custkey")
+        .agg(count(lit(1)).as("__per_key"))
         .groupBy("o_orderstatus")
         .agg(
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
-          countDistinct(col("o_custkey")).as("exact_cust"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("exact_cust"),
+          sum("__per_key").cast("long").as("n"))
         .orderBy("o_orderstatus"),
     None
   )

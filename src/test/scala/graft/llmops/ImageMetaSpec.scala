@@ -1,0 +1,86 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ImageMetaSpec extends SparkTestBase {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // A hand-assembled 3x2 PNG header (signature + IHDR only)
+  private val png3x2 = hex(
+    "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000003" + "00000002" + "0802000000" + "00000000")
+
+  // SOI + APP0(JFIF) + COM + SOF0 height=2 width=3 + EOI
+  private val jpeg3x2 = hex(
+    "FFD8" + "FFE0 0010 4A46494600 0101 00 0001 0001 0000" +
+      "FFFE0004 6769" +
+      "FFC0 0011 08 0002 0003 03 012200 021101 031101" +
+      "FFD9")
+
+  test("parse: PNG IHDR dimensions at fixed offsets") {
+    assert(ImageMeta.parse(png3x2).contains(("png", 3, 2)))
+  }
+
+  test("parse: JPEG walks segments (APP0 + COM) to SOF0") {
+    assert(ImageMeta.parse(jpeg3x2).contains(("jpeg", 3, 2)))
+  }
+
+  test("parse: progressive JPEG (SOF2) and FF fill bytes") {
+    // SOI + fill-padded DQT-like segment + SOF2
+    val b = hex("FFD8" + "FFFF" + "FFDB0004 0000" +
+      "FFC2 0011 08 0100 0180 03 012200 021101 031101" + "FFD9")
+    assert(ImageMeta.parse(b).contains(("jpeg", 384, 256)))
+  }
+
+  test("parse: total on garbage — truncated, corrupt, null, zero-dim") {
+    assert(ImageMeta.parse(null).isEmpty)
+    assert(ImageMeta.parse(Array.empty[Byte]).isEmpty)
+    assert(ImageMeta.parse("not an image".getBytes).isEmpty)
+    // every prefix must classify, not crash; prefixes that still contain
+    // the full header legitimately parse (PNG: 24 bytes through IHDR
+    // height; JPEG here: 35 bytes through the SOF0 width field)
+    (0 until png3x2.length).foreach { n =>
+      val r = ImageMeta.parse(png3x2.take(n))
+      assert(if (n < 24) r.isEmpty else r.contains(("png", 3, 2)))
+    }
+    (0 until jpeg3x2.length).foreach { n =>
+      val r = ImageMeta.parse(jpeg3x2.take(n))
+      assert(if (n < 35) r.isEmpty else r.contains(("jpeg", 3, 2)))
+    }
+    // PNG with zero width
+    val zw = png3x2.clone(); zw(16) = 0; zw(17) = 0; zw(18) = 0; zw(19) = 0
+    assert(ImageMeta.parse(zw).isEmpty)
+    // JPEG that hits start-of-scan before any SOF
+    assert(ImageMeta.parse(hex("FFD8 FFDA0002 00")).isEmpty)
+  }
+
+  test("synth -> parse round trip distributes over a DataFrame") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("media_id")
+    val w = (col("media_id") % 1920 + 1).cast("int")
+    val h = (col("media_id") % 1080 + 1).cast("int")
+    val payload = when(col("media_id") % 2 === 0, ImageMeta.pngBytes(w, h))
+      .otherwise(ImageMeta.jpegBytes(w, h))
+    val out = ImageMeta.imageMeta(ids.select(col("media_id"), payload.as("payload")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+
+    (0L until 64L).foreach { id =>
+      val (f, ww, hh) = out(id)
+      assert(f == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(ww == (id % 1920 + 1).toInt && hh == (id % 1080 + 1).toInt)
+    }
+  }
+
+  test("imageMeta: undecodable rows yield null metadata, not failure") {
+    import spark.implicits._
+    val rows = Seq((1L, png3x2), (2L, "junk".getBytes), (3L, null.asInstanceOf[Array[Byte]]))
+    val out = ImageMeta.imageMeta(rows.toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "png" && out(0).getInt(2) == 3)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+}

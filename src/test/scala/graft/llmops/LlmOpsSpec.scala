@@ -20,7 +20,7 @@ class LlmOpsSpec extends SparkTestBase {
     // out-of-bounds element_at
     val d = docs((1L, ""), (2L, "a"), (3L, "one two"), (4L, "x y z w v u t s"))
     assert(Dedup.minhashSignatures(d, k = 3).count() == 1)
-    assert(TextAnalysis.rollingFingerprints(d, window = 5).count() == 1)
+    assert(TextAnalysis.winnowFingerprints(d, window = 5).count() == 1)
     val pairs = Dedup.minhashPairs(Dedup.minhashSignatures(d, 3), minSim = 0.0)
     assert(pairs.count() == 0) // one doc → no pairs, no crash
   }
@@ -58,12 +58,45 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.head.getInt(2) == 0)
   }
 
-  test("rolling fingerprints: shared spans between overlapping docs") {
+  test("winnow fingerprints: shared spans between overlapping docs") {
     val shared = "copy this exact span of tokens right here please now"
     val d = docs((1L, s"prefix one two $shared suffix a"), (2L, s"other start words $shared end b"))
-    val fp = TextAnalysis.rollingFingerprints(d, window = 5, blockSize = 2)
+    val fp = TextAnalysis.winnowFingerprints(d, window = 5, w = 2)
     val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+  }
+
+  test("winnowing guarantee: shared run >= window+w-1 tokens is caught at EVERY alignment") {
+    // the case fixed-stride blocked minima miss: a shared span straddling
+    // a block boundary. True winnowing has no boundaries — shift the span
+    // through all alignments and the guarantee must hold for each.
+    val w = 4
+    val window = 5
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ") // 30 > window+w-1
+    (0 to 7).foreach { shift =>
+      val prefix = (1 to shift).map(i => s"p$i").mkString(" ")
+      val d = docs(
+        (1L, (s"$prefix $shared tail1 tail2").trim),
+        (2L, s"q1 q2 q3 q4 q5 q6 q7 q8 q9 $shared r1 r2"))
+      val fp = TextAnalysis.winnowFingerprints(d, window, w)
+      val byDoc = fp.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty,
+        s"alignment shift=$shift missed the shared span")
+    }
+  }
+
+  test("winnow fingerprints: short docs keep one fingerprint, sub-k docs none") {
+    val d = docs(
+      (1L, "a b c d e"),        // exactly window tokens → 1 span, < w spans
+      (2L, "a b c"),            // shorter than window → no spans
+      (3L, "a b c d e f g"))    // 3 spans, still < w=4 → min of all, one fp
+    val fp = TextAnalysis.winnowFingerprints(d, window = 5, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.length).toMap
+    assert(byDoc.get(1L).contains(1))
+    assert(!byDoc.contains(2L))
+    assert(byDoc.get(3L).contains(1))
   }
 
   test("cosine/dot: exact values on known vectors") {

@@ -72,4 +72,33 @@ class StatefulOpsSpec extends SparkTestBase {
       assert(revised.contains((3L, 1L)) && revised.contains((3L, 2L)), revised)
     } finally q.stop()
   }
+
+  test("streamingNearDup: hot bucket over maxBucket across micro-batches evicts FIFO, keeps recall for recent docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical signatures → every doc collides in EVERY band's bucket:
+    // the hot-bucket (stop-boilerplate) worst case
+    val sig = (1 to 64).map(i => (i * 257L) % 1013L)
+    val stream = MemoryStream[SketchedDoc]
+    val q = streamingNearDup(stream.toDS(), minSim = 0.9, maxBucket = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hot_bucket")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    def hitsOf(id: Long): Set[Long] = spark.table("hot_bucket").collect()
+      .filter(_.getLong(0) == id).map(_.getLong(1)).toSet
+    try {
+      // one doc per micro-batch: state must carry across batches
+      stream.addData(SketchedDoc(1L, sig)); q.processAllAvailable()
+      stream.addData(SketchedDoc(2L, sig)); q.processAllAvailable()
+      stream.addData(SketchedDoc(3L, sig)); q.processAllAvailable()
+      assert(hitsOf(3L) == Set(1L, 2L))
+      // doc 4 still sees the full bucket [1,2,3], then 1 is evicted (FIFO)
+      stream.addData(SketchedDoc(4L, sig)); q.processAllAvailable()
+      assert(hitsOf(4L) == Set(1L, 2L, 3L))
+      // doc 5 arrives at a bucket capped to [2,3,4]: the three most
+      // recent docs are still recalled; the oldest (1) is forgotten
+      stream.addData(SketchedDoc(5L, sig)); q.processAllAvailable()
+      assert(hitsOf(5L) == Set(2L, 3L, 4L))
+    } finally q.stop()
+  }
 }
