@@ -39,7 +39,8 @@ object ScaleSmoke {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nEmb = emb.count()
     emb.crossJoin(copies)
-      .select((col("vec_id") + col("__copy") * nEmb).as("vec_id"), col("embedding"))
+      .select((col("vec_id") + col("__copy") * nEmb).as("vec_id"), col("embedding"),
+        col("label"))
       .repartition(16)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
@@ -49,7 +50,10 @@ object ScaleSmoke {
       "q55_tfidf", "q56_repetition", "q57_winnowing_overlap",
       "q58_decontamination", "q59_stratified_sample", "q60_data_mixture",
       "q61_stratified_sample_fast", "q62_data_mixture_fast",
-      "q29_embedding_topk", "q32_embedding_lsh_neardup", "q38_embedding_ivf_topk")
+      "q63_image_meta", "q64_sequence_packing", "q65_pii_redaction",
+      "q66_corpus_profile", "q68_boilerplate_ngrams",
+      "q29_embedding_topk", "q32_embedding_lsh_neardup", "q38_embedding_ivf_topk",
+      "q67_knn_label")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

@@ -394,5 +394,59 @@ object CorpusPipeline {
       .drop("__cutoff")
   }
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62)
+  // --------------------------------------------------- sequence packing
+  /** q64: training-sequence packing manifest — the concat-and-chunk pass
+    * that turns a tokenized corpus into fixed-size context blocks
+    * (B tokens each) for pretraining. Documents are concatenated in
+    * doc_id order WITHIN A SHARD and split into ceil(total/B) blocks;
+    * the manifest reports per shard: docs, total tokens, blocks, and how
+    * many docs straddle a block boundary (the rows a loss-masking
+    * dataloader treats specially).
+    *
+    * SCALE SHAPE: packing is inherently ordered, so it needs a window —
+    * but the window key is (source, shard) where shard = doc_id % 16 by
+    * construction, so every window is bounded at ~1/16th of a domain and
+    * the operator never degenerates into q59's whole-stratum single-task
+    * sort. In production the shard is the file split (one pack per
+    * output file), giving windows the size of one writer's output —
+    * this query IS that plan with a deterministic shard key the oracle
+    * can reproduce. Cumulative sums are exact longs; blocks are derived
+    * per-row (floor of exclusive/inclusive cumsum / B) — no second pass.
+    */
+  val q64 = QuerySpec(
+    "q64_sequence_packing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 2048
+      val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), (col("doc_id") % 16).as("shard"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("cum", sum("tokens").over(w))
+        .withColumn("straddle",
+          floor((col("cum") - col("tokens")) / B) =!= floor((col("cum") - 1) / B))
+        .groupBy("source", "shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max("cum").as("total_tokens"),
+          (floor((max("cum") - 1) / B) + 1).cast("long").as("n_blocks"),
+          count(when(col("straddle"), 1)).as("n_straddle"))
+        .orderBy("source", "shard")
+    },
+    Some("""SELECT source, shard, COUNT(*) AS n_docs,
+              CAST(MAX(cum) AS BIGINT) AS total_tokens,
+              CAST(FLOOR((MAX(cum) - 1) / 2048.0) + 1 AS BIGINT) AS n_blocks,
+              COUNT(CASE WHEN FLOOR((cum - tokens) / 2048.0) <>
+                              FLOOR((cum - 1) / 2048.0) THEN 1 END) AS n_straddle
+            FROM (
+              SELECT source, doc_id % 16 AS shard, doc_id,
+                len(string_split(text, ' ')) AS tokens,
+                SUM(len(string_split(text, ' '))) OVER (
+                  PARTITION BY source, doc_id % 16 ORDER BY doc_id) AS cum
+              FROM documents)
+            GROUP BY source, shard ORDER BY source, shard""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64)
 }

@@ -347,5 +347,41 @@ object Dedup {
     None
   )
 
-  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31)
+  // ---------------------------------------------------------------- q68
+  /** Boilerplate n-gram mining: the corpus-wide repeated-span list — every
+    * token trigram appearing in ≥ `minDf` DISTINCT documents, ranked by
+    * document frequency. This is the list a boilerplate-stripping pass
+    * consumes (repeated headers/footers/license blurbs), and the exact
+    * corpus-level complement of q27/q30's pairwise near-dup: one
+    * shingle stream, one count aggregate, no joins at all.
+    *
+    * 100 TB shape: explode → map-side partial counts → one shuffle keyed
+    * by shingle (vocabulary-sized, not corpus-sized after partials) →
+    * HAVING + global top-k of the already-tiny survivor set. The same
+    * plan q23 runs for unigrams.
+    */
+  val q68 = QuerySpec(
+    "q68_boilerplate_ngrams",
+    (s, d) =>
+      Dedup.shingles(fanOut(Tables.documents(s, d)), 3)
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(100),
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS g
+                FROM toks))
+            SELECT g AS shingle, COUNT(*) AS df
+            FROM grams GROUP BY g HAVING COUNT(*) >= 5
+            ORDER BY df DESC, shingle LIMIT 100""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31, q68)
 }

@@ -337,5 +337,64 @@ object Similarity {
     None
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q32, q38)
+  // ------------------------------------------------------- k-NN labels
+  /** q67: k-NN label assignment — classify held-out vectors by majority
+    * label among their k nearest labeled neighbors (the label-propagation
+    * / quality-classifier-by-neighbors pass of a curation pipeline).
+    * Candidate scoring reuses [[bruteForceTopK]] (exact, bit-deterministic
+    * fold → oracled); the vote is a tiny (|Q|·k)-row aggregate with a
+    * deterministic tie-break (votes desc, label asc). Scale path: swap the
+    * brute-force stage for [[ivfTopK]] — the vote is stage-agnostic.
+    */
+  val q67 = QuerySpec(
+    "q67_knn_label",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+      bruteForceTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 15)
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("qid", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(w))
+        .filter(col("vr") === 1)
+        .select(col("qid"), col("label").as("pred_label"), col("votes"))
+        .orderBy("qid")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            s AS (
+              SELECT qid, vec_id, label,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS dot,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nq,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(ee) + 1),
+                    i -> CAST(ee[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nc
+              FROM q, (SELECT vec_id, embedding AS ee, label
+                       FROM embeddings WHERE vec_id >= 10)),
+            nn AS (
+              SELECT qid, vec_id, label FROM (
+                SELECT qid, vec_id, label,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0)
+                      DESC NULLS LAST, vec_id) AS rn
+                FROM s)
+              WHERE rn <= 15),
+            v AS (SELECT qid, label, COUNT(*) AS votes
+                  FROM nn GROUP BY qid, label)
+            SELECT qid, label AS pred_label, votes FROM (
+              SELECT qid, label, votes,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY votes DESC, label) AS vr
+              FROM v)
+            WHERE vr = 1 ORDER BY qid""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67)
 }

@@ -312,5 +312,115 @@ object TextAnalysis {
     None
   )
 
-  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56, q57)
+  // ------------------------------------------------------ PII redaction
+  /** Chained global regex redaction: emails, then IPv4, then phone-shaped
+    * tokens. Order matters — an email contains digits and dots that the
+    * later patterns must never see. Pure per-row `regexp_replace` chain:
+    * narrow, codegen'd, embarrassingly parallel — the 100 TB shape is a
+    * straight scan. Patterns stay in the RE2 ∩ java.util.regex common
+    * subset so the DuckDB oracle runs them verbatim.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** q65: PII redaction over synthesized-contaminated text — the corpus
+    * has no PII (it's synthetic words), so the query first SPLICES
+    * deterministic PII (an email, an IPv4, a phone number derived from
+    * doc_id) into each document, then redacts it. The oracle rebuilds the
+    * same contaminated string and applies the same regexes, so the hash
+    * match proves the redaction itself — multi-occurrence, global, in
+    * order — not just plumbing (the q63 synth→parse pattern).
+    */
+  val q65 = QuerySpec(
+    "q65_pii_redaction",
+    (s, d) => {
+      val id = col("doc_id")
+      val dirty = concat(col("text"),
+        lit(" reach user"), id.cast("string"), lit("@mail.example.com or "),
+        lit("10."), (id % 256).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"), lit("."),
+        ((id * 13) % 256).cast("string"),
+        lit(" tel 555-"), lpad((id % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, d)
+        .select(id, redactPii(dirty).as("clean"))
+        .withColumn("n_redacted",
+          (length(col("clean")) - length(translate(col("clean"), "<", "")))
+            .cast("long"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(
+                text || ' reach user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com or '
+                     || '10.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                     || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                '$EmailRe', '<EMAIL>', 'g'),
+                '$Ipv4Re', '<IP>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g') AS clean,
+              length(regexp_replace(regexp_replace(regexp_replace(
+                text || ' reach user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com or '
+                     || '10.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                     || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                '$EmailRe', '<EMAIL>', 'g'),
+                '$Ipv4Re', '<IP>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g'))
+              - length(replace(regexp_replace(regexp_replace(regexp_replace(
+                text || ' reach user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com or '
+                     || '10.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+                     || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                '$EmailRe', '<EMAIL>', 'g'),
+                '$Ipv4Re', '<IP>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g'), '<', '')) AS n_redacted
+            FROM documents ORDER BY doc_id""")
+  )
+
+  // ------------------------------------------------------ corpus profile
+  /** q66: per-language corpus profile — the dataset-card statistics pass
+    * (docs, token volume, length distribution) every curated corpus
+    * ships with. One fanned-out tokenize-count + one mergeable aggregate:
+    * counts, sums, and interpolated quantiles (exact `percentile`, the
+    * q43 cross-engine idiom) over n_chars. No window — quantiles come
+    * from the aggregate form, so strata never serialize into one task
+    * (contrast q59's rank window; at 100 TB this stays two shuffles of
+    * |langs| rows).
+    */
+  val q66 = QuerySpec(
+    "q66_corpus_profile",
+    (s, d) =>
+      fanOut(Tables.documents(s, d))
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("tokens").as("total_tokens"),
+          ffloor(avg("n_chars"), 2).as("avg_chars"),
+          ffloor(expr("percentile(n_chars, 0.5)"), 2).as("p50_chars"),
+          ffloor(expr("percentile(n_chars, 0.9)"), 2).as("p90_chars"))
+        .orderBy("lang"),
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              CAST(FLOOR(AVG(n_chars) * 100.0) AS DOUBLE) / 100.0 AS avg_chars,
+              CAST(FLOOR(quantile_cont(n_chars, 0.5) * 100.0) AS DOUBLE) / 100.0 AS p50_chars,
+              CAST(FLOOR(quantile_cont(n_chars, 0.9) * 100.0) AS DOUBLE) / 100.0 AS p90_chars
+            FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66)
 }
