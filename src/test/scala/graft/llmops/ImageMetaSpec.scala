@@ -57,6 +57,32 @@ class ImageMetaSpec extends SparkTestBase {
     assert(ImageMeta.parse(hex("FFD8 FFDA0002 00")).isEmpty)
   }
 
+  test("property: parse is total on arbitrary bytes — random, mutated-PNG, mutated-JPEG") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[T](g: Gen[T], n: Int): Seq[T] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+    // pure noise of every length 0..64
+    val noise = Gen.choose(0, 64).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
+    samples(noise, 300).foreach(b => ImageMeta.parse(b.toArray)) // must not throw
+    // single-byte mutations of VALID headers: worst case for offset logic
+    val basePng = png3x2
+    val baseJpeg = jpeg3x2
+    val mut = for {
+      useJpeg <- Gen.oneOf(true, false)
+      base = if (useJpeg) baseJpeg else basePng
+      i <- Gen.choose(0, base.length - 1)
+      v <- Gen.choose(-128, 127).map(_.toByte)
+    } yield { val c = base.clone(); c(i) = v; c }
+    samples(mut, 400).foreach { b =>
+      ImageMeta.parse(b) match {
+        case Some((f, w, h)) => // a surviving parse must still be sane
+          assert((f == "png" || f == "jpeg") && w >= 1 && h >= 1)
+        case None => // rejection is always fine
+      }
+    }
+  }
+
   test("synth -> parse round trip distributes over a DataFrame") {
     import spark.implicits._
     val ids = (0L until 64L).toDF("media_id")
