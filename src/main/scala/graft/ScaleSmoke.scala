@@ -51,7 +51,8 @@ object ScaleSmoke {
       "q58_decontamination", "q59_stratified_sample", "q60_data_mixture",
       "q61_stratified_sample_fast", "q62_data_mixture_fast",
       "q63_image_meta", "q64_sequence_packing", "q65_pii_redaction",
-      "q66_corpus_profile", "q68_boilerplate_ngrams",
+      "q66_corpus_profile", "q68_boilerplate_ngrams", "q69_neardup_clusters",
+      "q70_length_outlier_trim",
       "q29_embedding_topk", "q32_embedding_lsh_neardup", "q38_embedding_ivf_topk",
       "q67_knn_label")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")

@@ -448,5 +448,39 @@ object CorpusPipeline {
             GROUP BY source, shard ORDER BY source, shard""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64)
+  // --------------------------------------------- adaptive outlier trim
+  /** q70: per-language length-outlier trimming — drop documents above
+    * their OWN language's p95 length (fixed global thresholds over- or
+    * under-trim every stratum; dataset-card passes trim adaptively).
+    * Scale shape: the thresholds are an AGGREGATE (exact `percentile`
+    * here; `percentile_approx` sketch at 100 TB — same plan), |langs|
+    * rows, broadcast back onto the scan; the corpus itself never
+    * shuffles, mirroring q58's broadcast-side pattern. Output is the
+    * per-language trim report.
+    */
+  val q70 = QuerySpec(
+    "q70_length_outlier_trim",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cuts = docs.groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.95)").as("__p95"))
+      docs.join(broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+          count(when(col("n_chars") <= col("__p95"), 1)).as("n_kept"),
+          count(when(col("n_chars") > col("__p95"), 1)).as("n_dropped"),
+          graft.operators.Ops.ffloor(max("__p95"), 2).as("p95_chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH cuts AS (
+              SELECT lang, quantile_cont(n_chars, 0.95) AS p95 FROM documents GROUP BY lang)
+            SELECT lang,
+              COUNT(CASE WHEN n_chars <= p95 THEN 1 END) AS n_kept,
+              COUNT(CASE WHEN n_chars > p95 THEN 1 END) AS n_dropped,
+              CAST(FLOOR(MAX(p95) * 100.0) AS DOUBLE) / 100.0 AS p95_chars
+            FROM documents JOIN cuts USING (lang)
+            GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64, q70)
 }

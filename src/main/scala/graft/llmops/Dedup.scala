@@ -383,5 +383,84 @@ object Dedup {
             ORDER BY df DESC, shingle LIMIT 100""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31, q68)
+  // ---------------------------------------------------------------- q69
+  /** Near-dup CLUSTER SEEDING: pairs are not what a dedup pipeline keeps —
+    * it keeps one representative per CLUSTER. This operator turns a
+    * candidate edge list (docs sharing a rare 5-gram, boilerplate-capped
+    * like every candidate join here) into cluster labels via K=3 rounds of
+    * min-label propagation: label_{k+1}(d) = min over {d} ∪ neighbors of
+    * label_k. Each round is ONE keyed join + aggregate over the label
+    * table — and the label table holds only docs with ≥1 candidate edge
+    * (the overwhelming majority of a real corpus is edge-free and never
+    * enters the loop).
+    *
+    * Bounded K is the deliberate contract: both engines compute exactly
+    * K rounds (the oracle unrolls the same three), so the check is exact,
+    * and K bounds the 100 TB cost to K shuffles of the edge-endpoint set.
+    * Dedup clusters are shallow (near-dups of a doc are near-dups of each
+    * other); chains longer than K hops get split labels — production runs
+    * the same loop to a fixpoint (or large-star/small-star) when true CC
+    * is required.
+    */
+  val q69 = QuerySpec(
+    "q69_neardup_clusters",
+    (s, d) => {
+      val grams = shingles(fanOut(Tables.documents(s, d)), 5)
+      val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 50)).select("shingle")
+      val g2 = graft.core.Materialize(grams.join(keep, "shingle"))
+      val half = g2.as("a").join(g2.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val edges = graft.core.Materialize(
+        half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
+      val init = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl"))
+      val labels = (1 to 3).foldLeft(init) { (l, _) =>
+        l.union(
+            edges.join(l, edges("src") === l("id"))
+              .select(edges("dst").as("id"), l("lbl")))
+          .groupBy("id").agg(min("lbl").as("lbl"))
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 3),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                      || '_' || ts[i+4])) AS g
+                FROM toks)),
+            keep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 50),
+            half AS (
+              SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+              FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
+              WHERE a.doc_id < b.doc_id),
+            edges AS (SELECT src, dst FROM half
+                      UNION ALL SELECT dst, src FROM half),
+            l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+            l1 AS (SELECT id, MIN(lbl) AS lbl FROM (
+                     SELECT id, lbl FROM l0
+                     UNION ALL
+                     SELECT e.dst AS id, l.lbl FROM edges e JOIN l0 l ON l.id = e.src)
+                   GROUP BY id),
+            l2 AS (SELECT id, MIN(lbl) AS lbl FROM (
+                     SELECT id, lbl FROM l1
+                     UNION ALL
+                     SELECT e.dst AS id, l.lbl FROM edges e JOIN l1 l ON l.id = e.src)
+                   GROUP BY id),
+            l3 AS (SELECT id, MIN(lbl) AS lbl FROM (
+                     SELECT id, lbl FROM l2
+                     UNION ALL
+                     SELECT e.dst AS id, l.lbl FROM edges e JOIN l2 l ON l.id = e.src)
+                   GROUP BY id)
+            SELECT id AS doc_id, lbl AS cluster FROM l3 ORDER BY doc_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31, q68, q69)
 }

@@ -73,6 +73,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.head.getInt(1) == 2 && out.head.getLong(2) == 8L)
   }
 
+  test("neardup clusters: components within 3 hops collapse to min id") {
+    import spark.implicits._
+    // docs sharing a rare 5-gram: chain 1-2-3-4 (each adjacent pair shares
+    // a distinct 5-gram) + isolated pair 10-11 + singleton 20
+    def doc(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val g1 = "alpha beta gamma delta epsilon"
+    val g2 = "zeta eta theta iota kappa"
+    val g3 = "lam mu nu xi omicron"
+    val g4 = "pi rho sigma tau upsilon"
+    val docs = Seq(
+      doc(1L, s"$g1 one filler words here"),
+      doc(2L, s"$g1 and also $g2"),
+      doc(3L, s"$g2 and also $g3"),
+      doc(4L, s"$g3 tail tokens here now"),
+      doc(10L, s"$g4 first copy of pair"),
+      doc(11L, s"$g4 second copy of pair"),
+      doc(20L, "nothing shared with anyone at all here")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("cc").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.QueryRegistry.byName("q69_neardup_clusters").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3-4 is within 3 hops of node 1 → one cluster labeled 1
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L && out(4L) == 1L)
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert(!out.contains(20L)) // edge-free docs never enter the label table
+  }
+
   test("corpus profile: exact stats on a known corpus") {
     import spark.implicits._
     val docs = Seq(
