@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{CorpusPipeline, Dedup, TextAnalysis}
+
+/** End-to-end corpus-curation demo: the full pass a pretraining data team
+  * runs, composed entirely from the library's operators — evidence the
+  * inventory interoperates as ONE pipeline, not 70 isolated queries.
+  *
+  *   1. normalize + exact-dedup (content fingerprint, lowest id wins)
+  *   2. near-dup CLUSTER collapse: q69's bounded min-label propagation
+  *      over capped shared-5-gram edges, keep the min-id representative
+  *      of every cluster
+  *   3. PII redaction (chained global regex)
+  *   4. quality gate (token band + stopword ratio)
+  *   5. benchmark decontamination (8-gram overlap vs the eval slice,
+  *      broadcast eval side)
+  *   6. scale-safe stratified sample (per-row hash threshold, q61 path)
+  *   7. training-sequence packing manifest (q64 path)
+  *
+  * Every stage is the same code the oracled queries run; the demo prints
+  * the survivor count per stage (monotone non-increasing through 1-6) and
+  * the final packing manifest.
+  *
+  *   sbt "runMain graft.CurateDemo /root/testdata/sf0.01"
+  */
+object CurateDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = LocalSession()
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def step(name: String)(df: DataFrame): DataFrame = {
+      val out = core.Materialize(df)
+      stages += ((name, out.count()))
+      out
+    }
+
+    val raw = step("raw")(Tables.documents(spark, sfDir))
+
+    val deduped = step("exact_dedup")(
+      CorpusPipeline.dedupExact(CorpusPipeline.normalize(raw)))
+
+    // q69: cluster near-dups, keep each cluster's min-id representative.
+    // Docs with no candidate edges are their own cluster (left anti on
+    // the non-representative set).
+    val clusters = QueryRegistry.byName("q69_neardup_clusters")
+      .run(spark, sfDir)
+    val dropDocs = clusters.filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    val neardupFree = step("neardup_collapse")(
+      deduped.join(broadcast(dropDocs), Seq("doc_id"), "left_anti"))
+
+    val redacted = step("pii_redact")(
+      neardupFree.withColumn("text_norm",
+        TextAnalysis.redactPii(col("text_norm"))))
+
+    val quality = step("quality_gate")(
+      CorpusPipeline.qualityFilter(redacted,
+        minTokens = 20, maxTokens = 300, maxStopRatio = 0.15))
+
+    // decontaminate against the eval slice (doc_id < 10), q58's shape
+    val evalGrams = Dedup.shingles(raw.filter(col("doc_id") < 10), 8)
+      .select("shingle").distinct()
+    val contaminated = Dedup.shingles(quality.filter(col("doc_id") >= 10), 8)
+      .join(broadcast(evalGrams), "shingle")
+      .select("doc_id").distinct()
+    val clean = step("decontaminate")(
+      quality.filter(col("doc_id") >= 10)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+
+    val sampled = step("stratified_sample")(
+      clean.filter(CorpusPipeline.hashFrac(col("doc_id")) <
+        CorpusPipeline.rateCutoffHex(0.5)))
+
+    println("== curation funnel ==")
+    stages.foreach { case (n, c) => println(f"  $n%-18s $c%7d docs") }
+    val counts = stages.map(_._2)
+    require(counts.tail.zip(counts.tail.tail).forall { case (a, b) => b <= a },
+      "curation funnel must be monotone non-increasing after raw")
+
+    println("== packing manifest (2048-token blocks, 16 shards/source) ==")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .select(col("source"), (col("doc_id") % 16).as("shard"),
+        col("doc_id"), size(split(col("text_norm"), " ")).cast("long").as("tokens"))
+      .withColumn("cum", sum("tokens").over(w))
+      .groupBy("source")
+      .agg(countDistinct("shard").as("shards"),
+        count(lit(1)).as("docs"),
+        max("cum").as("max_shard_tokens"),
+        sum("tokens").as("total_tokens"))
+      .orderBy("source")
+      .collect()
+      .foreach(r => println(f"  ${r.getString(0)}%-8s shards=${r.getLong(1)}%2d docs=${r.getLong(2)}%6d total_tokens=${r.getLong(4)}%9d"))
+    spark.stop()
+  }
+}

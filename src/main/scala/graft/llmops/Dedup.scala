@@ -128,7 +128,7 @@ object Dedup {
     * hash-partitioned by doc_id, which satisfies the (doc_id, shingle)
     * clustering the aggregate asks for.
     */
-  private[llmops] def shingles(docs: DataFrame, k: Int, dedup: Boolean = true): DataFrame = {
+  def shingles(docs: DataFrame, k: Int, dedup: Boolean = true): DataFrame = {
     val sh = shinglesWithPos(docs, k).select("doc_id", "shingle")
     if (dedup) sh.distinct() else sh
   }
