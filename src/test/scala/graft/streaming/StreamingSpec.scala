@@ -113,4 +113,32 @@ class StreamingSpec extends SparkTestBase {
       assert(spark.table("dedup_out").count() == 75)
     } finally q.stop()
   }
+
+  test("batch analytics Columns compose into streaming queries (redaction + quality gate)") {
+    // the same pure-Column operators the oracled batch queries use run
+    // unchanged inside a stream — stateless per-row analytics need no
+    // streaming-specific code path
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val curated = stream.toDF().toDF("doc_id", "text")
+      .withColumn("clean", graft.llmops.TextAnalysis.redactPii(col("text")))
+      .withColumn("n_tokens", size(split(col("clean"), " ")))
+      .filter(col("n_tokens") >= 3)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("stream_curate")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      stream.addData(
+        (1L, "contact me at a@b.com for details"),
+        (2L, "too short"),
+        (3L, "server at 10.0.0.1 answers"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_curate").collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(rows.keySet == Set(1L, 3L)) // doc 2 fails the token gate
+      assert(rows(1L) == "contact me at <EMAIL> for details")
+      assert(rows(3L) == "server at <IP> answers")
+    } finally q.stop()
+  }
 }
