@@ -314,28 +314,73 @@ object Similarity {
     * assignment isn't reasonably SQL-expressible); recall vs brute force
     * is asserted in ScalaTest.
     */
+  /** IVF query phase against an existing index (trained inline by q38,
+    * or loaded via [[loadIndex]]): multi-probe the queries to their
+    * nprobe nearest cells, equi-join the cell-assigned corpus, exact
+    * top-k within the probed cells.
+    */
+  def ivfQuery(centroids: Seq[(Long, Seq[Double])], assigned: DataFrame,
+               queries: DataFrame, nprobe: Int, topK: Int): DataFrame = {
+    val q = ivfProbe(queries, centroids, nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_raw").desc_nulls_last, col("vec_id"))
+    broadcast(q)
+      .join(assigned.select(col("vec_id"), col("embedding").as("ce"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("vec_id"), graft.operators.Ops.ffloor(col("cos_raw"), 4).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
   val q38 = QuerySpec(
     "q38_embedding_ivf_topk",
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val centroids = kmeansCentroids(e, k = 8, iters = 3)
-      val assigned = ivfAssign(e, centroids)
-      val q = ivfProbe(
-        e.filter(col("vec_id").isin(100L, 101L, 102L)), centroids, nprobe = 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
-      val w = Window.partitionBy("qid")
-        .orderBy(col("cos_raw").desc_nulls_last, col("vec_id"))
-      broadcast(q)
-        .join(assigned.select(col("vec_id"), col("embedding").as("ce"), col("cell")), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"), cosine(col("qe"), col("ce")).as("cos_raw"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
-        .select(col("qid"), col("rn"), col("vec_id"), graft.operators.Ops.ffloor(col("cos_raw"), 4).as("cos"))
-        .orderBy("qid", "rn")
+      ivfQuery(centroids, ivfAssign(e, centroids),
+        e.filter(col("vec_id").isin(100L, 101L, 102L)), nprobe = 3, topK = 5)
     },
     None
   )
+
+  // ------------------------------------------------- IVF index persistence
+  /** A production ANN pipeline trains its index ONCE (a batch job over the
+    * full corpus) and serves many query batches against it; training
+    * per-query, as the self-contained q38 does for oracle purposes, would
+    * re-scan 100 TB per lookup. These two functions split the phases:
+    *
+    *   - [[saveIndex]] persists centroids (k rows) AND per-vector cell
+    *     assignments (the expensive full-corpus pass) as parquet.
+    *   - [[loadIndex]] reads both back; queries then run [[ivfProbe]]
+    *     against the loaded centroids and join the loaded assignments —
+    *     no training, no corpus re-assignment.
+    *
+    * Determinism carries over: centroids are a pure function of
+    * (corpus, k, iters, sampleMod, seed), so a rebuilt index bit-matches
+    * the saved one, and query results over a loaded index equal the
+    * train-inline path (asserted in SimilaritySpec).
+    */
+  def saveIndex(vectors: DataFrame, dir: String, k: Int, iters: Int = 3,
+                sampleMod: Int = 1, seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centroids = kmeansCentroids(vectors, k, iters, sampleMod, seed)
+    centroids.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    ivfAssign(vectors, centroids)
+      .write.mode("overwrite").parquet(s"$dir/assignments.parquet")
+  }
+
+  /** (centroids, assigned-vectors DataFrame) — see [[saveIndex]]. */
+  def loadIndex(spark: SparkSession, dir: String): (Seq[(Long, Seq[Double])], DataFrame) = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+    (centroids, spark.read.parquet(s"$dir/assignments.parquet"))
+  }
 
   // ------------------------------------------------------- k-NN labels
   /** q67: k-NN label assignment — classify held-out vectors by majority

@@ -148,6 +148,23 @@ class LlmOpsSpec extends SparkTestBase {
     c1.foreach { case (_, v) => assert(math.abs(v.max - 10.0) < 0.1) }
   }
 
+  test("IVF index persistence: saved+loaded index answers queries identically to train-inline") {
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Similarity.saveIndex(e, dir, k = 8, iters = 3)
+    val (centroids, assigned) = Similarity.loadIndex(spark, dir)
+
+    // rebuild bit-matches the persisted centroids (content-addressed train)
+    assert(centroids == Similarity.kmeansCentroids(e, k = 8, iters = 3))
+
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id").isin(100L, 101L, 102L))
+    val fromIndex = Similarity.ivfQuery(centroids, assigned, queries, nprobe = 3, topK = 5)
+      .collect().toSeq
+    val inline = graft.QueryRegistry.byName("q38_embedding_ivf_topk")
+      .run(spark, sf("sf0.001")).collect().toSeq
+    assert(fromIndex == inline)
+  }
+
   test("multimodal: stub decode is deterministic, schema intact, frames sample") {
     import spark.implicits._
     val d = Seq((0L, "video payload text", "en", "src0", 18L),
