@@ -394,6 +394,83 @@ object CorpusPipeline {
       .drop("__cutoff")
   }
 
+  // ------------------------------------------- temperature flattening
+  /** Per-stratum temperature-sampling rates: `rate_l = (n_min/n_l)^(1-α)`
+    * — the "flatten the language distribution" resampling every
+    * multilingual pretraining mix uses (sampled counts end up ∝ n_l^α;
+    * α=1 keeps the natural distribution, α=0 makes all strata equal).
+    * Normalizing by the SMALLEST stratum (rate 1.0 there, downsample
+    * everything larger) instead of by Σ n_l^α is deliberate: `min` over
+    * exact integer counts is engine-deterministic, while a floating-point
+    * sum over strata is order-dependent and can flip a downstream hash
+    * cutoff between engines. Returns (stratum, n_total, rate).
+    */
+  def temperatureRates(counts: DataFrame, strataCol: String,
+                       alpha: Double): DataFrame = {
+    val nMin = counts.agg(min("n_total").as("__n_min"))
+    counts.crossJoin(broadcast(nMin))
+      .withColumn("rate",
+        if (alpha == 0.5) sqrt(col("__n_min").cast("double") / col("n_total"))
+        else pow(col("__n_min").cast("double") / col("n_total"), 1.0 - alpha))
+      .select(col(strataCol), col("n_total"), col("rate"))
+  }
+
+  /** q71: temperature-flattened language mixture (α = 0.5) — counts per
+    * language, UNIMAX-style rate `sqrt(n_min/n_l)`, membership by the
+    * same per-row hash threshold as q61/q62. SCALE SHAPE: pass 1 is a
+    * tiny per-stratum count aggregate (map-side partials → |langs| rows);
+    * the rates/cutoffs broadcast back; pass 2 is a narrow scan with a
+    * per-row predicate — the corpus never shuffles and no stratum ever
+    * sorts. At 100 TB pass 1 reads one column (or comes free from lake
+    * stats); everything else is embarrassingly parallel.
+    *
+    * DETERMINISM: α=0.5 → `sqrt` of a ratio of exact integers — both
+    * engines' IEEE-correctly-rounded sqrt/divide agree bit-for-bit (a
+    * `pow()` or a Σ n^α normalizer would not: pow is allowed 1-ulp error
+    * and float sums are order-dependent). The cutoff is
+    * `floor(rate·2^32)` rendered as 8-digit lowercase hex, compared
+    * against [[hashFrac]] — rate 1.0 (the min stratum) maps to sentinel
+    * 'g' which sorts after every hex digit (keep-all), same convention as
+    * [[rateCutoffHex]]. Reported `rate` is truncated to 6 decimals so the
+    * display column can't diverge either.
+    */
+  val q71 = QuerySpec(
+    "q71_temperature_mixture",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      val rated = temperatureRates(counts, "lang", alpha = 0.5)
+        .withColumn("__cutoff",
+          when(col("rate") >= 1.0, lit("g"))
+            .otherwise(lower(lpad(hex(floor(col("rate") * lit(4294967296.0))), 8, "0"))))
+      docs.join(broadcast(rated), "lang")
+        .groupBy("lang")
+        .agg(
+          max("n_total").as("n_total"),
+          count(when(hashFrac(col("doc_id")) < col("__cutoff"), 1)).as("n_sampled"),
+          ffloor(max("rate"), 6).as("rate"))
+        .orderBy("lang")
+    },
+    Some("""WITH counts AS (
+              SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+            rated AS (
+              SELECT lang, n_total,
+                sqrt((SELECT MIN(n_total) FROM counts) * 1.0 / n_total) AS rate
+              FROM counts),
+            cut AS (
+              SELECT lang, n_total, rate,
+                CASE WHEN rate >= 1.0 THEN 'g'
+                     ELSE printf('%08x', CAST(FLOOR(rate * 4294967296.0) AS BIGINT))
+                END AS cutoff
+              FROM rated)
+            SELECT lang, MAX(n_total) AS n_total,
+              COUNT(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < cutoff
+                    THEN 1 END) AS n_sampled,
+              CAST(FLOOR(MAX(rate) * 1000000.0) AS DOUBLE) / 1000000.0 AS rate
+            FROM documents JOIN cut USING (lang)
+            GROUP BY lang ORDER BY lang""")
+  )
+
   // --------------------------------------------------- sequence packing
   /** q64: training-sequence packing manifest — the concat-and-chunk pass
     * that turns a tokenized corpus into fixed-size context blocks
@@ -482,5 +559,5 @@ object CorpusPipeline {
             GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64, q70)
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64, q70, q71)
 }
