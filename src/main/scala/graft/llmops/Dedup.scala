@@ -402,38 +402,43 @@ object Dedup {
     * the same loop to a fixpoint (or large-star/small-star) when true CC
     * is required.
     */
-  val q69 = QuerySpec(
-    "q69_neardup_clusters",
-    (s, d) => {
-      val grams = shingles(fanOut(Tables.documents(s, d)), 5)
-      val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 50)).select("shingle")
-      val g2 = graft.core.Materialize(grams.join(keep, "shingle"))
-      val half = g2.as("a").join(g2.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .distinct()
-      val edges = graft.core.Materialize(
-        half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
-      val init = edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl"))
-      // round k's plan embeds round k-1's subtree twice (once direct, once
-      // under the join); each round ends in an aggregate EXCHANGE, and
-      // Spark's reuse cache collapses the identical subtrees to one
-      // execution per round (verified: per-round Materialize makes this
-      // ~1.7x SLOWER — the checkpoint write costs more than it saves).
-      // K large enough to break exchange reuse would warrant cutting
-      // lineage every few rounds, as iterative GraphX-style jobs do.
-      val labels = (1 to 3).foldLeft(init) { (l, _) =>
-        l.union(
-            edges.join(l, edges("src") === l("id"))
-              .select(edges("dst").as("id"), l("lbl")))
-          .groupBy("id").agg(min("lbl").as("lbl"))
-      }
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH toks AS (
+  /** Cluster labels for every doc with ≥1 candidate edge — the K-round
+    * min-label propagation described at [[q69]], shared by q69 (label
+    * dump) and q72 (canonical selection). Returns (doc_id, cluster).
+    */
+  def neardupLabels(docs: DataFrame): DataFrame = {
+    val grams = shingles(fanOut(docs), 5)
+    val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50)).select("shingle")
+    val g2 = graft.core.Materialize(grams.join(keep, "shingle"))
+    val half = g2.as("a").join(g2.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val edges = graft.core.Materialize(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
+    val init = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    // round k's plan embeds round k-1's subtree twice (once direct, once
+    // under the join); each round ends in an aggregate EXCHANGE, and
+    // Spark's reuse cache collapses the identical subtrees to one
+    // execution per round (verified: per-round Materialize makes this
+    // ~1.7x SLOWER — the checkpoint write costs more than it saves).
+    // K large enough to break exchange reuse would warrant cutting
+    // lineage every few rounds, as iterative GraphX-style jobs do.
+    val labels = (1 to 3).foldLeft(init) { (l, _) =>
+      l.union(
+          edges.join(l, edges("src") === l("id"))
+            .select(edges("dst").as("id"), l("lbl")))
+        .groupBy("id").agg(min("lbl").as("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
+  /** The DuckDB CTE chain computing the same labels (through `l3`), shared
+    * by the q69/q72 oracles.
+    */
+  private val neardupLabelsCtes: String = s"""toks AS (
               SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
               WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
             grams AS (
@@ -465,9 +470,63 @@ object Dedup {
                      SELECT id, lbl FROM l2
                      UNION ALL
                      SELECT e.dst AS id, l.lbl FROM edges e JOIN l2 l ON l.id = e.src)
-                   GROUP BY id)
+                   GROUP BY id)"""
+
+  val q69 = QuerySpec(
+    "q69_neardup_clusters",
+    (s, d) => neardupLabels(Tables.documents(s, d)).orderBy("doc_id"),
+    Some(s"""WITH $neardupLabelsCtes
             SELECT id AS doc_id, lbl AS cluster FROM l3 ORDER BY doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31, q68, q69)
+  // ---------------------------------------------------------------- q72
+  /** Canonical-document selection — the dedup OUTPUT operator: given
+    * q69's cluster labels, keep exactly one representative per near-dup
+    * cluster (the longest member; ties to the lowest doc_id — "longest
+    * wins" is the usual curation heuristic since near-dup members differ
+    * mostly by truncation/boilerplate). Emits the per-cluster decision
+    * record a curation run writes to its manifest: representative, size,
+    * and how many docs were dropped.
+    *
+    * SCALE SHAPE: the ranking window partitions by CLUSTER — groups are
+    * near-dup cliques (bounded small by the candidate caps upstream),
+    * never a corpus stratum, so unlike q59's language windows this
+    * argmax survives 100 TB unchanged. Singleton "clusters" (docs with
+    * edges but unique labels) are filtered; edge-free docs never enter
+    * the label table at all — the full keep-list is
+    * `docs ⟕ dropped-members` (an anti-join), not materialized here.
+    */
+  val q72 = QuerySpec(
+    "q72_canonical_per_cluster",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      neardupLabels(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("__rn", row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(when(col("__rn") === 1, col("doc_id"))).as("kept_doc"),
+          max(when(col("__rn") === 1, col("n_chars"))).as("kept_chars"))
+        .filter(col("n_members") >= 2)
+        .orderBy("cluster")
+    },
+    Some(s"""WITH $neardupLabelsCtes,
+            lab AS (SELECT id AS doc_id, lbl AS cluster FROM l3),
+            ranked AS (
+              SELECT cluster, doc_id, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, doc_id) AS rn
+              FROM lab JOIN documents USING (doc_id))
+            SELECT cluster, COUNT(*) AS n_members,
+              MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+              MAX(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
+            FROM ranked GROUP BY cluster
+            HAVING COUNT(*) >= 2 ORDER BY cluster""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31, q68, q69, q72)
 }
