@@ -7,6 +7,7 @@ object QueryRegistry {
       graft.operators.Advanced.all ++
       graft.operators.Extras.all ++
       graft.llmops.Dedup.all ++
+      graft.llmops.IncrementalDedup.all ++
       graft.llmops.TextAnalysis.all ++
       graft.llmops.Similarity.all ++
       graft.llmops.Multimodal.all ++

@@ -242,14 +242,21 @@ object Dedup {
     * (skew guard — at 100 TB a stop-shingle band would otherwise produce a
     * quadratic bucket).
     */
-  def minhashPairs(sigs: DataFrame, minSim: Double, maxBucket: Int = 1000): DataFrame = {
-    val bands = sigs.select(
+  /** (doc_id, band_idx, band_hash) — one row per LSH band of each
+    * signature. Shared by [[minhashPairs]] and the persisted-store
+    * incremental path ([[IncrementalDedup]]).
+    */
+  def bandHashes(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
       )))
       .toDF("doc_id", "band_idx", "band_hash")
+
+  def minhashPairs(sigs: DataFrame, minSim: Double, maxBucket: Int = 1000): DataFrame = {
+    val bands = bandHashes(sigs)
     val capped = capKeyFreq(bands, maxBucket, col("band_idx"), col("band_hash"))
     val cand = capped.as("x")
       .join(capped.as("y"),

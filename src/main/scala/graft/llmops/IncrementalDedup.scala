@@ -1,0 +1,213 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Ops.asciiLowerSql
+
+/** Incremental deduplication of an arriving batch against a PERSISTED
+  * signature store of the already-landed corpus — the operator a
+  * continuously-ingesting training-data pipeline actually runs. At 100 TB
+  * the landed corpus cannot be rescanned per increment, let alone
+  * re-shingled: the store holds only its *signatures*
+  * (content fingerprints, MinHash sketches, LSH band buckets — a few
+  * hundred bytes per document), and each increment is
+  *
+  *   - exact:   batch fingerprints ⋈ store fingerprints — the batch side
+  *     is broadcast (an increment is small by definition), so the join is
+  *     a narrow two-column scan of the fingerprint store with NO shuffle
+  *     of either side.
+  *   - near-dup: batch band hashes (16/doc, broadcast) ⋈ store buckets →
+  *     candidate pairs → signature-estimate verify. The store's bucket
+  *     table is written ALREADY hot-bucket-capped (the capKeyFreq window
+  *     runs once at build time, amortized across every future increment,
+  *     instead of re-shuffling the store per batch).
+  *
+  * After curation the increment's own signatures append to the store
+  * ([[appendToStore]]), so the next batch dedups against corpus+batch.
+  * Appended buckets are not re-capped against existing rows; a periodic
+  * store compaction (re-running [[buildStore]]) restores the cap — the
+  * same maintenance cadence as the landed lake's small-file compaction
+  * (`sink/Compaction.scala`).
+  *
+  * The reference connector has no read-or-dedup path at all (write-only
+  * storage, `/root/reference/src/main/java/com/aliyun/oss/connect/kafka/storage/OSSStorage.java:73-75`);
+  * this module is part of the analytics surface SURVEY §2.7 requires.
+  *
+  * q73 expresses the exact path relationally (store = doc_id % 5 ≠ 0,
+  * batch = the rest) so DuckDB can oracle it; q74 is the near-dup path on
+  * the same split (hash-seeded → rows-only, semantics in ScalaTest).
+  * IncrementalDedupSpec proves the persisted store answers identically to
+  * the relational forms.
+  */
+object IncrementalDedup {
+
+  /** The fingerprint column: md5 of the whitespace-normalized lowercased
+    * text — of ALL of it (`prefixTokens = None`, byte-identical dups), or
+    * of its first k tokens (the HEAD fingerprint, catching the
+    * truncated/re-crawled/boilerplate-tail-differs duplicates that
+    * full-content hashing misses; k=8 is aggressive, k=32 conservative).
+    * Real curation stores both; the near-dup LSH path covers the middle.
+    */
+  def fingerprint(prefixTokens: Option[Int]): org.apache.spark.sql.Column =
+    prefixTokens match {
+      case None    => md5(col("text_norm"))
+      case Some(k) => md5(concat_ws(" ", slice(split(col("text_norm"), " "), 1, k)))
+    }
+
+  /** (fp, dup_of) fingerprint table of a corpus, lowest doc_id as the
+    * canonical owner.
+    */
+  def fingerprints(docs: DataFrame, prefixTokens: Option[Int] = None): DataFrame =
+    CorpusPipeline.normalize(docs)
+      .select(fingerprint(prefixTokens).as("fp"), col("doc_id"))
+      .groupBy("fp").agg(min("doc_id").as("dup_of"))
+
+  /** Write the signature store: fingerprints, MinHash signatures, and
+    * pre-capped LSH buckets. One pass over the corpus (plus the
+    * signature aggregate); everything written is O(docs), not O(text).
+    */
+  def buildStore(docs: DataFrame, dir: String, k: Int = 3,
+                 maxBucket: Int = 1000,
+                 prefixTokens: Option[Int] = None): Unit = {
+    fingerprints(docs, prefixTokens)
+      .write.mode("overwrite").parquet(s"$dir/fingerprints.parquet")
+    val sigs = graft.core.Materialize(Dedup.minhashSignatures(docs, k))
+    sigs.write.mode("overwrite").parquet(s"$dir/signatures.parquet")
+    graft.operators.Ops.capKeyFreq(
+        Dedup.bandHashes(sigs), maxBucket, col("band_idx"), col("band_hash"))
+      .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+  }
+
+  /** Append a curated batch's signatures so later increments see it. */
+  def appendToStore(docs: DataFrame, dir: String, k: Int = 3,
+                    prefixTokens: Option[Int] = None): Unit = {
+    CorpusPipeline.normalize(docs)
+      .select(fingerprint(prefixTokens).as("fp"), col("doc_id").as("dup_of"))
+      .write.mode("append").parquet(s"$dir/fingerprints.parquet")
+    val sigs = graft.core.Materialize(Dedup.minhashSignatures(docs, k))
+    sigs.write.mode("append").parquet(s"$dir/signatures.parquet")
+    Dedup.bandHashes(sigs)
+      .write.mode("append").parquet(s"$dir/buckets.parquet")
+  }
+
+  /** Exact duplicates of `batch` against a fingerprint table:
+    * (doc_id, dup_of). The batch is broadcast; the store never shuffles.
+    */
+  def exactDups(storeFps: DataFrame, batch: DataFrame,
+                prefixTokens: Option[Int] = None): DataFrame =
+    storeFps.join(
+        broadcast(CorpusPipeline.normalize(batch)
+          .select(col("doc_id"), fingerprint(prefixTokens).as("fp"))),
+        "fp")
+      .select(col("doc_id"), col("dup_of"))
+
+  /** Batch docs with no exact match in the store (the survivors that
+    * proceed to near-dup checking / landing). Broadcast anti-join: the
+    * store-side match set is first semi-joined down to batch size.
+    */
+  def exactNew(storeFps: DataFrame, batch: DataFrame,
+               prefixTokens: Option[Int] = None): DataFrame = {
+    val b = CorpusPipeline.normalize(batch)
+      .withColumn("fp", fingerprint(prefixTokens))
+    val hit = storeFps.join(broadcast(b.select("fp")), "fp").select("fp")
+    b.join(broadcast(hit), Seq("fp"), "left_anti").drop("fp", "text_norm")
+  }
+
+  /** Near-dup candidates of `batchSigs` against the persisted store:
+    * (d1 = batch doc, d2 = store doc, est_jaccard ≥ minSim). Band
+    * collision via the pre-capped bucket table (batch bands broadcast →
+    * no store shuffle), then the standard signature-agreement estimate;
+    * the candidate set (small) broadcasts onto the store's signature
+    * scan — the store is read twice, shuffled never.
+    */
+  def neardupAgainstStore(storeBuckets: DataFrame, storeSigs: DataFrame,
+                          batchSigs: DataFrame, minSim: Double): DataFrame = {
+    val bBands = Dedup.bandHashes(batchSigs)
+      .select(col("doc_id").as("d1"), col("band_idx"), col("band_hash"))
+    val cand = storeBuckets
+      .join(broadcast(bBands), Seq("band_idx", "band_hash"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+    storeSigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+      .join(broadcast(cand), "d2")
+      .join(broadcast(batchSigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))), "d1")
+      .select(col("d1"), col("d2"),
+        round(
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(null)),
+            v => v.isNotNull)).cast("double") / Dedup.NumHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minSim)
+  }
+
+  /** Convenience: run both increment checks against a store directory. */
+  def dedupeBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                  minSim: Double = 0.3, k: Int = 3): (DataFrame, DataFrame) = {
+    val fps = spark.read.parquet(s"$dir/fingerprints.parquet")
+    val exact = exactDups(fps, batch)
+    val near = neardupAgainstStore(
+      spark.read.parquet(s"$dir/buckets.parquet"),
+      spark.read.parquet(s"$dir/signatures.parquet"),
+      graft.core.Materialize(Dedup.minhashSignatures(batch, k)), minSim)
+    (exact, near)
+  }
+
+  // ---------------------------------------------------------------- q73
+  /** q73: the fingerprint increment in relational form — store/batch
+    * split by doc_id % 5 so DuckDB reproduces it. Uses the HEAD
+    * fingerprint (first 8 normalized tokens): the synthetic corpus — like
+    * a deduplicated-at-crawl-time real one — has zero byte-identical
+    * documents, so the full-content fp is the vacuous case; the head fp
+    * is the variant that still has work to do (truncation/tail-edit
+    * dups). Identical join shape to [[exactDups]] (IncrementalDedupSpec
+    * asserts the persisted store answers bit-identically).
+    */
+  val q73 = QuerySpec(
+    "q73_incremental_exact_dedup",
+    (s, d) => {
+      val norm = CorpusPipeline.normalize(Tables.documents(s, d))
+        .select(col("doc_id"), fingerprint(Some(8)).as("fp"))
+      val store = norm.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("fp").agg(min("doc_id").as("dup_of"))
+      val batch = norm.filter(col("doc_id") % 5 === 0)
+      store.join(broadcast(batch), "fp")
+        .select(col("doc_id"), col("dup_of"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH norm AS (
+              SELECT doc_id,
+                md5(array_to_string(
+                  string_split(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g'), ' ')[1:8],
+                  ' ')) AS fp
+              FROM documents),
+            store AS (
+              SELECT fp, MIN(doc_id) AS dup_of FROM norm
+              WHERE doc_id % 5 <> 0 GROUP BY fp),
+            batch AS (SELECT doc_id, fp FROM norm WHERE doc_id % 5 = 0)
+            SELECT b.doc_id, s.dup_of
+            FROM batch b JOIN store s USING (fp) ORDER BY b.doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q74
+  /** q74: the near-dup incremental path on the same split. Deterministic
+    * (seed-42 MinHash) but hash-seeded → rows-only driver check; pair
+    * semantics vs the batch-inclusive q30 run are asserted in
+    * IncrementalDedupSpec.
+    */
+  val q74 = QuerySpec(
+    "q74_incremental_neardup",
+    (s, d) => {
+      val sigs = graft.core.Materialize(
+        Dedup.minhashSignatures(Tables.documents(s, d), k = 3))
+      val storeSigs = sigs.filter(col("doc_id") % 5 =!= 0)
+      val storeBuckets = graft.operators.Ops.capKeyFreq(
+        Dedup.bandHashes(storeSigs), 1000, col("band_idx"), col("band_hash"))
+      neardupAgainstStore(storeBuckets, storeSigs,
+          sigs.filter(col("doc_id") % 5 === 0), minSim = 0.3)
+        .orderBy("d1", "d2")
+    },
+    None
+  )
+
+  val all: Seq[QuerySpec] = Seq(q73, q74)
+}
