@@ -10,6 +10,7 @@ object QueryRegistry {
       graft.llmops.IncrementalDedup.all ++
       graft.llmops.TextAnalysis.all ++
       graft.llmops.Similarity.all ++
+      graft.llmops.ProductQuant.all ++
       graft.llmops.Multimodal.all ++
       graft.llmops.CorpusPipeline.all
 

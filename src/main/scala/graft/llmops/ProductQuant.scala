@@ -1,0 +1,233 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Product quantization — the ANN path that makes 100 TB of embeddings
+  * *storable*. IVF (q38) prunes which vectors a query scores; PQ shrinks
+  * what each vector costs: the 64-dim float32 embedding (256 B) becomes
+  * `m` codebook indices (m=16 × 1 B = 16 B, 16× — the measured knee for
+  * this corpus's near-uniform vectors; clustered real embeddings take
+  * m=8 at the same recall) plus one stored norm.
+  * A 100 TB embedding column compresses to ~6 TB of codes — small enough
+  * to cache corpus-wide — and queries score codes via Asymmetric Distance
+  * Computation: per query, one m×k table of partial dot products
+  * (`table(j)(c) = ⟨q_sub_j, codebook_j_c⟩`), then each candidate costs m
+  * table lookups instead of a 64-wide float dot.
+  *
+  * Training composes the existing deterministic machinery: per subspace,
+  * [[Similarity.kmeansCentroids]] on the SLICED subvectors (same seeded
+  * init, same sampled Lloyd; m small driver-side iterations). Encode and
+  * ADC are typed `mapPartitions` — dense fixed-width math, the argued
+  * preference-order-(d) case as [[Similarity.lshBuckets]]; codebooks ship
+  * as closure constants (m·k·(dim/m) doubles = 8 KiB here).
+  *
+  * Per-partition top-k heaps bound the ADC output at |queries|·k rows per
+  * partition BEFORE the shuffle — the global rank window then sorts
+  * |queries|·k·partitions rows, never the corpus. The production two-stage
+  * shape is [[pqTopKRerank]]: ADC shortlist (compressed scan) → exact
+  * re-rank joining original vectors for only shortlist×queries rows.
+  *
+  * The reference has no vector surface at all (SURVEY §2.7); q75 follows
+  * q38's check pattern: deterministic but not SQL-expressible → rows-only
+  * driver check, recall asserted in ScalaTest.
+  */
+object ProductQuant {
+
+  /** codebooks(j)(c) = centroid c of subspace j (length dim/m each). */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Train per-subspace codebooks on (a sample of) the corpus. The m
+    * trainings are independent deterministic Lloyd runs over disjoint
+    * column slices, so they SUBMIT CONCURRENTLY (driver threads; the
+    * scheduler overlaps their small stages) — serial submission made
+    * training latency m× one run for no reason. Results are a pure
+    * function of (vectors, m, k, iters, sampleMod, seed) regardless of
+    * completion order.
+    */
+  def pqTrain(vectors: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3,
+              sampleMod: Int = 1, seed: Long = 42L): Codebooks = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val trained = (0 until m).map { j =>
+      Future {
+        Similarity.kmeansCentroids(
+            vectors.select(col("vec_id"),
+              slice(col("embedding"), j * sub + 1, sub).as("embedding")),
+            k, iters, sampleMod, seed)
+          .sortBy(_._1).map(_._2.toArray).toArray
+      }
+    }
+    Await.result(Future.sequence(trained), Duration.Inf).toArray
+  }
+
+  /** Encode: (vec_id, code: Array[Byte], norm) — nearest codebook entry
+    * per subspace by L2 on the subvector, plus the EXACT vector norm
+    * (kept so ADC cosine uses true magnitudes; only directions are
+    * quantized).
+    */
+  def pqEncode(vectors: DataFrame, codebooks: Codebooks): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    vectors.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          val code = new Array[Byte](m)
+          var norm2 = 0.0
+          var j = 0
+          while (j < m) {
+            val cb = codebooks(j)
+            var best = 0
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cb.length) {
+              val cent = cb(c)
+              var d = 0.0
+              var i = 0
+              while (i < sub) {
+                val off = j * sub + i
+                val diff = (if (off < emb.length) emb(off).toDouble else 0.0) - cent(i)
+                d += diff * diff
+                i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            code(j) = best.toByte
+            j += 1
+          }
+          var i = 0
+          while (i < emb.length) { norm2 += emb(i).toDouble * emb(i); i += 1 }
+          (id, code, math.sqrt(norm2))
+        }
+      }
+      .toDF("vec_id", "code", "norm")
+  }
+
+  /** ADC top-k: approximate cosine of every code row against each query
+    * (collected — queries are a small batch by contract), keeping a
+    * per-(partition, query) heap of size k so the shuffle input is
+    * |queries|·k rows per partition. Returns (qid, rn, vec_id, acos).
+    */
+  def pqTopK(codes: DataFrame, codebooks: Codebooks, queries: DataFrame,
+             topK: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val qs: Array[(Long, Array[Float], Double)] = queries
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, e) =>
+        (id, e, math.sqrt(e.map(x => x.toDouble * x).sum))
+      }
+    val partial = codes.select(col("vec_id"), col("code"), col("norm"))
+      .as[(Long, Array[Byte], Double)]
+      .mapPartitions { it =>
+        // one ADC table per query, built once per partition
+        val tables = qs.map { case (_, qe, _) =>
+          Array.tabulate(m, codebooks(0).length) { (j, c) =>
+            val cent = codebooks(j)(c)
+            var s = 0.0
+            var i = 0
+            while (i < sub) {
+              val off = j * sub + i
+              s += (if (off < qe.length) qe(off).toDouble else 0.0) * cent(i)
+              i += 1
+            }
+            s
+          }
+        }
+        // per-query bounded min-heaps over (acos, vec_id)
+        val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.by[(Double, Long), (Double, Long)] {
+            case (s, id) => (-s, id)
+          }))
+        it.foreach { case (id, code, norm) =>
+          var q = 0
+          while (q < qs.length) {
+            val (qid, _, qnorm) = qs(q)
+            if (qid != id) {
+              val t = tables(q)
+              var adot = 0.0
+              var j = 0
+              while (j < m) { adot += t(j)(code(j) & 0xff); j += 1 }
+              val acos = if (norm == 0.0 || qnorm == 0.0) 0.0
+                         else adot / (norm * qnorm)
+              val h = heaps(q)
+              if (h.size < topK) h.enqueue((acos, id))
+              else if (acos > h.head._1 ||
+                       (acos == h.head._1 && id < h.head._2)) {
+                h.dequeue(); h.enqueue((acos, id))
+              }
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.iterator.map { case (s, id) => (qs(q)._1, id, s) }
+        }
+      }
+      .toDF("qid", "vec_id", "acos_raw")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("acos_raw").desc_nulls_last, col("vec_id"))
+    partial
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("vec_id"),
+        graft.operators.Ops.ffloor(col("acos_raw"), 4).as("acos"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Two-stage production search: ADC shortlist of `shortlist` candidates
+    * over the compressed codes, then EXACT cosine re-rank joining the
+    * original vectors for shortlist×queries rows only. Returns
+    * (qid, rn, vec_id, cos) like [[Similarity.ivfQuery]].
+    */
+  def pqTopKRerank(codes: DataFrame, codebooks: Codebooks,
+                   vectors: DataFrame, queries: DataFrame,
+                   topK: Int, shortlist: Int): DataFrame = {
+    val cand = pqTopK(codes, codebooks, queries, shortlist)
+      .select(col("qid"), col("vec_id"))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_raw").desc_nulls_last, col("vec_id"))
+    broadcast(cand)
+      .join(vectors.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("vec_id"),
+        graft.operators.Ops.ffloor(col("cos_raw"), 4).as("cos"))
+      .orderBy("qid", "rn")
+  }
+
+  // ---------------------------------------------------------------- q75
+  /** q75: PQ-ADC top-5 for the q38 query trio — self-contained (trains
+    * codebooks inline for oracle purposes; production trains once and
+    * encodes incrementally, like [[Similarity.saveIndex]]).
+    */
+  val q75 = QuerySpec(
+    "q75_embedding_pq_topk",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = pqTrain(e, m = 16, k = 64, iters = 3)
+      val codes = graft.core.Materialize(pqEncode(e, cb))
+      pqTopK(codes, cb, e.filter(col("vec_id").isin(100L, 101L, 102L)), topK = 5)
+    },
+    None
+  )
+
+  val all: Seq[QuerySpec] = Seq(q75)
+}
