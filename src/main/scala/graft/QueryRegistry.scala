@@ -12,6 +12,7 @@ object QueryRegistry {
       graft.llmops.Similarity.all ++
       graft.llmops.ProductQuant.all ++
       graft.llmops.Multimodal.all ++
+      graft.llmops.AudioMeta.all ++
       graft.llmops.CorpusPipeline.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
