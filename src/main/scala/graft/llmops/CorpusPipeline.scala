@@ -525,6 +525,67 @@ object CorpusPipeline {
             GROUP BY source, shard ORDER BY source, shard""")
   )
 
+  // ----------------------------------------------------- snapshot diff
+  /** Content diff between two corpus snapshots: per doc_id, `added` /
+    * `removed` / `changed` / `unchanged` — the audit record a versioned
+    * training dataset publishes with each release. The compare runs on
+    * content FINGERPRINTS (32 B), not text, so the full-outer join
+    * shuffles two narrow (doc_id, fp) streams; with both snapshots
+    * bucketed by doc_id (`operators/Bucketing.scala`) it is shuffle-free
+    * entirely. 100 TB shape: one co-partitioned join, no text movement.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def fps(df: DataFrame, out: String) =
+      normalize(df).select(col("doc_id"), md5(col("text_norm")).as(out))
+    fps(a, "fp_a").join(fps(b, "fp_b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** q77: snapshot diff on simulated releases — A drops every 11th doc
+    * (they are "new" in B), B edits every 13th doc's text (appends a
+    * token) and drops every 17th ("removed"). Both engines derive the
+    * same snapshots from `documents`, so the diff is fully oracled; the
+    * unchanged majority is excluded from the output (at scale the report
+    * is the small delta, never the corpus).
+    */
+  val q77 = QuerySpec(
+    "q77_corpus_snapshot_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = docs.filter(col("doc_id") % 11 =!= 0)
+      val b = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      corpusDiff(a, b)
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH a AS (
+              SELECT doc_id,
+                md5(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g')) AS fp_a
+              FROM documents WHERE doc_id % 11 <> 0),
+            b AS (
+              SELECT doc_id,
+                md5(regexp_replace(${asciiLowerSql("CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END")}, '[ \t\n\r\f]+', ' ', 'g')) AS fp_b
+              FROM documents WHERE doc_id % 17 <> 0)
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+              CASE WHEN a.doc_id IS NULL THEN 'added'
+                   WHEN b.doc_id IS NULL THEN 'removed'
+                   WHEN fp_a <> fp_b THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN fp_a <> fp_b THEN 'changed'
+                       ELSE 'unchanged' END <> 'unchanged'
+            ORDER BY doc_id""")
+  )
+
   // --------------------------------------------- adaptive outlier trim
   /** q70: per-language length-outlier trimming — drop documents above
     * their OWN language's p95 length (fixed global thresholds over- or
@@ -559,5 +620,5 @@ object CorpusPipeline {
             GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64, q70, q71)
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64, q70, q71, q77)
 }

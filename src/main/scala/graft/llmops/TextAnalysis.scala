@@ -422,5 +422,52 @@ object TextAnalysis {
             FROM documents GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66)
+  // ---------------------------------------------------------------- q78
+  /** q78: per-document n-gram NOVELTY — the fraction of a doc's distinct
+    * 5-grams appearing in no other document (df = 1). The inverse signal
+    * of q68's boilerplate list: high novelty = original content, low =
+    * template/boilerplate-assembled; curation mixes weight novel text up.
+    *
+    * SCALE SHAPE: the df table rides the same shingle-keyed shuffle its
+    * aggregate needs; the join back is 1:1 on shingle (df is one row per
+    * distinct shingle — no quadratic candidate blowup, so unlike q27/q69
+    * this needs no frequency cap), then one doc-keyed aggregate. Docs
+    * with < 5 tokens have no 5-grams and drop out, matching the oracle's
+    * `len >= 5` guard.
+    */
+  val q78 = QuerySpec(
+    "q78_ngram_novelty",
+    (s, d) => {
+      val g = graft.core.Materialize(
+        Dedup.shingles(fanOut(Tables.documents(s, d)), 5))
+      val dfT = g.groupBy("shingle").agg(count(lit(1)).as("df"))
+      g.join(dfT, "shingle")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          count(when(col("df") === 1, 1)).as("n_novel"))
+        .withColumn("novelty",
+          ffloor(col("n_novel").cast("double") / col("n_grams"), 4))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 3),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                      || '_' || ts[i+4])) AS g
+                FROM toks)),
+            dft AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g)
+            SELECT doc_id, COUNT(*) AS n_grams,
+              COUNT(CASE WHEN df = 1 THEN 1 END) AS n_novel,
+              CAST(FLOOR(COUNT(CASE WHEN df = 1 THEN 1 END) * 1.0 / COUNT(*)
+                * 10000.0) AS DOUBLE) / 10000.0 AS novelty
+            FROM grams JOIN dft USING (g)
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78)
 }
