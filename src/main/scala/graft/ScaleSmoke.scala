@@ -52,9 +52,12 @@ object ScaleSmoke {
       "q61_stratified_sample_fast", "q62_data_mixture_fast",
       "q63_image_meta", "q64_sequence_packing", "q65_pii_redaction",
       "q66_corpus_profile", "q68_boilerplate_ngrams", "q69_neardup_clusters",
-      "q70_length_outlier_trim",
+      "q70_length_outlier_trim", "q71_temperature_mixture",
+      "q72_canonical_per_cluster", "q73_incremental_exact_dedup",
+      "q74_incremental_neardup", "q76_audio_meta",
+      "q77_corpus_snapshot_diff", "q78_ngram_novelty",
       "q29_embedding_topk", "q32_embedding_lsh_neardup", "q38_embedding_ivf_topk",
-      "q67_knn_label")
+      "q67_knn_label", "q75_embedding_pq_topk")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

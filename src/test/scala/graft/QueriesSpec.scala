@@ -26,6 +26,7 @@ class QueriesSpec extends SparkTestBase {
     val rowsOnly = QueryRegistry.all.filter(_.oracle.isEmpty).map(_.name)
     assert(rowsOnly.forall(n => n.contains("minhash") || n.contains("simhash") ||
       n.contains("lsh") || n.contains("approx") || n.contains("ivf") ||
-      n.contains("winnowing")))
+      n.contains("winnowing") || n.contains("incremental_neardup") ||
+      n.contains("pq_topk")))
   }
 }
