@@ -242,18 +242,26 @@ object Dedup {
     * (skew guard — at 100 TB a stop-shingle band would otherwise produce a
     * quadratic bucket).
     */
-  /** (doc_id, band_idx, band_hash) — one row per LSH band of each
-    * signature. Shared by [[minhashPairs]] and the persisted-store
-    * incremental path ([[IncrementalDedup]]).
+  /** (doc_id, sig, band_idx, band_hash) — one row per LSH band of each
+    * signature, CARRYING the signature column. The carry matters for
+    * streaming consumers: re-attaching the sig later would be a
+    * stream-stream self-join (watermark-bound state); carrying it through
+    * the explode keeps the pipeline stateless.
     */
-  def bandHashes(sigs: DataFrame): DataFrame =
+  def bandHashesWithSig(sigs: DataFrame): DataFrame =
     sigs.select(
-      col("doc_id"),
+      col("doc_id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))
       )))
-      .toDF("doc_id", "band_idx", "band_hash")
+      .toDF("doc_id", "sig", "band_idx", "band_hash")
+
+  /** (doc_id, band_idx, band_hash) — shared by [[minhashPairs]] and the
+    * persisted-store incremental path ([[IncrementalDedup]]).
+    */
+  def bandHashes(sigs: DataFrame): DataFrame =
+    bandHashesWithSig(sigs).drop("sig")
 
   def minhashPairs(sigs: DataFrame, minSim: Double, maxBucket: Int = 1000): DataFrame = {
     val bands = bandHashes(sigs)
@@ -427,17 +435,22 @@ object Dedup {
     val init = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     // round k's plan embeds round k-1's subtree twice (once direct, once
-    // under the join); each round ends in an aggregate EXCHANGE, and
-    // Spark's reuse cache collapses the identical subtrees to one
-    // execution per round (verified: per-round Materialize makes this
-    // ~1.7x SLOWER — the checkpoint write costs more than it saves).
-    // K large enough to break exchange reuse would warrant cutting
-    // lineage every few rounds, as iterative GraphX-style jobs do.
-    val labels = (1 to 3).foldLeft(init) { (l, _) =>
-      l.union(
+    // under the join) — exponential in K unless Spark's exchange-reuse
+    // cache collapses the identical subtrees. At sf0.1 it reliably does;
+    // on 10x corpora MEASURED standalone runs showed the reuse
+    // intermittently missing (AQE replanning) and the recompute blowing
+    // up 2-4x. So lineage is cut MID-LOOP, after round 2: the label
+    // table is only the edge-endpoint set (tiny — 50k rows at the 10x
+    // stress corpus), so the checkpoint costs milliseconds and caps the
+    // un-reused recompute depth at one round on either side. (Per-round
+    // checkpointing measured ~1.7x slower at sf0.1 — the fixed write
+    // cost x3 dominates a sub-2s query; one cut is the knee.)
+    val labels = (1 to 3).foldLeft(init) { (l, round) =>
+      val next = l.union(
           edges.join(l, edges("src") === l("id"))
             .select(edges("dst").as("id"), l("lbl")))
         .groupBy("id").agg(min("lbl").as("lbl"))
+      if (round == 2) graft.core.Materialize(next) else next
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }

@@ -92,6 +92,57 @@ object IncrementalDedup {
       .write.mode("append").parquet(s"$dir/buckets.parquet")
   }
 
+  /** Store maintenance: re-apply the hot-bucket cap across the whole
+    * bucket table (appends are written uncapped against existing rows)
+    * and re-canonicalize fingerprint ownership (min doc_id per fp across
+    * original + appended generations). Run on the compaction cadence —
+    * the signature-store analog of the landed lake's small-file pass
+    * (`sink/Compaction.scala`); rewrite is atomic-by-rename into fresh
+    * directories only after both reads complete (here: overwrite of a
+    * staged copy, since test-local FS rename semantics suffice).
+    */
+  def compactStore(spark: SparkSession, dir: String,
+                   maxBucket: Int = 1000): Unit = {
+    val fps = spark.read.parquet(s"$dir/fingerprints.parquet")
+      .groupBy("fp").agg(min("dup_of").as("dup_of"))
+      .localCheckpoint() // cut lineage from the files about to be replaced
+    val buckets = graft.operators.Ops.capKeyFreq(
+        spark.read.parquet(s"$dir/buckets.parquet"),
+        maxBucket, col("band_idx"), col("band_hash"))
+      .localCheckpoint()
+    fps.write.mode("overwrite").parquet(s"$dir/fingerprints.parquet")
+    buckets.write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+  }
+
+  /** STREAMING near-dup increment: arriving docs' band hashes join the
+    * STATIC pre-capped bucket table, then the candidates join the static
+    * signatures for the estimate — two stream-static equi-joins, fully
+    * STATELESS (no watermark, no state store). The stream carries
+    * (doc_id, sig) — signatures are per-row streaming-computable only if
+    * produced upstream ([[Dedup.minhashSignatures]] needs windows, which
+    * streaming forbids; compute sigs at the producer or in foreachBatch,
+    * as [[graft.streaming.StatefulOps.streamingNearDup]]'s SketchedDoc
+    * contract already does). The stream's own signature rides THROUGH
+    * the band explode so the stream is never self-joined (a stream-stream
+    * join would demand watermarks); a pair colliding in several bands
+    * emits one row per band — flag-and-drop consumers are idempotent to
+    * that, exact consumers dedupe in foreachBatch.
+    */
+  def neardupStreaming(storeBuckets: DataFrame, storeSigs: DataFrame,
+                       streamSigs: DataFrame, minSim: Double): DataFrame =
+    Dedup.bandHashesWithSig(streamSigs.select(col("doc_id"), col("sig")))
+      .select(col("doc_id").as("d1"), col("sig").as("sig1"),
+        col("band_idx"), col("band_hash"))
+      .join(storeBuckets, Seq("band_idx", "band_hash"))
+      .join(storeSigs.select(col("doc_id").as("d2"), col("sig").as("sig2")),
+        col("doc_id") === col("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2"),
+        round(
+          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(null)),
+            v => v.isNotNull)).cast("double") / Dedup.NumHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minSim)
+
   /** Exact duplicates of `batch` against a fingerprint table:
     * (doc_id, dup_of). The batch is broadcast; the store never shuffles.
     */
@@ -114,6 +165,22 @@ object IncrementalDedup {
     val hit = storeFps.join(broadcast(b.select("fp")), "fp").select("fp")
     b.join(broadcast(hit), Seq("fp"), "left_anti").drop("fp", "text_norm")
   }
+
+  /** STREAMING form of the exact increment: each arriving micro-batch
+    * joins the STATIC fingerprint store (stream-static equi-join — the
+    * planner re-plans the static side per micro-batch; the micro-batch is
+    * the small side by construction, the store a narrow two-column scan).
+    * Same output contract as [[exactDups]]; no watermark needed — the
+    * join is stateless per batch. This is the ingest-time shape: the
+    * parity pipeline's Kafka/file stream drops exact dups BEFORE landing
+    * instead of in a nightly batch.
+    */
+  def exactDupsStreaming(storeFps: DataFrame, stream: DataFrame,
+                         prefixTokens: Option[Int] = None): DataFrame =
+    CorpusPipeline.normalize(stream)
+      .select(col("doc_id"), fingerprint(prefixTokens).as("fp"))
+      .join(storeFps, "fp")
+      .select(col("doc_id"), col("dup_of"))
 
   /** Near-dup candidates of `batchSigs` against the persisted store:
     * (d1 = batch doc, d2 = store doc, est_jaccard ≥ minSim). Band

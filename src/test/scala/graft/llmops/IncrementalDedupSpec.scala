@@ -64,6 +64,100 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(got == cross)
   }
 
+  test("streaming: micro-batches dedup against the persisted store via stream-static join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val store = corpus.filter(col("doc_id") % 5 =!= 0)
+    IncrementalDedup.buildStore(store, dir)
+    val storeFps = spark.read.parquet(s"$dir/fingerprints.parquet")
+    val copies = store.orderBy("doc_id").limit(2)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    val stream = MemoryStream[(Long, String)]
+    val q = IncrementalDedup
+      .exactDupsStreaming(storeFps, stream.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incdup").start()
+    try {
+      // batch 1: one exact copy of a landed doc + one novel doc
+      stream.addData((900001L, copies(0)._2), (900002L, "entirely novel text never landed"))
+      q.processAllAvailable()
+      // batch 2: a second copy arrives later — the static store still answers
+      stream.addData((900003L, copies(1)._2))
+      q.processAllAvailable()
+      val hits = spark.table("incdup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits == Set((900001L, copies(0)._1), (900003L, copies(1)._1)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup: arriving signatures flagged against the static store == batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val store = corpus.filter(col("doc_id") % 5 =!= 0)
+    val batch = corpus.filter(col("doc_id") % 5 === 0)
+    IncrementalDedup.buildStore(store, dir)
+    val storeBuckets = spark.read.parquet(s"$dir/buckets.parquet")
+    val storeSigs = spark.read.parquet(s"$dir/signatures.parquet")
+
+    // signatures are produced upstream per the contract; compute them in
+    // batch and feed the (doc_id, sig) rows through a real stream
+    val sigRows = Dedup.minhashSignatures(batch, 3)
+      .as[(Long, Seq[Long])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Long])]
+    val q = IncrementalDedup.neardupStreaming(storeBuckets, storeSigs,
+        stream.toDS().toDF("doc_id", "sig"), minSim = 0.3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incnear").start()
+    try {
+      val (first, rest) = sigRows.splitAt(sigRows.size / 2)
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(rest); q.processAllAvailable()
+      val got = spark.table("incnear").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet // per-band dups collapse
+      val expected = IncrementalDedup.neardupAgainstStore(storeBuckets, storeSigs,
+          graft.core.Materialize(Dedup.minhashSignatures(batch, 3)), minSim = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected && expected.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("compactStore: re-caps appended buckets and re-canonicalizes fingerprints") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val store = corpus.filter(col("doc_id") % 5 =!= 0)
+    IncrementalDedup.buildStore(store, dir)
+
+    // append an exact copy of a landed doc under a new id: its fp row
+    // duplicates the store's, and its bucket rows double every band of
+    // the original
+    val copy = store.orderBy("doc_id").limit(1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].head()
+    val dup = Seq((900001L, copy._2, copy._3, copy._4, copy._5))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    IncrementalDedup.appendToStore(dup, dir)
+
+    val fpsBefore = spark.read.parquet(s"$dir/fingerprints.parquet")
+    assert(fpsBefore.groupBy("fp").count().filter(col("count") > 1).count() == 1)
+
+    IncrementalDedup.compactStore(spark, dir)
+    val fps = spark.read.parquet(s"$dir/fingerprints.parquet")
+    // one row per fp again, and the duplicated fp kept the ORIGINAL owner
+    assert(fps.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    val dupFp = IncrementalDedup.fingerprints(dup).select("fp").as[String].head()
+    assert(fps.filter(col("fp") === dupFp).select("dup_of").as[Long].head() == copy._1)
+    // cap tight enough to bind: no (band_idx, band_hash) group exceeds it
+    IncrementalDedup.compactStore(spark, dir, maxBucket = 1)
+    val caps = spark.read.parquet(s"$dir/buckets.parquet")
+      .groupBy("band_idx", "band_hash").count().filter(col("count") > 1).count()
+    assert(caps == 0)
+  }
+
   test("appendToStore: the next increment sees the previous batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
