@@ -548,5 +548,65 @@ object Dedup {
             HAVING COUNT(*) >= 2 ORDER BY cluster""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31, q68, q69, q72)
+  // ---------------------------------------------------------------- q79
+  /** q79: LEAKAGE-FREE train/val/test split — the assignment unit is the
+    * NEAR-DUP CLUSTER, not the document. Hash-threshold splitting on
+    * doc_id alone silently leaks: two near-identical docs land in train
+    * and test and the eval is contaminated (the within-corpus twin of
+    * q58's benchmark decontamination). Here the split key is the q69
+    * cluster label (its own doc_id for edge-free docs), so every member
+    * of a dup group rides the same md5 threshold into the same split.
+    *
+    * SCALE SHAPE: labels cover only edge-endpoint docs; the corpus joins
+    * them LEFT (broadcast when the edge set is small relative to the
+    * corpus, as on real data) and everything after is the per-row
+    * hash-threshold idiom of q61 plus one tiny split-keyed aggregate.
+    * Output is the split manifest: doc/clustered-doc/cluster counts.
+    */
+  /** Per-document split assignment — see [[q79]]. Returns
+    * (doc_id, cluster, skey, split); the no-straddle invariant (one split
+    * per cluster) is structural: split is a pure function of skey.
+    */
+  def leakageFreeSplit(docs: DataFrame, trainCut: Double = 0.8,
+                       valCut: Double = 0.9): DataFrame = {
+    import graft.llmops.CorpusPipeline.{hashFrac, rateCutoffHex}
+    val keyed = docs.select("doc_id")
+      .join(neardupLabels(docs), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"),
+        coalesce(col("cluster"), col("doc_id")).as("skey"))
+    val h = hashFrac(col("skey"))
+    keyed.withColumn("split",
+      when(h < rateCutoffHex(trainCut), "train")
+        .when(h < rateCutoffHex(valCut), "val")
+        .otherwise("test"))
+  }
+
+  val q79 = QuerySpec(
+    "q79_leakage_free_split",
+    (s, d) => {
+      leakageFreeSplit(Tables.documents(s, d))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("cluster")).as("n_clustered_docs"),
+          countDistinct(when(col("cluster").isNotNull, col("skey"))).as("n_clusters"))
+        .orderBy("split")
+    },
+    Some(s"""WITH $neardupLabelsCtes,
+            lab AS (SELECT id AS doc_id, lbl AS cluster FROM l3),
+            keyed AS (
+              SELECT d.doc_id, lab.cluster,
+                COALESCE(lab.cluster, d.doc_id) AS skey
+              FROM documents d LEFT JOIN lab USING (doc_id))
+            SELECT CASE
+                WHEN substr(md5(CAST(skey AS VARCHAR)), 1, 8) < '${graft.llmops.CorpusPipeline.rateCutoffHex(0.8)}' THEN 'train'
+                WHEN substr(md5(CAST(skey AS VARCHAR)), 1, 8) < '${graft.llmops.CorpusPipeline.rateCutoffHex(0.9)}' THEN 'val'
+                ELSE 'test' END AS split,
+              COUNT(*) AS n_docs,
+              COUNT(cluster) AS n_clustered_docs,
+              COUNT(DISTINCT CASE WHEN cluster IS NOT NULL THEN skey END) AS n_clusters
+            FROM keyed GROUP BY split ORDER BY split""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79)
 }

@@ -97,21 +97,36 @@ object IncrementalDedup {
     * and re-canonicalize fingerprint ownership (min doc_id per fp across
     * original + appended generations). Run on the compaction cadence —
     * the signature-store analog of the landed lake's small-file pass
-    * (`sink/Compaction.scala`); rewrite is atomic-by-rename into fresh
-    * directories only after both reads complete (here: overwrite of a
-    * staged copy, since test-local FS rename semantics suffice).
+    * (`sink/Compaction.scala`). Rewrites STAGE into `.tmp` directories and
+    * swap by rename — never an in-place overwrite of a path being read
+    * (which would need an eager lineage cut and leave a cleared target on
+    * mid-job failure). Crash windows are benign: before a swap the store
+    * is untouched (stale `.tmp` is garbage-collected by the next run);
+    * between the two swaps the store is semantically consistent (an
+    * un-recapped bucket table only over-generates candidates; the
+    * verify stage filters them) and a re-run converges — compaction is
+    * idempotent.
     */
   def compactStore(spark: SparkSession, dir: String,
                    maxBucket: Int = 1000): Unit = {
-    val fps = spark.read.parquet(s"$dir/fingerprints.parquet")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def swap(name: String): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$name.tmp")
+      val fs = dst.getFileSystem(conf)
+      fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"compactStore: rename $tmp -> $dst failed")
+    }
+    spark.read.parquet(s"$dir/fingerprints.parquet")
       .groupBy("fp").agg(min("dup_of").as("dup_of"))
-      .localCheckpoint() // cut lineage from the files about to be replaced
-    val buckets = graft.operators.Ops.capKeyFreq(
+      .write.mode("overwrite").parquet(s"$dir/fingerprints.parquet.tmp")
+    graft.operators.Ops.capKeyFreq(
         spark.read.parquet(s"$dir/buckets.parquet"),
         maxBucket, col("band_idx"), col("band_hash"))
-      .localCheckpoint()
-    fps.write.mode("overwrite").parquet(s"$dir/fingerprints.parquet")
-    buckets.write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+      .write.mode("overwrite").parquet(s"$dir/buckets.parquet.tmp")
+    swap("fingerprints.parquet")
+    swap("buckets.parquet")
   }
 
   /** STREAMING near-dup increment: arriving docs' band hashes join the

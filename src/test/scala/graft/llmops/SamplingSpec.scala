@@ -77,4 +77,27 @@ class SamplingSpec extends SparkTestBase {
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(run(2) == run(7), "membership depends on partitioning")
   }
+
+  test("leakage-free split: every near-dup cluster lands whole in one split") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val assigned = Dedup.leakageFreeSplit(docs)
+    // all docs assigned, all three splits populated
+    assert(assigned.count() == docs.count())
+    assert(assigned.select("split").distinct().count() == 3)
+    // the invariant the operator exists for: clusters never straddle
+    val straddling = assigned.filter(col("cluster").isNotNull)
+      .groupBy("cluster").agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddling == 0)
+    // and near-dup PAIRS never straddle either (pairs ⊆ clusters)
+    val pairs = Dedup.minhashPairs(
+      graft.core.Materialize(Dedup.minhashSignatures(docs, 3)), minSim = 0.5)
+    val sp = assigned.select(col("doc_id"), col("split"))
+    val crossSplit = pairs
+      .join(sp.toDF("d1", "s1"), "d1").join(sp.toDF("d2", "s2"), "d2")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(crossSplit == 0,
+      "near-dup pair split across train/eval — leakage")
+  }
 }
