@@ -469,5 +469,61 @@ object TextAnalysis {
             GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78)
+  // ---------------------------------------------------------------- q80
+  /** q80: per-language VOCABULARY COVERAGE — how many distinct token
+    * types cover 95% of all token occurrences, plus type count and
+    * type-token ratio. The dataset-card numbers a tokenizer-training run
+    * reads first (a tiny v95 = repetitive corpus; TTR near 1 = noise).
+    *
+    * SCALE SHAPE: the explode aggregates straight down to the VOCABULARY
+    * grain (map-side partials; shuffle is vocab-sized, not corpus-sized)
+    * and every window after that runs on the per-language vocab table —
+    * bounded by |vocab|, which is millions where the corpus is billions.
+    * The cumulative-coverage window is ordered (n desc, token), a total
+    * order, so both engines rank identically; stats broadcast back like
+    * q70's thresholds.
+    */
+  val q80 = QuerySpec(
+    "q80_vocab_coverage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .repartition(col("doc_id")) // parallelize the explode past one split
+        .select(col("lang"), explode(split(asciiLower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val stats = toks.groupBy("lang").agg(sum("n").as("total"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("cum", sum("n").over(w))
+        .join(broadcast(stats), "lang")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_types"),
+          max("cum").cast("long").as("total_tokens"),
+          (count(when(col("cum") < col("total") * 0.95, 1)) + 1).as("v95_types"),
+          ffloor(count(lit(1)).cast("double") / max("cum"), 6).as("ttr"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH tok AS (
+              SELECT lang, t AS token, COUNT(*) AS n FROM (
+                SELECT lang, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS t
+                FROM documents)
+              WHERE t <> '' GROUP BY lang, t),
+            stats AS (SELECT lang, SUM(n) AS total FROM tok GROUP BY lang),
+            ranked AS (
+              SELECT lang, n, token,
+                SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, token
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM tok)
+            SELECT lang, COUNT(*) AS n_types,
+              CAST(MAX(cum) AS BIGINT) AS total_tokens,
+              COUNT(CASE WHEN cum < total * 0.95 THEN 1 END) + 1 AS v95_types,
+              CAST(FLOOR(COUNT(*) * 1.0 / MAX(cum) * 1000000.0) AS DOUBLE) / 1000000.0 AS ttr
+            FROM ranked JOIN stats USING (lang)
+            GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80)
 }
