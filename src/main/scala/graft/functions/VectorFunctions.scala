@@ -68,7 +68,69 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression counting agreeing positions of two
+  * `array<bigint>` columns — the MinHash signature-similarity kernel.
+  * The built-in spelling `size(filter(zip_with(a, b, eq-or-null),
+  * notNull))` allocates an intermediate array per candidate pair and its
+  * lambdas evaluate interpreted; candidate-verify is exactly the stage
+  * whose row count explodes with near-dup density, so it earns the same
+  * preference-order-(b) treatment as [[FloatVectorDot]]. Semantics are
+  * identical (positionwise equality over the common prefix), so swapping
+  * it into the rows-only sketch queries changes no values.
+  */
+case class LongArrayAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agreement"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        int $c = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($x.getLong($i) == $y.getLong($i)) $c++;
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
+  /** Count of agreeing positions of two `array<bigint>` columns. */
+  def sig_agreement(a: Column, b: Column): Column =
+    ColumnBridge.column(LongArrayAgreement(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Dot product of two `array<float>` columns in double precision. */
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVectorDot(

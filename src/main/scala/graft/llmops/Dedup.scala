@@ -278,8 +278,8 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .select(col("d1"), col("d2"),
         round(
-          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(null)),
-            v => v.isNotNull)).cast("double") / NumHashes, 4).as("est_jaccard"))
+          graft.functions.VectorFunctions.sig_agreement(col("sig1"), col("sig2"))
+            .cast("double") / NumHashes, 4).as("est_jaccard"))
     est.filter(col("est_jaccard") >= minSim).orderBy("d1", "d2")
   }
 

@@ -154,8 +154,8 @@ object IncrementalDedup {
       .filter(col("d1") =!= col("d2"))
       .select(col("d1"), col("d2"),
         round(
-          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(null)),
-            v => v.isNotNull)).cast("double") / Dedup.NumHashes, 4).as("est_jaccard"))
+          graft.functions.VectorFunctions.sig_agreement(col("sig1"), col("sig2"))
+            .cast("double") / Dedup.NumHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
 
   /** Exact duplicates of `batch` against a fingerprint table:
@@ -217,8 +217,8 @@ object IncrementalDedup {
       .join(broadcast(batchSigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))), "d1")
       .select(col("d1"), col("d2"),
         round(
-          size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(null)),
-            v => v.isNotNull)).cast("double") / Dedup.NumHashes, 4).as("est_jaccard"))
+          graft.functions.VectorFunctions.sig_agreement(col("sig1"), col("sig2"))
+            .cast("double") / Dedup.NumHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minSim)
   }
 
