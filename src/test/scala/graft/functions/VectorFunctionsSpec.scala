@@ -46,4 +46,35 @@ class VectorFunctionsSpec extends SparkTestBase {
     val df = Seq((Some(Seq(1f)), Option.empty[Seq[Float]])).toDF("a", "b")
     assert(df.select(vec_dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
+
+  test("sig_agreement matches the HOF spelling (codegen + interpreted), handles nulls/lengths") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1L to 64L).toSeq, (1L to 64L).toSeq),                    // all agree
+      (2L, (1L to 64L).toSeq, (1L to 64L).map(i => if (i % 3 == 0) -i else i)), // 2/3 agree
+      (3L, Seq(1L, 2L, 3L), Seq(1L, 9L)),                            // length mismatch: common prefix
+      (4L, Seq.empty[Long], Seq.empty[Long]))
+      .toDF("id", "a", "b")
+    val hof = size(filter(
+      zip_with(col("a"), col("b"), (x, y) => when(x === y, 1).otherwise(null)),
+      v => v.isNotNull))
+    val rows = df.select(col("id"),
+        sig_agreement(col("a"), col("b")).as("native"), hof.as("hofv"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    rows.foreach { case (id, n, h) => assert(n == h, s"id=$id native=$n hof=$h") }
+    assert(rows.find(_._1 == 1L).get._2 == 64)
+    assert(rows.find(_._1 == 3L).get._2 == 1)
+    assert(rows.find(_._1 == 4L).get._2 == 0)
+
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.filter(col("id") === 2L)
+        .select(sig_agreement(col("a"), col("b"))).collect().head.getInt(0)
+      assert(interp == 64 - 64 / 3)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+
+    val nulls = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(nulls.select(sig_agreement(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
 }
