@@ -229,5 +229,67 @@ object Advanced {
             ORDER BY o_orderkey""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41)
+  // ---------------------------------------------------------------- q81
+  /** q81: out-of-order-arrival audit — per event type, how many events
+    * arrive with a timestamp BEHIND the max already seen on their source
+    * shard, and by how much at worst. This is the measurement that SIZES
+    * a streaming watermark (`withWatermark(delay)` must absorb the
+    * observed lateness; the parity pipeline's event-time rotation has the
+    * same exposure): run it on a landed sample, set delay ≥ the observed
+    * bound.
+    *
+    * Arrival order is `event_id` (the ingest sequence); the disorder
+    * window partitions by (event_type, user_id % 16) — the SOURCE-SHARD
+    * grain, matching how a real stream is per-partition-ordered, and
+    * bounding every window at a shard of a type (q64's shard idiom, not
+    * q59's whole-stratum sort).
+    *
+    * The generator's events are ts-ordered (audit would be vacuously
+    * zero), so lateness is PLANTED deterministically — every 97th event's
+    * timestamp is pulled back 24 hours ("arrived late" — the pull must
+    * exceed the ~6 h inter-event gap within a shard to register) — and the oracle
+    * plants the same: the hash match proves the audit measures disorder,
+    * not that it prints zeros (q63/q65's synth→measure pattern).
+    */
+  val q81 = QuerySpec(
+    "q81_event_disorder_audit",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          (col("user_id") % 16).as("shard"),
+          when(col("event_id") % 97 === 0,
+            col("ts") - expr("INTERVAL 24 HOURS"))
+            .otherwise(col("ts")).as("ts"))
+      val w = Window.partitionBy("event_type", "shard").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("prior_max", max("ts").over(w))
+        .withColumn("late_us",
+          when(col("ts") < col("prior_max"),
+            unix_micros(col("prior_max")) - unix_micros(col("ts"))))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(col("late_us")).as("n_late"),
+          coalesce(max("late_us"), lit(0L)).as("max_late_us"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+              SELECT event_id, event_type, user_id % 16 AS shard,
+                CASE WHEN event_id % 97 = 0
+                     THEN CAST(ts AS TIMESTAMP) - INTERVAL 24 HOUR
+                     ELSE CAST(ts AS TIMESTAMP) END AS ts
+              FROM events),
+            m AS (
+              SELECT event_type, ts,
+                MAX(ts) OVER (PARTITION BY event_type, shard ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+              FROM e)
+            SELECT event_type, COUNT(*) AS n_events,
+              COUNT(CASE WHEN ts < prior_max THEN 1 END) AS n_late,
+              COALESCE(MAX(CASE WHEN ts < prior_max
+                THEN epoch_us(prior_max) - epoch_us(ts) END), 0) AS max_late_us
+            FROM m GROUP BY event_type ORDER BY event_type""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81)
 }
