@@ -382,6 +382,49 @@ object Similarity {
     (centroids, spark.read.parquet(s"$dir/assignments.parquet"))
   }
 
+  // ---------------------------------------------------------------- q82
+  /** q82: embedding-column AUDIT — the sanity pass an ANN/dedup job runs
+    * before trusting 100 TB of vectors: per label, vector count, distinct
+    * dimensionality (should be 1), zero-norm count (cosine is undefined
+    * there; every scorer here guards it), norm extremes and a
+    * decimal-exact norm sum. Narrow scan → one aggregate; all reported
+    * doubles go through [[graft.operators.Ops.ffloor]]/decimal sums so
+    * the oracle is bit-exact (norm itself is a left-to-right fold +
+    * sqrt, the [[cosine]] determinism contract).
+    */
+  val q82 = QuerySpec(
+    "q82_embedding_audit",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          graft.functions.VectorFunctions.vec_norm(col("embedding")).as("norm"),
+          size(col("embedding")).as("dim"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vectors"),
+          countDistinct("dim").as("n_dims"),
+          count(when(col("norm") === 0.0, 1)).as("n_zero_norm"),
+          graft.operators.Ops.ffloor(min("norm"), 4).as("min_norm"),
+          graft.operators.Ops.ffloor(max("norm"), 4).as("max_norm"),
+          graft.operators.Ops.dsum(col("norm")).as("sum_norm"))
+        .orderBy("label"),
+    Some("""WITH n AS (
+              SELECT label,
+                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                  (a, b) -> a + b)) AS norm,
+                len(embedding) AS dim
+              FROM embeddings)
+            SELECT label, COUNT(*) AS n_vectors,
+              COUNT(DISTINCT dim) AS n_dims,
+              COUNT(CASE WHEN norm = 0.0 THEN 1 END) AS n_zero_norm,
+              CAST(FLOOR(MIN(norm) * 10000.0) AS DOUBLE) / 10000.0 AS min_norm,
+              CAST(FLOOR(MAX(norm) * 10000.0) AS DOUBLE) / 10000.0 AS max_norm,
+              CAST(ROUND(SUM(CAST(norm AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_norm
+            FROM n GROUP BY label ORDER BY label""")
+  )
+
   // ------------------------------------------------------- k-NN labels
   /** q67: k-NN label assignment — classify held-out vectors by majority
     * label among their k nearest labeled neighbors (the label-propagation
@@ -441,5 +484,5 @@ object Similarity {
             WHERE vr = 1 ORDER BY qid""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67)
+  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82)
 }
