@@ -586,6 +586,58 @@ object CorpusPipeline {
             ORDER BY doc_id""")
   )
 
+  // ---------------------------------------------------- source scorecard
+  /** q83: per-source SCORECARD — the governance table a curation run
+    * publishes to decide which sources to keep, cap, or drop: document
+    * count, duplication exposure (docs whose head fingerprint is shared
+    * with ANY other doc — cross-source duplication counts against both
+    * sources), and token-volume stats. Real pipelines add near-dup rate
+    * (q74 against the store) and quality aggregates (q25) to the same
+    * grouping — each is one more aggregate over an existing column.
+    *
+    * SCALE SHAPE: the shared-fingerprint set contains only duplicated
+    * fps (tiny by construction on a curated corpus) and BROADCASTS back
+    * onto the narrow (doc_id, source, fp, n_tokens) scan; the only
+    * corpus-sized shuffle is the fp-keyed aggregate that finds dups —
+    * the same one q21/q73 already pay.
+    */
+  val q83 = QuerySpec(
+    "q83_source_scorecard",
+    (s, d) => {
+      val norm = normalize(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          IncrementalDedup.fingerprint(Some(8)).as("fp"),
+          size(split(col("text_norm"), " ")).as("n_tokens"))
+      val shared = norm.groupBy("fp").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .select(col("fp"), lit(1).as("__dup"))
+      norm.join(broadcast(shared), Seq("fp"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("__dup")).as("n_dup_docs"),
+          ffloor(count(col("__dup")).cast("double") / count(lit(1)), 4).as("dup_rate"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          ffloor(sum("n_tokens").cast("double") / count(lit(1)), 2).as("avg_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH norm AS (
+              SELECT doc_id, source,
+                md5(array_to_string(
+                  string_split(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g'), ' ')[1:8],
+                  ' ')) AS fp,
+                len(string_split(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g'), ' ')) AS n_tokens
+              FROM documents),
+            shared AS (SELECT fp FROM norm GROUP BY fp HAVING COUNT(*) > 1)
+            SELECT source, COUNT(*) AS n_docs,
+              COUNT(s.fp) AS n_dup_docs,
+              CAST(FLOOR(COUNT(s.fp) * 1.0 / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS dup_rate,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(FLOOR(SUM(n_tokens) * 1.0 / COUNT(*) * 100.0) AS DOUBLE) / 100.0 AS avg_tokens
+            FROM norm n LEFT JOIN shared s ON n.fp = s.fp
+            GROUP BY source ORDER BY source""")
+  )
+
   // --------------------------------------------- adaptive outlier trim
   /** q70: per-language length-outlier trimming — drop documents above
     * their OWN language's p95 length (fixed global thresholds over- or
@@ -620,5 +672,5 @@ object CorpusPipeline {
             GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64, q70, q71, q77)
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64, q70, q71, q77, q83)
 }
