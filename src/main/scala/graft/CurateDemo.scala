@@ -74,11 +74,30 @@ object CurateDemo {
       clean.filter(CorpusPipeline.hashFrac(col("doc_id")) <
         CorpusPipeline.rateCutoffHex(0.5)))
 
+    // day-2 story: land the curated batch's SIGNATURES so tomorrow's
+    // increment dedups against it without rescanning (IncrementalDedup)
+    val storeDir = java.nio.file.Files.createTempDirectory("curate-store").toString
+    llmops.IncrementalDedup.buildStore(sampled.drop("text_norm"), storeDir)
+    val (exactHits, nearHits) = llmops.IncrementalDedup.dedupeBatch(
+      spark, storeDir, sampled.drop("text_norm").limit(50)) // re-offer 50 landed docs
+    stages += (("store_exact_hits", exactHits.count()))
+    stages += (("store_near_hits", nearHits.count()))
+
+    // leakage-free split of the survivors: assignment unit = near-dup
+    // cluster (q79), so no dup group straddles train/eval
+    val splitAssign = llmops.Dedup.leakageFreeSplit(sampled)
+    val splitCounts = splitAssign.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
     println("== curation funnel ==")
     stages.foreach { case (n, c) => println(f"  $n%-18s $c%7d docs") }
-    val counts = stages.map(_._2)
+    val counts = stages.map(_._2).take(7) // funnel stages only
     require(counts.tail.zip(counts.tail.tail).forall { case (a, b) => b <= a },
       "curation funnel must be monotone non-increasing after raw")
+    require(stages.find(_._1 == "store_exact_hits").get._2 > 0,
+      "re-offered curated docs must hit the signature store")
+    println("== leakage-free split (cluster-keyed, q79) ==")
+    splitCounts.toSeq.sortBy(_._1).foreach { case (s, c) => println(f"  $s%-6s $c%6d docs") }
 
     println("== packing manifest (2048-token blocks, 16 shards/source) ==")
     import org.apache.spark.sql.expressions.Window

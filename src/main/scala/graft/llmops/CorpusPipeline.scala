@@ -292,6 +292,18 @@ object CorpusPipeline {
     */
   def hashFrac(id: Column): Column = substring(md5(id.cast("string")), 1, 8)
 
+  /** Domain-separated hash fraction: `md5(id || ':' || salt)`. Two
+    * hash-threshold decisions over the SAME key MUST use different salts
+    * or they correlate perfectly — e.g. a corpus sampled at rate 0.5 by
+    * unsalted hash, then split train/val/test by the same unsalted hash,
+    * puts every sampled doc in train (hash < 0.5 < 0.8). Found live by
+    * CurateDemo composing q61-style sampling with q79's split; q79 salts
+    * with "split" for exactly this reason. DuckDB spelling:
+    * `substr(md5(CAST(id AS VARCHAR) || ':salt'), 1, 8)`.
+    */
+  def hashFrac(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8)
+
   /** Hex cutoff for an expected sampling rate: floor(rate·2^32) as 8-digit
     * hex. rate ≥ 1.0 → "g", which sorts after every hex digit → keep-all.
     */

@@ -566,6 +566,12 @@ object Dedup {
   /** Per-document split assignment — see [[q79]]. Returns
     * (doc_id, cluster, skey, split); the no-straddle invariant (one split
     * per cluster) is structural: split is a pure function of skey.
+    *
+    * The hash is SALTED with "split" (domain separation): upstream
+    * sampling uses the unsalted hash of the same ids, and an unsalted
+    * split would correlate perfectly with it — every rate-r-sampled doc
+    * would land in train (see [[CorpusPipeline.hashFrac]]'s salted
+    * overload; caught live by CurateDemo).
     */
   def leakageFreeSplit(docs: DataFrame, trainCut: Double = 0.8,
                        valCut: Double = 0.9): DataFrame = {
@@ -574,7 +580,7 @@ object Dedup {
       .join(neardupLabels(docs), Seq("doc_id"), "left")
       .select(col("doc_id"), col("cluster"),
         coalesce(col("cluster"), col("doc_id")).as("skey"))
-    val h = hashFrac(col("skey"))
+    val h = hashFrac(col("skey"), "split")
     keyed.withColumn("split",
       when(h < rateCutoffHex(trainCut), "train")
         .when(h < rateCutoffHex(valCut), "val")
@@ -599,8 +605,8 @@ object Dedup {
                 COALESCE(lab.cluster, d.doc_id) AS skey
               FROM documents d LEFT JOIN lab USING (doc_id))
             SELECT CASE
-                WHEN substr(md5(CAST(skey AS VARCHAR)), 1, 8) < '${graft.llmops.CorpusPipeline.rateCutoffHex(0.8)}' THEN 'train'
-                WHEN substr(md5(CAST(skey AS VARCHAR)), 1, 8) < '${graft.llmops.CorpusPipeline.rateCutoffHex(0.9)}' THEN 'val'
+                WHEN substr(md5(CAST(skey AS VARCHAR) || ':split'), 1, 8) < '${graft.llmops.CorpusPipeline.rateCutoffHex(0.8)}' THEN 'train'
+                WHEN substr(md5(CAST(skey AS VARCHAR) || ':split'), 1, 8) < '${graft.llmops.CorpusPipeline.rateCutoffHex(0.9)}' THEN 'val'
                 ELSE 'test' END AS split,
               COUNT(*) AS n_docs,
               COUNT(cluster) AS n_clustered_docs,
