@@ -100,4 +100,21 @@ class SamplingSpec extends SparkTestBase {
     assert(crossSplit == 0,
       "near-dup pair split across train/eval — leakage")
   }
+
+  test("split hash is domain-separated from sampling hash (regression: all-train collapse)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    // sample at 0.5 by the UNSALTED hash (the q61 idiom), then split the
+    // survivors: with an unsalted split hash every sampled doc satisfies
+    // hash < 0.5 < 0.8 and lands in train (caught live by CurateDemo);
+    // the salted split must still produce all three splits
+    val sampled = docs.filter(
+      CorpusPipeline.hashFrac(col("doc_id")) < CorpusPipeline.rateCutoffHex(0.5))
+    val splits = Dedup.leakageFreeSplit(sampled)
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"),
+      s"sampled subset collapsed to $splits — split hash correlates with sampling hash")
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
 }
