@@ -32,10 +32,17 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision, fixed width: full-precision doubles made the 83-query
+    // line overflow the driver's stdout tail-capture window and clip the
+    // head (BENCH_r02/r03 both recorded "parsed": null). 3 decimals cuts
+    // ~8 chars per entry so the whole line fits the capture budget.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout tail-capture can clip the head of the line (BENCH_r02 recorded
     // "parsed": null from exactly that); the file copy is the durable artifact.

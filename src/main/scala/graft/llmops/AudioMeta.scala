@@ -33,10 +33,13 @@ object AudioMeta {
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
     var channels, rate, bits, byteRate = -1
     var dataSize = -1L
-    var i = 12
-    while (i + 8 <= b.length && (dataSize < 0 || channels < 0)) {
+    // Long cursor: a declared chunk size near Int.MaxValue would wrap an
+    // Int cursor negative and index b(i) out of bounds; in Long arithmetic
+    // the oversized advance just exits the loop — total on adversarial bytes
+    var cur = 12L
+    while (cur + 8 <= b.length && (dataSize < 0 || channels < 0)) {
+      val i = cur.toInt // cur + 8 <= b.length <= Int.MaxValue, so exact
       val size = le32(b, i + 4)
-      if (size < 0 || size > Int.MaxValue - 1) return None
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
         if (i + 8 + 16 > b.length) return None
         channels = le16(b, i + 10)
@@ -47,7 +50,7 @@ object AudioMeta {
                  b(i + 2) == 't' && b(i + 3) == 'a') {
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      cur += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (channels < 1 || rate < 1 || bits < 1 || byteRate < 1 || dataSize < 0) None
     else Some((channels, rate, bits, dataSize * 1000L / byteRate))

@@ -105,11 +105,24 @@ object IncrementalDedup {
     * between the two swaps the store is semantically consistent (an
     * un-recapped bucket table only over-generates candidates; the
     * verify stage filters them) and a re-run converges — compaction is
-    * idempotent.
+    * idempotent. The swap itself is delete-then-rename (object-store FSes
+    * have no atomic replace), so a crash between the delete and the rename
+    * leaves dst missing with the completed rewrite stranded in `.tmp`; the
+    * recovery pre-step below rolls that forward (tmp holds a full
+    * compacted table — renaming it into place restores the store) before
+    * any read, so the re-run converges instead of failing on a missing
+    * path.
     */
   def compactStore(spark: SparkSession, dir: String,
                    maxBucket: Int = 1000): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    def recover(name: String): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$name.tmp")
+      val fs = dst.getFileSystem(conf)
+      if (!fs.exists(dst) && fs.exists(tmp) && !fs.rename(tmp, dst))
+        throw new java.io.IOException(s"compactStore: recovery $tmp -> $dst failed")
+    }
     def swap(name: String): Unit = {
       val dst = new org.apache.hadoop.fs.Path(s"$dir/$name")
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/$name.tmp")
@@ -118,6 +131,8 @@ object IncrementalDedup {
       if (!fs.rename(tmp, dst))
         throw new java.io.IOException(s"compactStore: rename $tmp -> $dst failed")
     }
+    recover("fingerprints.parquet")
+    recover("buckets.parquet")
     spark.read.parquet(s"$dir/fingerprints.parquet")
       .groupBy("fp").agg(min("dup_of").as("dup_of"))
       .write.mode("overwrite").parquet(s"$dir/fingerprints.parquet.tmp")

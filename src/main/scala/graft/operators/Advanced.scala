@@ -114,7 +114,10 @@ object Advanced {
         .groupBy("o_orderstatus")
         .agg(
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
-          count(lit(1)).as("exact_cust"),
+          // count(o_custkey), not count(1): countDistinct ignored NULLs, so
+          // the pre-grouped rewrite must skip the NULL-key group too —
+          // count(1) would silently count it as one distinct customer
+          count(col("o_custkey")).as("exact_cust"),
           sum("__per_key").cast("long").as("n"))
         .orderBy("o_orderstatus"),
     None

@@ -33,6 +33,11 @@ import graft.sources.LandedFiles
   * NOT transactional: between the write and the delete sweep a concurrent
   * reader sees records twice (offset-dedup on read, or a manifest layer,
   * is the cure — out of scope here, as for most object-store lakes).
+  * Concurrent WRITERS are safe, though: the delete sweep is pinned to the
+  * snapshot of files the compaction actually read (`landed.inputFiles`,
+  * taken from the scan's own file index) — a file landed by a concurrent
+  * ingest after the input scan is not in the snapshot and is never
+  * deleted, so its records cannot be lost.
   *
   * Scale shape: ONE distributed job — scan → repartition by target file →
   * write (the sink's own shuffle); the driver touches only O(#files)
@@ -77,27 +82,38 @@ object Compaction {
       .withColumn("partition", col("_kafka_partition"))
       .dropDuplicates(Seq("topic", "partition", "offset"))
 
+    // SNAPSHOT the input set BEFORE writing: `inputFiles` reads the scan's
+    // own file index, so this is exactly the set of files whose records the
+    // compaction rewrites. The delete sweep is restricted to this snapshot —
+    // a file landed by a concurrent ingest between the scan and the sweep is
+    // absent from it and survives (its records were never rewritten;
+    // deleting it would be silent data loss).
+    val inputSnapshot = landed.inputFiles
+      .map(u => new Path(new java.net.URI(u)).toUri.getPath).toSet
+
     val result = OffsetNamedSink.writeBatchParquet(
       landed, cfg, partitioner, format, baseDir, payloadCols, extractor)
 
-    // Delete sweep: every file matching the sink's naming pattern that is
-    // not an output of this compaction. Driver-side listing — O(#files)
-    // metadata, the same budget as the sink's own rename pass.
     val root = new Path(baseDir, cfg.topicsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keep = result.files.map(f => new Path(baseDir, f.path).toUri.getPath).toSet
-    val d = java.util.regex.Pattern.quote(cfg.fileDelim)
-    val pattern = s"[^/]+$d\\d+$d\\d+\\.[A-Za-z0-9.]+$$".r
-    val it = fs.listFiles(root, true)
+    CompactionResult(result, sweepStaleInputs(fs, inputSnapshot, keep))
+  }
+
+  /** Delete every snapshot file that is not also a compaction output.
+    * Driver-side, O(#files) metadata — the same budget as the sink's own
+    * rename pass. Only paths from `inputSnapshot` are ever deleted; `keep`
+    * (this run's outputs) wins when an output reuses an input's name
+    * (identical group boundaries → byte-identical rewrite in place).
+    */
+  private[sink] def sweepStaleInputs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      inputSnapshot: Set[String],
+      keep: Set[String]): Seq[String] = {
     val deleted = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val f = it.next()
-      val p = f.getPath.toUri.getPath
-      if (f.isFile && pattern.findFirstIn(p).isDefined && !keep.contains(p)) {
-        fs.delete(f.getPath, false)
-        deleted += p
-      }
+    (inputSnapshot -- keep).toSeq.sorted.foreach { p =>
+      if (fs.delete(new Path(p), false)) deleted += p
     }
-    CompactionResult(result, deleted.result().sorted)
+    deleted.result()
   }
 }

@@ -43,6 +43,28 @@ class AudioMetaSpec extends SparkTestBase {
     }
   }
 
+  test("parse: total on a declared chunk size near Int.MaxValue (cursor overflow)") {
+    // A chunk declaring ~2^31-16 bytes wrapped the old Int cursor negative
+    // (i += 8 + size) and indexed b(i) out of bounds; the Long cursor just
+    // walks past the end and returns None. Size field 0x7FFFFFF0 LE.
+    val huge = hex(
+      "52494646" + "00000000" + "57415645" +
+        "4A554E4B" + "F0FFFF7F")      // "JUNK" chunk, size 0x7FFFFFF0
+    assert(AudioMeta.parse(huge ++ Array.fill(64)(0.toByte)).isEmpty)
+    // unsigned-range size (bit 31 set) must also be total
+    val unsigned = hex(
+      "52494646" + "00000000" + "57415645" +
+        "4A554E4B" + "F0FFFFFF")      // size 0xFFFFFFF0
+    assert(AudioMeta.parse(unsigned ++ Array.fill(64)(0.toByte)).isEmpty)
+    // fmt parsed first, then the oversized chunk: still None (no data), no throw
+    val fmtThenHuge = hex(
+      "52494646" + "00000000" + "57415645" +
+        "666D7420" + "10000000" +
+        "0100" + "0100" + "803E0000" + "007D0000" + "0200" + "1000" +
+        "4A554E4B" + "F0FFFF7F")
+    assert(AudioMeta.parse(fmtThenHuge ++ Array.fill(64)(0.toByte)).isEmpty)
+  }
+
   test("property: parse is total on arbitrary and mutated-WAV bytes") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -158,6 +158,35 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(caps == 0)
   }
 
+  test("compactStore: recovers a crash between delete and rename (dst gone, rewrite in .tmp)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    val store = corpus.filter(col("doc_id") % 5 =!= 0)
+    IncrementalDedup.buildStore(store, dir)
+    val fpsExpected = spark.read.parquet(s"$dir/fingerprints.parquet")
+      .select("fp", "dup_of").as[(String, Long)].collect().toSet
+
+    // Simulate the swap's crash window: fs.delete(dst) done, rename(tmp,dst)
+    // not — the completed compacted table is stranded in `.tmp` and the
+    // live path is MISSING. (The store is already 1-row-per-fp, so the
+    // tmp content here — the table itself — is exactly what a compaction
+    // rewrite would have staged.)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/fingerprints.parquet")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/fingerprints.parquet.tmp")
+    assert(fs.rename(dst, tmp) && !fs.exists(dst))
+
+    // the docstring's claim under test: a re-run CONVERGES instead of
+    // failing on the missing path
+    IncrementalDedup.compactStore(spark, dir)
+    val fpsAfter = spark.read.parquet(s"$dir/fingerprints.parquet")
+      .select("fp", "dup_of").as[(String, Long)].collect().toSet
+    assert(fpsAfter == fpsExpected)
+    // and the recovered store still answers dedup queries
+    assert(spark.read.parquet(s"$dir/buckets.parquet").count() > 0)
+  }
+
   test("appendToStore: the next increment sees the previous batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sigstore").toString

@@ -41,6 +41,27 @@ class AdvancedSpec extends SparkTestBase {
     }
   }
 
+  test("q36's pre-grouped rewrite preserves countDistinct NULL semantics") {
+    import spark.implicits._
+    // TPC-H custkey is non-null, so exercise the rewrite shape on a frame
+    // where the key IS nullable: a NULL key must not count as a distinct
+    // customer (count(key), not count(1), after the pre-group)
+    val rows = Seq(
+      ("O", Some(1L)), ("O", Some(1L)), ("O", Some(2L)), ("O", None),
+      ("F", None), ("F", None))
+      .toDF("o_orderstatus", "o_custkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-q36null").toString
+    rows.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Advanced.q36.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val expected = rows.groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)                 // exact_cust == countDistinct, n == all rows
+    assert(got("F") == ((0L, 2L)))          // all-NULL group: zero distinct, both rows counted
+    assert(got("O") == ((2L, 4L)))          // NULL-key group excluded from distinct, not from n
+  }
+
   test("sessionization: gap closes sessions, counts partition the events") {
     val out = Advanced.q37.run(spark, sf("sf0.001"))
     val total = out.agg(sum("n_events")).collect().head.getLong(0)

@@ -61,6 +61,35 @@ class CompactionSpec extends SparkTestBase {
     assert(listFiles(base) == files1)
   }
 
+  test("sweep is pinned to the input snapshot — a concurrently-landed file survives") {
+    val base = tmpDir()
+    ingest(base.toString)
+    // the files the compaction "read" (snapshot taken before its write)
+    val snapshot = listFiles(base).map(rel =>
+      new org.apache.hadoop.fs.Path(s"$base/$rel").toUri.getPath).toSet
+    // a concurrent ingest lands AFTER the scan: pattern-matching name,
+    // records never rewritten by this compaction run
+    val lateDf = kafkaRecords("c", nParts = 1, perPart = 1100)
+      .where("offset >= 1000 and offset < 1100")
+    OffsetNamedSink.writeBatchParquet(
+      lateDf, PipelineConfig(flushSize = 100), DefaultPartitioner,
+      ParquetFormat(), base.toString, payloadCols = Seq("offset", "a", "b"))
+    val late = listFiles(base).find(_.endsWith(f"c+0+${1000}%010d.parquet")).get
+    val latePath = new org.apache.hadoop.fs.Path(s"$base/$late").toUri.getPath
+    assert(!snapshot.contains(latePath))
+
+    val fs = new org.apache.hadoop.fs.Path(base.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = Set.empty[String] // outputs elsewhere; sweep everything read
+    val deleted = Compaction.sweepStaleInputs(fs, snapshot, keep)
+    // every snapshot file swept, the late file UNTOUCHED — its records were
+    // never rewritten, deleting it would be silent data loss
+    assert(deleted.toSet == snapshot)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(latePath)))
+    val survivors = listFiles(base)
+    assert(survivors == Seq(late))
+  }
+
   test("compaction: converges after a simulated crash that left stale inputs") {
     val base = tmpDir()
     ingest(base.toString)
