@@ -519,19 +519,23 @@ object Dedup {
   val q72 = QuerySpec(
     "q72_canonical_per_cluster",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val w = Window.partitionBy("cluster")
-        .orderBy(col("n_chars").desc, col("doc_id"))
+      // argmax as ONE aggregate, not a rank window: max over
+      // (n_chars, -doc_id) structs is lexicographic, so the winner is the
+      // longest member with ties to the LOWEST doc_id — same row the
+      // ROW_NUMBER form picks, but with map-side partials and no
+      // per-cluster sort (one shuffle of the clustered-doc set instead of
+      // a window sort followed by the same shuffle)
       neardupLabels(docs)
         .join(docs.select("doc_id", "n_chars"), "doc_id")
-        .withColumn("__rn", row_number().over(w))
         .groupBy("cluster")
         .agg(
           count(lit(1)).as("n_members"),
-          max(when(col("__rn") === 1, col("doc_id"))).as("kept_doc"),
-          max(when(col("__rn") === 1, col("n_chars"))).as("kept_chars"))
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("__best"))
         .filter(col("n_members") >= 2)
+        .select(col("cluster"), col("n_members"),
+          (-col("__best.neg_id")).as("kept_doc"),
+          col("__best.n_chars").as("kept_chars"))
         .orderBy("cluster")
     },
     Some(s"""WITH $neardupLabelsCtes,
@@ -590,12 +594,24 @@ object Dedup {
   val q79 = QuerySpec(
     "q79_leakage_free_split",
     (s, d) => {
+      // Pre-aggregate on (split, skey) before the distinct count: a mixed
+      // distinct/non-distinct aggregate plans via Expand — every corpus row
+      // duplicated per aggregate group before the shuffle (q36's lesson).
+      // skey groups are cluster-consistent by construction (a cluster label
+      // is the min member id, and that doc is itself clustered, so no
+      // unclustered doc_id can collide with a label) — after the pre-group
+      // the distinct is a plain conditional count. One |corpus|-row keyed
+      // shuffle instead of a 2x-expanded one.
       leakageFreeSplit(Tables.documents(s, d))
+        .groupBy("split", "skey")
+        .agg(count(lit(1)).as("__n"),
+          first(col("cluster").isNotNull).as("__clustered"))
         .groupBy("split")
         .agg(
-          count(lit(1)).as("n_docs"),
-          count(col("cluster")).as("n_clustered_docs"),
-          countDistinct(when(col("cluster").isNotNull, col("skey"))).as("n_clusters"))
+          sum("__n").cast("long").as("n_docs"),
+          sum(when(col("__clustered"), col("__n")).otherwise(lit(0L)))
+            .cast("long").as("n_clustered_docs"),
+          count(when(col("__clustered"), lit(1))).as("n_clusters"))
         .orderBy("split")
     },
     Some(s"""WITH $neardupLabelsCtes,
