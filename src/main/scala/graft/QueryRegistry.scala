@@ -13,7 +13,8 @@ object QueryRegistry {
       graft.llmops.ProductQuant.all ++
       graft.llmops.Multimodal.all ++
       graft.llmops.AudioMeta.all ++
-      graft.llmops.CorpusPipeline.all
+      graft.llmops.CorpusPipeline.all ++
+      graft.llmops.PretrainOps.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }

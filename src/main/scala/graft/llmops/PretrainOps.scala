@@ -1,0 +1,252 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Ops.{asciiLower, asciiLowerSql, fanOut, ffloor}
+
+/** Pre-training corpus planning operators: LM-quality scoring, segment-level
+  * dedup, token-budget allocation, and context-length packing audit — the
+  * four decisions a pipeline makes BETWEEN cleaning (TextAnalysis/Dedup) and
+  * writing shards (CorpusPipeline/q64). All are scan-plus-keyed-aggregate
+  * plans; nothing here windows over a corpus stratum or collects to the
+  * driver.
+  */
+object PretrainOps {
+
+  /** (doc_id, term, tf) — the per-doc term-frequency table (one tokenize
+    * pass + one keyed aggregate; the same start as q55/q56).
+    */
+  private def termFreq(docs: DataFrame): DataFrame =
+    fanOut(docs)
+      .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  // ---------------------------------------------------------------- q84
+  /** Unigram-LM surprisal score — the CCNet/Wikipedia-LM quality proxy:
+    * train unigram probabilities ON the corpus itself, score each document
+    * by its mean per-token surprisal -ln p(t). Low = repetitive/templated
+    * text, high = rare-token soup (both tails get filtered in production;
+    * the score is the input to that gate).
+    *
+    * Scale shape: the vocabulary table (term, ctf) is the same one q78's
+    * novelty join uses — the doc→vocab join rides the term aggregate's
+    * shuffle; the corpus total is a broadcast single-row aggregate. No
+    * windows, no collect.
+    *
+    * Determinism: per-TERM surprisal is truncated to integer MICRO-nats
+    * (floor(ln(N/ctf)·1e6) as BIGINT) so every downstream op — tf-weighted
+    * sum, mean — is pure integer/IEEE arithmetic, identical across engines;
+    * a sub-ulp ln() divergence can only flip a value sitting exactly on a
+    * 1e-6 boundary (q55's accepted ffloor contract).
+    */
+  val q84 = QuerySpec(
+    "q84_unigram_surprisal",
+    (s, d) => {
+      val tf = termFreq(Tables.documents(s, d))
+      val ctf = tf.groupBy("term").agg(sum("tf").cast("long").as("ctf"))
+      val n = tf.agg(sum("tf").cast("long").as("n_total"))
+      val sMicro = floor(
+        log(col("n_total").cast("double") / col("ctf").cast("double")) * lit(1e6))
+        .cast("long")
+      tf.join(ctf, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tf"), sMicro.as("s_micro"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("s_micro")).cast("long").as("__total_micro"),
+          sum("tf").cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          ffloor(col("__total_micro").cast("double") / lit(1e6) /
+            col("n_tokens").cast("double"), 4).as("mean_surprisal"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   WHERE term <> '' GROUP BY 1, 2),
+            ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+            n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM tf),
+            s AS (SELECT term,
+                CAST(FLOOR(ln(CAST(n_total AS DOUBLE) / CAST(ctf AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS s_micro
+              FROM ctf CROSS JOIN n)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+              CAST(FLOOR(CAST(SUM(tf * s_micro) AS DOUBLE) / 1000000.0
+                / CAST(SUM(tf) AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0
+                AS mean_surprisal
+            FROM tf JOIN s USING (term)
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q85
+  /** Segment-level first-occurrence dedup — the C4/RefinedWeb idiom one
+    * level below document dedup: split every doc into non-overlapping
+    * 50-token chunks, keep each distinct chunk ONLY at its first corpus
+    * occurrence (lowest doc_id, then lowest chunk_idx), and report each
+    * document's surviving-chunk fraction. Docs full of already-seen
+    * segments (mirrors, quote farms, boilerplate shells) score near 0.
+    *
+    * The winner per chunk-hash is ONE keyed aggregate — min of the
+    * integer-encoded position doc_id·100000+chunk_idx (chunk_idx < 100000
+    * always: even a 5M-token doc has 100k chunks) — and per-doc kept
+    * counts are an aggregate OVER THE WINNER TABLE (one row per distinct
+    * chunk), never a join back to the corpus-sized chunk list: a
+    * million-way duplicated boilerplate chunk contributes one winner row,
+    * so hot hashes cannot skew a probe side.
+    */
+  val q85 = QuerySpec(
+    "q85_chunk_dedup",
+    (s, d) => {
+      val chunks = CorpusPipeline.chunk(Tables.documents(s, d), chunkSize = 50, overlap = 0)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("h"),
+          (col("doc_id") * lit(100000L) + col("chunk_idx")).as("pos"))
+      val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val winners = chunks.groupBy("h").agg(min("pos").as("wpos"))
+        .select(expr("wpos div 100000").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_kept"))
+      perDoc.join(winners, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .withColumn("kept_frac",
+          ffloor(col("n_kept").cast("double") / col("n_chunks").cast("double"), 4))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents),
+            chunks AS (
+              SELECT doc_id, chunk_idx,
+                md5(array_to_string(list_slice(ts, chunk_idx * 50 + 1,
+                  LEAST(chunk_idx * 50 + 50, len(ts))), ' ')) AS h,
+                doc_id * 100000 + chunk_idx AS pos
+              FROM (SELECT doc_id, ts,
+                      unnest(range(0, (len(ts) - 1) // 50 + 1)) AS chunk_idx
+                    FROM toks)),
+            per_doc AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY 1),
+            winners AS (
+              SELECT MIN(pos) // 100000 AS doc_id FROM chunks GROUP BY h),
+            kept AS (SELECT doc_id, COUNT(*) AS n_kept FROM winners GROUP BY 1)
+            SELECT p.doc_id, CAST(p.n_chunks AS BIGINT) AS n_chunks,
+              CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+              CAST(FLOOR(CAST(COALESCE(k.n_kept, 0) AS DOUBLE)
+                / CAST(p.n_chunks AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0
+                AS kept_frac
+            FROM per_doc p LEFT JOIN kept k USING (doc_id)
+            ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q86
+  /** Token-budget mixture allocation — the "how many epochs of each source"
+    * planner table: given per-source token inventories, a total training
+    * budget (60% of the corpus here), and an epoch cap (2× — repeating
+    * data beyond a couple of epochs hurts), allocate uniformly, cap, and
+    * redistribute the remainder to uncapped sources in ONE equal-share
+    * round (the deterministic closed form both engines compute exactly;
+    * production iterates the same step to a fixpoint). Complements q60/q71:
+    * those pick sampling RATES, this one plans token VOLUMES.
+    *
+    * Everything after the single corpus-scale token count is arithmetic on
+    * a k-row (per-source) table with two broadcast single-row aggregates —
+    * scale-free by construction. Pure integer math (div, least): no
+    * engine can disagree, and no intermediate exceeds 2× the corpus total
+    * (no overflow at any conceivable scale).
+    */
+  val q86 = QuerySpec(
+    "q86_token_budget_mixture",
+    (s, d) => {
+      val perSrc = fanOut(Tables.documents(s, d))
+        .groupBy("source")
+        .agg(sum(size(split(asciiLower(col("text")), " ")).cast("long"))
+          .cast("long").as("t_avail"))
+      val tot = perSrc.agg(sum("t_avail").cast("long").as("t_total"),
+        count(lit(1)).as("k"))
+      val base = perSrc.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("t_total * 6 div 10"))
+        .withColumn("cap", col("t_avail") * 2)
+        .withColumn("base", least(col("cap"), expr("budget div k")))
+      val second = base.agg(
+        (max("budget") - sum("base")).cast("long").as("leftover"),
+        sum(when(col("cap") > col("base"), lit(1L)).otherwise(lit(0L)))
+          .cast("long").as("n_uncapped"))
+      base.crossJoin(broadcast(second))
+        .withColumn("extra",
+          when(col("cap") > col("base") && col("n_uncapped") > 0,
+            least(col("cap") - col("base"), expr("leftover div n_uncapped")))
+            .otherwise(lit(0L)))
+        .select(col("source"), col("t_avail"),
+          (col("base") + col("extra")).as("t_alloc"),
+          expr("(base + extra) * 1000 div t_avail").as("epochs_milli"))
+        .orderBy("source")
+    },
+    Some(s"""WITH per_src AS (
+              SELECT source,
+                CAST(SUM(len(string_split(${asciiLowerSql("text")}, ' '))) AS BIGINT) AS t_avail
+              FROM documents GROUP BY source),
+            tot AS (SELECT CAST(SUM(t_avail) AS BIGINT) AS t_total,
+                      COUNT(*) AS k FROM per_src),
+            base AS (
+              SELECT source, t_avail,
+                t_total * 6 // 10 AS budget,
+                t_avail * 2 AS cap,
+                LEAST(t_avail * 2, (t_total * 6 // 10) // k) AS base
+              FROM per_src CROSS JOIN tot),
+            second AS (
+              SELECT CAST(MAX(budget) - SUM(base) AS BIGINT) AS leftover,
+                CAST(SUM(CASE WHEN cap > base THEN 1 ELSE 0 END) AS BIGINT) AS n_uncapped
+              FROM base)
+            SELECT source, t_avail,
+              CAST(base + CASE WHEN cap > base AND n_uncapped > 0
+                THEN LEAST(cap - base, leftover // n_uncapped) ELSE 0 END AS BIGINT)
+                AS t_alloc,
+              CAST((base + CASE WHEN cap > base AND n_uncapped > 0
+                THEN LEAST(cap - base, leftover // n_uncapped) ELSE 0 END) * 1000
+                // t_avail AS BIGINT) AS epochs_milli
+            FROM base CROSS JOIN second ORDER BY source""")
+  )
+
+  // ---------------------------------------------------------------- q87
+  /** Context-length packing audit: bucket documents by power-of-two token
+    * length (bucket = bit width of the count — floor(log2)+1, computed as
+    * the length of the base-2 string so there is no float log near exact
+    * powers) and report, per bucket, the document count, token volume, and
+    * the sequence count + pad waste a naive one-doc-per-sequence loader
+    * would pay at a 512-token context. The table that says whether packing
+    * (q64) is worth running and where the tokens actually live. Pure
+    * per-row integer expressions + one tiny aggregate.
+    */
+  val q87 = QuerySpec(
+    "q87_packing_audit",
+    (s, d) => {
+      val L = 512L
+      val n = size(split(asciiLower(col("text")), " ")).cast("long")
+      fanOut(Tables.documents(s, d))
+        .select(n.as("n_tokens"))
+        .withColumn("bucket", length(bin(col("n_tokens"))).cast("int"))
+        .withColumn("seqs", expr(s"(n_tokens + ${L - 1}) div $L"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          sum("seqs").cast("long").as("n_seqs"),
+          (sum("seqs") * lit(L) - sum("n_tokens")).cast("long").as("pad_tokens"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (
+              SELECT len(string_split(${asciiLowerSql("text")}, ' ')) AS n_tokens
+              FROM documents),
+            b AS (
+              SELECT n_tokens,
+                CAST(length(to_base(n_tokens, 2)) AS INTEGER) AS bucket,
+                (n_tokens + 511) // 512 AS seqs
+              FROM t)
+            SELECT bucket, COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(SUM(seqs) AS BIGINT) AS n_seqs,
+              CAST(SUM(seqs) * 512 - SUM(n_tokens) AS BIGINT) AS pad_tokens
+            FROM b GROUP BY bucket ORDER BY bucket""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q84, q85, q86, q87)
+}

@@ -1,0 +1,91 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the pre-training planning operators on controlled
+  * corpora (the hash-oracle proves engine parity; these prove the
+  * operators measure what they claim).
+  */
+class PretrainOpsSpec extends SparkTestBase {
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pretrain").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q84: common-token docs score below rare-token docs; frequent corpus ranks sanely") {
+    // "the" appears 12x in the corpus, each rare word once: a doc of "the"s
+    // has near-zero surprisal, a doc of hapaxes is maximal
+    val dir = docsDir(Seq(
+      (1L, "the the the the the the the the", "en", "s", 8L),
+      (2L, "zebra quark fjord nymph vex jolt wisp glyph", "en", "s", 8L),
+      (3L, "the the the the zebra2 quark2 fjord2 nymph2", "en", "s", 8L)))
+    val out = PretrainOps.q84.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 8L)
+    val (s1, s2, s3) = (out(1L)._2, out(2L)._2, out(3L)._2)
+    assert(s1 < s3 && s3 < s2, s"expected monotone surprisal, got $s1 $s3 $s2")
+    assert(s1 >= 0.0)
+    // doc 2 is all hapaxes: mean surprisal = ln(N/1) with N=24 tokens,
+    // truncated — check against the closed form
+    assert(math.abs(s2 - math.log(24.0)) < 1e-3)
+  }
+
+  test("q85: exact copy keeps nothing, unique doc keeps everything, partial overlap in between") {
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ") // 120 tokens = 3 chunks of 50
+    val uniq = (1 to 120).map(i => s"other$i").mkString(" ")
+    val halfNew = ((1 to 50).map(i => s"tok$i") ++ (1 to 50).map(i => s"fresh$i")).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base, "en", "s", base.length.toLong),      // exact copy, later id
+      (3L, uniq, "en", "s", uniq.length.toLong),
+      (4L, halfNew, "en", "s", halfNew.length.toLong)))
+    val out = PretrainOps.q85.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))   // first occurrence owns all its chunks
+    assert(out(2L) == ((3L, 0L, 0.0)))   // the copy owns none
+    assert(out(3L) == ((3L, 3L, 1.0)))   // unique content untouched
+    assert(out(4L)._1 == 2L && out(4L)._2 == 1L) // chunk 1 = doc 1's chunk 1; chunk 2 fresh
+  }
+
+  test("q86: budget conserved, caps respected, equal-share redistribution") {
+    // src a: 1000 tokens, src b: 100 (will cap at 200), src c: 900
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, words(1000, "a"), "en", "srcA", 1L),
+      (2L, words(100, "b"), "en", "srcB", 1L),
+      (3L, words(900, "c"), "en", "srcC", 1L)))
+    val out = PretrainOps.q86.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = 2000L
+    val budget = total * 6 / 10 // 1200
+    val bylabel = out.map(r => r._1 -> r).toMap
+    // fair = 400; B caps at 200; leftover 200 split equally (100 each) to A and C
+    assert(bylabel("srcA") == (("srcA", 1000L, 500L, 500L)))
+    assert(bylabel("srcB") == (("srcB", 100L, 200L, 2000L)))
+    assert(bylabel("srcC") == (("srcC", 900L, 500L, 555L)))
+    assert(out.map(_._3).sum == budget)          // fully allocated here
+    out.foreach { case (_, avail, alloc, em) =>
+      assert(alloc <= 2 * avail && em <= 2000L)  // epoch cap everywhere
+    }
+  }
+
+  test("q87: buckets are bit widths, doc counts conserve, pad math is exact") {
+    val dir = docsDir(Seq(
+      (1L, (1 to 7).map(_ => "w").mkString(" "), "en", "s", 1L),    // 7 tok  -> bucket 3
+      (2L, (1 to 8).map(_ => "w").mkString(" "), "en", "s", 1L),    // 8 tok  -> bucket 4
+      (3L, (1 to 600).map(_ => "w").mkString(" "), "en", "s", 1L))) // 600 tok -> bucket 10, 2 seqs
+    val out = PretrainOps.q87.run(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(3, 4, 10))
+    assert(out(3) == ((1L, 7L, 1L, 505L)))
+    assert(out(4) == ((1L, 8L, 1L, 504L)))
+    assert(out(10) == ((1L, 600L, 2L, 424L))) // 2*512 - 600
+    assert(out.values.map(_._1).sum == 3L)
+  }
+}
