@@ -248,5 +248,150 @@ object PretrainOps {
             FROM b GROUP BY bucket ORDER BY bucket""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q84, q85, q86, q87)
+  // ---------------------------------------------------------------- q88
+  /** Cross-source 5-gram overlap matrix — the source-level dedup planner:
+    * before mixing sources, measure how much content they share (mirror
+    * sites, syndicated feeds, common boilerplate). For each source pair
+    * with any overlap: shared distinct 5-grams and the Jaccard over the
+    * two sources' gram sets (inclusion–exclusion for the union).
+    *
+    * Scale shape: the per-source gram set is a distinct aggregate; the
+    * pairwise intersection is an equi-join ON THE GRAM, and a gram held by
+    * k sources fans out to at most k(k-1)/2 pair rows — bounded by the
+    * SOURCE count, not the corpus, so no hot-key cap is needed (the rare
+    * place where the quadratic term is over a genuinely tiny set). Pairs
+    * with zero overlap are absent by construction.
+    */
+  val q88 = QuerySpec(
+    "q88_source_overlap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = Dedup.shingles(fanOut(docs), 5)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle").distinct()
+      val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+      grams.as("a")
+        .join(grams.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.select(col("source").as("src_a"), col("n").as("__na")), "src_a")
+        .join(sizes.select(col("source").as("src_b"), col("n").as("__nb")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          ffloor(col("n_shared").cast("double") /
+            (col("__na") + col("__nb") - col("n_shared")).cast("double"), 4)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, source, string_split(${asciiLowerSql("text")}, ' ') AS ts
+              FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
+            grams AS (
+              SELECT DISTINCT source, g FROM (
+                SELECT source,
+                  unnest(list_transform(range(1, len(ts) - 3),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                      || '_' || ts[i+4])) AS g
+                FROM toks)),
+            sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY 1),
+            pairs AS (
+              SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+              FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+              GROUP BY 1, 2)
+            SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+              CAST(FLOOR(CAST(n_shared AS DOUBLE)
+                / CAST(sa.n + sb.n - n_shared AS DOUBLE) * 10000.0) AS DOUBLE)
+                / 10000.0 AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.source = src_a
+            JOIN sizes sb ON sb.source = src_b
+            ORDER BY src_a, src_b""")
+  )
+
+  // ---------------------------------------------------------------- q89
+  /** Vocabulary frequency spectrum (Zipf audit): bucket every vocabulary
+    * type by the bit width of its corpus frequency (1, 2–3, 4–7, …) and
+    * report types and token mass per bucket — the curve that sizes a BPE
+    * vocabulary and predicts how much mass a min-frequency cutoff drops.
+    * Two keyed aggregates (term count → bucket rollup); the spectrum
+    * table itself is ~40 rows at any corpus size.
+    */
+  val q89 = QuerySpec(
+    "q89_zipf_spectrum",
+    (s, d) => {
+      fanOut(Tables.documents(s, d))
+        .select(explode(split(asciiLower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("ctf"))
+        .withColumn("bucket", length(bin(col("ctf"))).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_types"),
+          sum("ctf").cast("long").as("token_mass"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH toks AS (
+              SELECT unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
+              FROM documents),
+            ctf AS (SELECT term, COUNT(*) AS ctf FROM toks
+                    WHERE term <> '' GROUP BY 1)
+            SELECT CAST(length(to_base(ctf, 2)) AS INTEGER) AS bucket,
+              COUNT(*) AS n_types,
+              CAST(SUM(ctf) AS BIGINT) AS token_mass
+            FROM ctf GROUP BY bucket ORDER BY bucket""")
+  )
+
+  // ---------------------------------------------------------------- q90
+  /** Tokenizer-efficiency audit per language: chars per token and UTF-8
+    * bytes per char — the fertility numbers that decide whether a
+    * tokenizer (and a byte budget) fits a multilingual corpus. Byte
+    * length is `octet_length` (Spark) / `strlen` (DuckDB); char length is
+    * `length` on both. One scan, one tiny aggregate; ratios guarded
+    * against empty-text groups.
+    */
+  val q90 = QuerySpec(
+    "q90_tokenizer_efficiency",
+    (s, d) => {
+      val n = size(split(asciiLower(col("text")), " ")).cast("long")
+      fanOut(Tables.documents(s, d))
+        .select(col("lang"), n.as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          sum("n_chars").cast("long").as("total_chars"),
+          sum("n_bytes").cast("long").as("total_bytes"))
+        .withColumn("chars_per_token",
+          when(col("total_tokens") > 0,
+            ffloor(col("total_chars").cast("double") /
+              col("total_tokens").cast("double"), 4)))
+        .withColumn("bytes_per_char",
+          when(col("total_chars") > 0,
+            ffloor(col("total_bytes").cast("double") /
+              col("total_chars").cast("double"), 4)))
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (
+              SELECT lang,
+                len(string_split(${asciiLowerSql("text")}, ' ')) AS n_tokens,
+                length(text) AS n_chars,
+                strlen(text) AS n_bytes
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+              CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+              CASE WHEN SUM(n_tokens) > 0 THEN
+                CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE)
+                  / CAST(SUM(n_tokens) AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0
+                END AS chars_per_token,
+              CASE WHEN SUM(n_chars) > 0 THEN
+                CAST(FLOOR(CAST(SUM(n_bytes) AS DOUBLE)
+                  / CAST(SUM(n_chars) AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0
+                END AS bytes_per_char
+            FROM t GROUP BY lang ORDER BY lang""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q84, q85, q86, q87, q88, q89, q90)
 }

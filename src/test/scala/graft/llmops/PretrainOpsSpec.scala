@@ -75,6 +75,41 @@ class PretrainOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q88: identical sources give jaccard 1, disjoint pairs are absent, partial overlap exact") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")   // 6 distinct 5-grams
+    val other = (1 to 10).map(i => s"o$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, shared, "en", "srcA", 1L),
+      (2L, shared, "en", "srcB", 1L),  // B == A exactly
+      (3L, other, "en", "srcC", 1L)))  // C disjoint from both
+    val out = PretrainOps.q88.run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("srcA", "srcB"))) // zero-overlap pairs absent
+    assert(out(("srcA", "srcB")) == ((6L, 1.0)))
+  }
+
+  test("q89: spectrum conserves types and token mass, buckets are frequency bit widths") {
+    // "the" x5 (bucket 3), "a" x2 (bucket 2), 3 hapaxes (bucket 1)
+    val dir = docsDir(Seq(
+      (1L, "the the the a zebra", "en", "s", 1L),
+      (2L, "the the a quark fjord", "en", "s", 1L)))
+    val out = PretrainOps.q89.run(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1 -> ((3L, 3L)), 2 -> ((1L, 2L)), 3 -> ((1L, 5L))))
+    assert(out.values.map(_._2).sum == 10L) // token mass == corpus tokens
+  }
+
+  test("q90: byte/char/token ratios are exact on ascii and multibyte text") {
+    val dir = docsDir(Seq(
+      (1L, "ab cd", "en", "s", 1L),        // 2 tokens, 5 chars, 5 bytes
+      (2L, "éé éé", "fr", "s", 1L))) // 2 tokens, 5 chars, 9 bytes (é = 2 bytes)
+    val out = PretrainOps.q90.run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out("en") == ((1L, 2L, 5L, 5L, 2.5, 1.0)))
+    assert(out("fr") == ((1L, 2L, 5L, 9L, 2.5, 1.8)))
+  }
+
   test("q87: buckets are bit widths, doc counts conserve, pad math is exact") {
     val dir = docsDir(Seq(
       (1L, (1 to 7).map(_ => "w").mkString(" "), "en", "s", 1L),    // 7 tok  -> bucket 3
