@@ -32,23 +32,29 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    // ms precision, fixed width: full-precision doubles made the 83-query
-    // line overflow the driver's stdout tail-capture window and clip the
-    // head (BENCH_r02/r03 both recorded "parsed": null). 3 decimals cuts
-    // ~8 chars per entry so the whole line fits the capture budget.
+    // The driver records only the last ~2000 chars of stdout (BENCH_r03's
+    // "tail" field is exactly 2000 chars and the JSON head was clipped →
+    // "parsed": null, two rounds running). At 90+ queries even 3-decimal
+    // full-name entries are ~3 kB, so the stdout line uses the short query
+    // id ("q72" for "q72_canonical_per_cluster" — the contract's own
+    // example shape, {"q1":sec}), ~1.2 kB total. The file artifact keeps
+    // full names at 3 decimals.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout tail-capture can clip the head of the line (BENCH_r02 recorded
-    // "parsed": null from exactly that); the file copy is the durable artifact.
+    def line(short: Boolean): String = {
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          val key = if (short) k.takeWhile(_ != '_') else k
+          "\"" + key + "\":" + fmt(v)
+        }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    println(line(short = true))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line(short = false) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }

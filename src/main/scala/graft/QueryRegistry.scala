@@ -14,7 +14,8 @@ object QueryRegistry {
       graft.llmops.Multimodal.all ++
       graft.llmops.AudioMeta.all ++
       graft.llmops.CorpusPipeline.all ++
-      graft.llmops.PretrainOps.all
+      graft.llmops.PretrainOps.all ++
+      graft.llmops.CurationOps.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }

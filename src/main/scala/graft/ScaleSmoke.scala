@@ -57,7 +57,11 @@ object ScaleSmoke {
       "q74_incremental_neardup", "q76_audio_meta",
       "q77_corpus_snapshot_diff", "q78_ngram_novelty",
       "q29_embedding_topk", "q32_embedding_lsh_neardup", "q38_embedding_ivf_topk",
-      "q67_knn_label", "q75_embedding_pq_topk")
+      "q67_knn_label", "q75_embedding_pq_topk",
+      "q84_unigram_surprisal", "q85_chunk_dedup", "q88_source_overlap",
+      "q89_zipf_spectrum", "q90_tokenizer_efficiency",
+      "q91_bloom_decontamination", "q92_importance_resample",
+      "q93_bigram_perplexity", "q94_quality_gate", "q95_semantic_dedup")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

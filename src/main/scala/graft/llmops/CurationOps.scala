@@ -1,0 +1,297 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.operators.Ops.{asciiLowerSql, ffloor}
+
+/** Corpus-curation operators added in round 4: sketch-accelerated
+  * decontamination, per-document importance resampling, bigram-LM
+  * perplexity scoring, a composite quality gate, and embedding-level
+  * semantic dedup. Every oracled query keeps the established determinism
+  * contract (md5 membership, micro-nat integer surprisal, ffloor output
+  * truncation) so DuckDB hash-matches bit-for-bit.
+  */
+object CurationOps {
+
+  // ---------------------------------------------------------------- q91
+  /** Bloom-filter decontamination — the 100 TB twin of q58. q58 broadcasts
+    * the full distinct eval 8-gram SET and hash-joins the corpus gram
+    * stream against it; at a large benchmark suite that broadcast is GBs
+    * and every corpus gram pays a hash-table probe. Here the eval side is
+    * compressed to a ~1.2 MB Bloom filter over `xxhash64(gram)` (1M
+    * capacity @ 1% fpp — sized for a benchmark suite, not the corpus) and
+    * the corpus stream is pre-filtered by a codegen-friendly
+    * `BloomFilterMightContain` probe BEFORE the exact verify join, so
+    * ~99% of clean grams never reach the join. The verify join against
+    * the true eval set removes Bloom false positives, which is what makes
+    * the result EXACTLY q58's — same oracle SQL, hash-identical output.
+    *
+    * Scale shape: corpus side still never shuffles (bloom probe is a
+    * narrow filter; the verify join stays broadcast); the driver-side
+    * `stat.bloomFilter` aggregates only the SMALL eval side. The filter
+    * insert and probe are the same sketch-library putLong/mightContainLong
+    * pair over the same `xxhash64(shingle)` key, so no hash-scheme
+    * mismatch is possible.
+    */
+  val q91 = QuerySpec(
+    "q91_bloom_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalGrams = Dedup.shingles(docs.filter(col("doc_id") < 10), 8)
+        .select("shingle").distinct()
+      val bloom = evalGrams.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", 1000000L, 0.01)
+      val ser = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
+      val mightContain: Column = ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(ser)),
+          ColumnBridge.expression(xxhash64(col("shingle")))))
+      Dedup.shingles(docs.filter(col("doc_id") >= 10), 8)
+        .filter(mightContain)
+        .join(broadcast(evalGrams), "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy("doc_id")
+    },
+    // Identical semantics to q58 (the bloom is a pre-filter whose false
+    // positives the verify join removes) -> identical oracle.
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 8),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 6),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                      || '_' || ts[i+4] || '_' || ts[i+5] || '_' || ts[i+6] || '_' || ts[i+7])) AS g
+                FROM toks)),
+            eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+            SELECT doc_id, COUNT(*) AS n_shared_8grams
+            FROM grams JOIN eval_grams USING (g)
+            WHERE doc_id >= 10
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q92
+  /** Per-document importance resampling — the DSIR-flavored step between
+    * uniform sampling (q61/q62: one rate per stratum) and training: each
+    * document gets its OWN acceptance probability from a cheap observable
+    * importance proxy (here length-normalized: long-form documents are
+    * upweighted, p = clamp(n_chars/400, 0.05, 1)), and membership is the
+    * salted hash-threshold primitive — `hashFrac(doc_id,'isr') <
+    * hex(floor(p·2^32))` — so the decision is per-row, deterministic
+    * across engines/layouts, and needs no window, sort, or RNG state.
+    *
+    * Scale shape: scan → narrow per-row predicate → one tiny aggregate.
+    * The per-row hex cutoff is integer floor arithmetic on IEEE doubles
+    * computed by the identical op sequence in both engines.
+    */
+  val q92 = QuerySpec(
+    "q92_importance_resample",
+    (s, d) => {
+      val p = greatest(lit(0.05), least(lit(1.0),
+        col("n_chars").cast("double") / lit(400.0)))
+      val cutoff = when(p >= 1.0, lit("g")).otherwise(
+        lower(lpad(hex(floor(p * lit(4294967296.0)).cast("long")), 8, "0")))
+      val member = CorpusPipeline.hashFrac(col("doc_id"), "isr") < cutoff
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(member, 1)).as("n_sampled"),
+          sum(when(member, col("n_chars"))).cast("long").as("sampled_chars"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (
+              SELECT source, n_chars,
+                GREATEST(CAST(0.05 AS DOUBLE), LEAST(CAST(1.0 AS DOUBLE),
+                  CAST(n_chars AS DOUBLE) / 400.0)) AS p,
+                substr(md5(CAST(doc_id AS VARCHAR) || ':isr'), 1, 8) AS h
+              FROM documents),
+            c AS (
+              SELECT source, n_chars, h,
+                CASE WHEN p >= 1.0 THEN 'g'
+                     ELSE printf('%08x', CAST(FLOOR(p * 4294967296.0) AS BIGINT)) END AS cutoff
+              FROM t)
+            SELECT source, COUNT(*) AS n_total,
+              COUNT(CASE WHEN h < cutoff THEN 1 END) AS n_sampled,
+              CAST(SUM(CASE WHEN h < cutoff THEN n_chars END) AS BIGINT) AS sampled_chars
+            FROM c GROUP BY source ORDER BY source""")
+  )
+
+  // ---------------------------------------------------------------- q93
+  /** Bigram-LM cross-entropy scoring — the CCNet/KenLM-style perplexity
+    * filter one order above q84's unigram surprisal: train add-one-smoothed
+    * bigram probabilities ON the corpus (p(w2|w1) = (c12+1)/(c1+V)), score
+    * every document by its mean per-bigram cross-entropy. Templated/
+    * repetitive documents land in the low tail, rare-token soup in the
+    * high tail; production thresholds both.
+    *
+    * Scale shape: the bigram count table is vocab²-bounded (far below
+    * corpus size), the doc→model join rides the bigram aggregate's own
+    * (w1,w2) shuffle, and V is a broadcast single-row aggregate. No
+    * windows over corpus strata (the lead() window partitions by doc_id —
+    * bounded by the longest document, same contract as shingling).
+    *
+    * Determinism: per-BIGRAM surprisal is truncated to integer micro-nats
+    * (q84's contract) so downstream sums/means are integer/IEEE-exact
+    * across engines.
+    */
+  val q93 = QuerySpec(
+    "q93_bigram_perplexity",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = Dedup.tokensWithPos(docs)
+        .select(col("doc_id"), col("tok").as("w1"),
+          lead(col("tok"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+      val tf = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+      val c12 = tf.groupBy("w1", "w2").agg(sum("tf").cast("long").as("c12"))
+      val c1 = tf.groupBy("w1").agg(sum("tf").cast("long").as("c1"))
+      val vocab = Dedup.tokensWithPos(docs).agg(countDistinct("tok").as("v"))
+      val sMicro = floor(
+        log((col("c1").cast("double") + col("v").cast("double")) /
+          (col("c12").cast("double") + lit(1.0))) * lit(1e6)).cast("long")
+      tf.join(c12, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"), col("tf"), sMicro.as("s_micro"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("s_micro")).cast("long").as("__total_micro"),
+          sum("tf").cast("long").as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          ffloor(col("__total_micro").cast("double") / lit(1e6) /
+            col("n_bigrams").cast("double"), 4).as("mean_xent"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents),
+            pairs AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks
+                    WHERE len(ts) >= 2)),
+            tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+            c12 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT unnest.t) AS v FROM (
+                    SELECT unnest(ts) AS t FROM toks) AS unnest),
+            s AS (SELECT w1, w2,
+                CAST(FLOOR(ln((CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))
+                  / (CAST(c12 AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT) AS s_micro
+              FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+              CAST(FLOOR(CAST(SUM(tf * s_micro) AS DOUBLE) / 1000000.0
+                / CAST(SUM(tf) AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0
+                AS mean_xent
+            FROM tf JOIN s USING (w1, w2)
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  // ---------------------------------------------------------------- q94
+  /** Composite quality gate — the Gopher-rules keep/drop pass: each
+    * document is tested against four independent rules (token-count band,
+    * mean-word-length band, minimum stopword signal) and the per-source
+    * report counts every rule's failures plus the surviving docs. The
+    * per-rule counts are what dataset governance actually reads — "why did
+    * source X lose 40%?" — not just the keep rate.
+    *
+    * Scale shape: pure per-row expression work over one scan + one keyed
+    * aggregate; all thresholds are constants (in production a broadcast
+    * config table). Rule arithmetic is integer counts and one ffloor'd
+    * ratio — deterministic across engines.
+    */
+  val q94 = QuerySpec(
+    "q94_quality_gate",
+    (s, d) => {
+      val ts = split(graft.operators.Ops.asciiLower(col("text")), " ")
+      val nTok = size(ts)
+      val sumLen = length(array_join(ts, ""))
+      val meanWl = ffloor(sumLen.cast("double") / nTok.cast("double"), 4)
+      val stopRatio = ffloor(
+        size(filter(ts, t => t.isin("the", "a"))).cast("double") /
+          nTok.cast("double"), 4)
+      val fShort = nTok < 20
+      val fLong = nTok > 90
+      val fWordlen = meanWl < 4.3 || meanWl > 4.8
+      val fStop = stopRatio < 0.005
+      Tables.documents(s, d)
+        .select(col("source"), fShort.as("f_short"), fLong.as("f_long"),
+          fWordlen.as("f_wordlen"), fStop.as("f_stop"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(!col("f_short") && !col("f_long") &&
+            !col("f_wordlen") && !col("f_stop"), 1)).as("n_kept"),
+          count(when(col("f_short"), 1)).as("n_short"),
+          count(when(col("f_long"), 1)).as("n_long"),
+          count(when(col("f_wordlen"), 1)).as("n_wordlen"),
+          count(when(col("f_stop"), 1)).as("n_stop"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (
+              SELECT source,
+                len(string_split(${asciiLowerSql("text")}, ' ')) AS n_tok,
+                len(array_to_string(string_split(${asciiLowerSql("text")}, ' '), '')) AS sum_len,
+                len(list_filter(string_split(${asciiLowerSql("text")}, ' '),
+                  x -> x IN ('the', 'a'))) AS n_stopw
+              FROM documents),
+            f AS (
+              SELECT source,
+                n_tok < 20 AS f_short,
+                n_tok > 90 AS f_long,
+                (CAST(FLOOR(CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                    * 10000.0) AS DOUBLE) / 10000.0 < 4.3
+                 OR CAST(FLOOR(CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                    * 10000.0) AS DOUBLE) / 10000.0 > 4.8) AS f_wordlen,
+                CAST(FLOOR(CAST(n_stopw AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                  * 10000.0) AS DOUBLE) / 10000.0 < 0.005 AS f_stop
+              FROM t)
+            SELECT source, COUNT(*) AS n_docs,
+              COUNT(CASE WHEN NOT f_short AND NOT f_long AND NOT f_wordlen
+                AND NOT f_stop THEN 1 END) AS n_kept,
+              COUNT(CASE WHEN f_short THEN 1 END) AS n_short,
+              COUNT(CASE WHEN f_long THEN 1 END) AS n_long,
+              COUNT(CASE WHEN f_wordlen THEN 1 END) AS n_wordlen,
+              COUNT(CASE WHEN f_stop THEN 1 END) AS n_stop
+            FROM f GROUP BY source ORDER BY source""")
+  )
+
+  // ---------------------------------------------------------------- q95
+  /** Embedding-level semantic dedup (SemDeDup-style): bucket vectors by
+    * seeded random-hyperplane signature (q32's machinery), verify
+    * candidate pairs with exact cosine, and DROP every vector that has a
+    * lower-id near-duplicate — keeping one representative per duplicate
+    * neighborhood deterministically (lowest id wins, the same canonical
+    * rule as q21/q72). Reported per label so retention skew across classes
+    * is visible.
+    *
+    * Candidate generation is the bucket equi-join — never all-pairs — and
+    * the drop set is a broadcast-sized distinct list at any scale where
+    * near-dup density is sane (it is bounded by the number of duplicates,
+    * not the corpus). Rows-only check (seeded hyperplanes are not
+    * SQL-expressible); SemDedupSpec asserts planted-duplicate behavior,
+    * determinism, and the keep-one-per-clique invariant on exact clones.
+    */
+  def semanticDedupReport(vectors: DataFrame, minCos: Double, nBits: Int): DataFrame = {
+    val pairs = Similarity.lshNearDupPairs(vectors, minCos, nBits)
+    val drops = pairs.select(col("v2").as("vec_id")).distinct()
+    vectors
+      .join(drops, Seq("vec_id"), "left_anti")
+      .select(col("label"))
+      .groupBy("label").agg(count(lit(1)).as("n_kept"))
+      .join(vectors.groupBy("label").agg(count(lit(1)).as("n_vecs")), Seq("label"))
+      .select(col("label"), col("n_vecs"), col("n_kept"))
+      .orderBy("label")
+  }
+
+  val q95 = QuerySpec(
+    "q95_semantic_dedup",
+    (s, d) => semanticDedupReport(Tables.embeddings(s, d), minCos = 0.2, nBits = 8),
+    None
+  )
+
+  val all: Seq[QuerySpec] = Seq(q91, q92, q93, q94, q95)
+}

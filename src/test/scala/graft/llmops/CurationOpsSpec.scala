@@ -1,0 +1,142 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-4 curation operators on controlled
+  * corpora (the hash-oracle proves engine parity for q91–q94; these prove
+  * the operators measure what they claim, and carry q95's correctness
+  * entirely — seeded hyperplanes have no SQL oracle).
+  */
+class CurationOpsSpec extends SparkTestBase {
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def vecsDir(rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation_vec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q91: bloom pre-filter + exact verify equals the exact q58 decontamination") {
+    val sfDir = sf("sf0.01")
+    val bloom = CurationOps.q91.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = CorpusPipeline.q58.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bloom.sameElements(exact),
+      s"bloom path diverged: ${bloom.toSeq} vs ${exact.toSeq}")
+    assert(exact.nonEmpty) // the check has power: contamination exists at sf0.01
+  }
+
+  test("q91: planted 8-gram contamination is found with exact counts") {
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ")
+    // doc 30 contains eval tokens 5..12 (one 8-gram window = positions 5..12
+    // give exactly 1 shared 8-gram); doc 31 is clean.
+    val contaminated = ((1 to 4).map(i => s"x$i") ++ (5 to 12).map(i => s"ev$i") ++
+      (1 to 4).map(i => s"y$i")).mkString(" ")
+    val clean = (1 to 16).map(i => s"z$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, evalText, "en", "s", 1L),
+      (30L, contaminated, "en", "s", 1L),
+      (31L, clean, "en", "s", 1L)))
+    val out = CurationOps.q91.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((30L, 1L)))
+  }
+
+  test("q92: acceptance probability clamps to [0.05, 1] and keep-all at p=1") {
+    // 600-char docs have p=1 (>= 400): ALL must be sampled regardless of hash.
+    val dir = docsDir((1L to 40L).map(i =>
+      (i, s"doc$i", "en", if (i <= 20) "big" else "small",
+        if (i <= 20) 600L else 8L)))
+    val out = CurationOps.q92.run(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("big") == ((20L, 20L)), s"p=1 stratum must keep everything: $out")
+    // tiny docs: p clamps at 0.05 — expect FEW kept (binomial n=20 p=0.05;
+    // 20 would mean the clamp failed)
+    assert(out("small")._2 < 10L, s"p=0.05 stratum kept too many: $out")
+  }
+
+  test("q93: repetitive text scores below novel text; add-one smoothing exact on a closed form") {
+    val rep = Array.fill(9)("ab ab").mkString(" ") // "ab ab ab ..." 18 tokens
+    val novel = (1 to 18).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, rep, "en", "s", 1L),
+      (2L, novel, "en", "s", 1L)))
+    val out = CurationOps.q93.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 17L && out(2L)._1 == 17L)
+    assert(out(1L)._2 < out(2L)._2,
+      s"repetition must lower cross-entropy: $out")
+    // closed form for the repetitive doc: vocab V=19 (ab + w1..w18);
+    // bigram (ab,ab) has c12=17, head count c1=17 → s = ln((17+19)/(17+1))
+    val expected = math.log((17.0 + 19.0) / 18.0)
+    assert(math.abs(out(1L)._2 - expected) < 1e-3, s"got ${out(1L)._2}, want $expected")
+  }
+
+  test("q94: each rule fires on its designed violator and only kept docs pass all") {
+    val good = (1 to 30).map(i => "word" + (i % 7)).mkString(" ") + " the a the"
+    val short = "tiny doc the a"
+    val long = (1 to 95).map(i => "word" + (i % 7)).mkString(" ") + " the a"
+    val longWords = (1 to 30).map(_ => "extraordinarily").mkString(" ") + " the a"
+    val noStop = (1 to 30).map(i => "word" + (i % 7)).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, good, "en", "sG", 1L),
+      (2L, short, "en", "sS", 1L),
+      (3L, long, "en", "sL", 1L),
+      (4L, longWords, "en", "sW", 1L),
+      (5L, noStop, "en", "sN", 1L)))
+    val out = CurationOps.q94.run(spark, dir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // (n_kept, n_short, n_long, n_wordlen, n_stop)
+    assert(out("sG")._1 == 1L, s"good doc must pass: $out")
+    assert(out("sS")._2 == 1L && out("sS")._1 == 0L)
+    assert(out("sL")._3 == 1L && out("sL")._1 == 0L)
+    assert(out("sW")._4 == 1L && out("sW")._1 == 0L)
+    assert(out("sN")._5 == 1L && out("sN")._1 == 0L)
+  }
+
+  test("q95: exact clones collapse to one survivor per clique, lowest id wins; distinct vectors survive") {
+    val r = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // 5 distinct base vectors; base 0 cloned 3x (ids 100,101,102), base 1
+    // cloned 2x (ids 200,201); others singletons. Clones are identical →
+    // same LSH bucket, cosine 1.0 → all but the lowest id drop.
+    val b = Seq.fill(5)(unit())
+    // near-orthogonal random unit vectors in R^64 typically have |cos| < 0.2:
+    // keep only bases that are pairwise below the threshold so singletons
+    // can't accidentally pair (deterministic seed makes this stable).
+    val rows = Seq(
+      (100L, b(0), 0), (101L, b(0), 0), (102L, b(0), 0),
+      (200L, b(1), 1), (201L, b(1), 1),
+      (300L, b(2), 2), (400L, b(3), 3), (500L, b(4), 4))
+    val dir = vecsDir(rows)
+    val out = CurationOps.q95.run(spark, dir).collect()
+      .map(r2 => r2.getInt(0) -> ((r2.getLong(1), r2.getLong(2)))).toMap
+    assert(out(0) == ((3L, 1L)), s"clique of 3 keeps exactly 1: $out")
+    assert(out(1) == ((2L, 1L)), s"clique of 2 keeps exactly 1: $out")
+    assert(out(2) == ((1L, 1L)) && out(3) == ((1L, 1L)) && out(4) == ((1L, 1L)))
+    // determinism: second run bit-identical
+    val again = CurationOps.q95.run(spark, dir).collect()
+      .map(r2 => r2.getInt(0) -> ((r2.getLong(1), r2.getLong(2)))).toMap
+    assert(again == out)
+    // lowest id is the survivor: the drop set is exactly the higher ids
+    val pairs = Similarity.lshNearDupPairs(
+      spark.read.parquet(s"$dir/embeddings.parquet"), minCos = 0.2, nBits = 8)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
+    assert(pairs.forall { case (v1, v2) => v1 < v2 })
+  }
+}
