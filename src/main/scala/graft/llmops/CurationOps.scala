@@ -293,5 +293,144 @@ object CurationOps {
     None
   )
 
-  val all: Seq[QuerySpec] = Seq(q91, q92, q93, q94, q95)
+  // ------------------------------------------------- decontamination store
+  /** Persisted decontamination store — the train-once-query-many form of
+    * q91, the shape a production pipeline actually runs: the benchmark
+    * suite's 8-gram set is built ONCE (grams parquet for the exact verify +
+    * the Bloom prefilter bytes + a meta line), then every ingest batch or
+    * corpus sweep probes it without touching the eval corpus again. The
+    * decontamination analog of [[IncrementalDedup.buildStore]].
+    *
+    * Store layout: `grams.parquet` (distinct eval grams — the ground
+    * truth), `bloom.bin` (sketch over xxhash64(gram)), `meta.json`
+    * (shingle k, capacity, fpp). Bloom bytes go through the Hadoop FS API
+    * like every sink artifact, so the store works on any object-store URI.
+    */
+  object DecontamStore {
+    def build(evalDocs: DataFrame, dir: String, k: Int = 8,
+              capacity: Long = 1000000L, fpp: Double = 0.01): Unit = {
+      val grams = Dedup.shingles(evalDocs, k).select("shingle").distinct()
+      grams.write.mode("overwrite").parquet(s"$dir/grams.parquet")
+      val spark = evalDocs.sparkSession
+      // re-read what was written: one eval-side pass feeds both artifacts
+      val bloom = spark.read.parquet(s"$dir/grams.parquet")
+        .select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", capacity, fpp)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      try bloom.writeTo(out) finally out.close()
+      val meta = fs.create(new org.apache.hadoop.fs.Path(s"$dir/meta.json"), true)
+      try meta.write(
+        s"""{"k":$k,"capacity":$capacity,"fpp":$fpp}""".getBytes("UTF-8"))
+      finally meta.close()
+    }
+
+    /** The Bloom prefilter as a Column over a `shingle` column. */
+    def bloomProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   gram: Column): Column = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(bytes)),
+          ColumnBridge.expression(xxhash64(gram))))
+    }
+
+    /** Filter a (micro-)batch of documents against the store: returns the
+      * CLEAN rows (no 8-gram shared with the eval set). The streaming
+      * ingest form runs this inside `foreachBatch` — the same place the
+      * sink layer already does batch-grain work — because shingle assembly
+      * uses a doc-local window (unsupported on an unbounded stream) and
+      * the verdict is per-document, not per-row-forever. Batch-grain
+      * shape: shingle → Bloom prefilter (drops ~all clean grams) → exact
+      * semi-join against grams.parquet → distinct contaminated ids →
+      * left_anti. The batch is never shuffled except by its own doc_id
+      * shingle window; the store side is broadcast.
+      */
+    def decontaminateBatch(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, batch: DataFrame, k: Int = 8): DataFrame = {
+      val grams = spark.read.parquet(s"$dir/grams.parquet")
+      val contaminated = Dedup.shingles(batch, k)
+        .filter(bloomProbe(spark, dir, col("shingle")))
+        .join(broadcast(grams), "shingle")
+        .select("doc_id").distinct()
+      batch.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+  }
+
+  // ---------------------------------------------------------------- q96
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query vector, the k most cosine-similar vectors with a DIFFERENT
+    * label — near-misses that teach a model the decision boundary (the
+    * supervised counterpart of q29's neighbor search). Exact scoring over
+    * the label-filtered candidate set; deterministic tie-break on vec_id;
+    * output truncation via ffloor — bit-exact against DuckDB.
+    *
+    * SCALE PAIRING: same contract as q29 — the broadcast query side and
+    * per-query rank window are the exact/oracle form; at corpus scale the
+    * candidate set comes from the ANN path first (IVF q38 / PQ q75 probe,
+    * then this exact label-aware rerank over the shortlist).
+    */
+  val q96 = QuerySpec(
+    "q96_hard_negatives",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          Similarity.norm(col("embedding")).as("qn"), col("label").as("qlabel"))
+      val c = e.select(col("vec_id"), col("embedding").as("ce"),
+        Similarity.norm(col("embedding")).as("cn"), col("label"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("cos_raw").desc_nulls_last, col("vec_id"))
+      broadcast(q).join(c, col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosineFromParts(
+            Similarity.dot(col("qe"), col("ce")), col("qn"), col("cn"))
+            .as("cos_raw"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn"), col("vec_id"),
+          ffloor(col("cos_raw"), 4).as("cos"))
+        .orderBy("qid", "rn")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (
+              SELECT qid, vec_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS dot,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nq,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(ee) + 1),
+                    i -> CAST(ee[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nc
+              FROM q, (SELECT vec_id, embedding AS ee, label FROM embeddings)
+              WHERE label <> qlabel)
+            SELECT qid, rn, vec_id, cos FROM (
+              SELECT qid, vec_id,
+                CAST(FLOOR(dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0) * 10000.0) AS DOUBLE) / 10000.0 AS cos,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0)
+                    DESC NULLS LAST, vec_id) AS rn
+              FROM s)
+            WHERE rn <= 5 ORDER BY qid, rn""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q91, q92, q93, q94, q95, q96)
 }

@@ -105,6 +105,69 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out("sN")._5 == 1L && out("sN")._1 == 0L)
   }
 
+  test("DecontamStore: persisted bloom+grams filter batches; clean docs pass, contaminated drop") {
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ")
+    val dirtyText = ((1 to 4).map(i => s"x$i") ++ (5 to 12).map(i => s"ev$i") ++
+      (1 to 4).map(i => s"y$i")).mkString(" ")
+    val cleanText = (1 to 16).map(i => s"z$i").mkString(" ")
+    val evalDir = docsDir(Seq((1L, evalText, "en", "s", 1L)))
+    val store = java.nio.file.Files.createTempDirectory("decontam").toString
+    CurationOps.DecontamStore.build(
+      spark.read.parquet(s"$evalDir/documents.parquet"), store)
+    import spark.implicits._
+    val batch = Seq((30L, dirtyText), (31L, cleanText)).toDF("doc_id", "text")
+    val out = CurationOps.DecontamStore
+      .decontaminateBatch(spark, store, batch)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(31L), s"dirty doc must drop, clean must pass: ${out.toSeq}")
+  }
+
+  test("DecontamStore: streaming ingest filters per micro-batch via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDir = docsDir(Seq((1L, (1 to 20).map(i => s"ev$i").mkString(" "), "en", "s", 1L)))
+    val store = java.nio.file.Files.createTempDirectory("decontam_s").toString
+    CurationOps.DecontamStore.build(
+      spark.read.parquet(s"$evalDir/documents.parquet"), store)
+    val dirty = ((1 to 4).map(i => s"x$i") ++ (5 to 12).map(i => s"ev$i")).mkString(" ")
+    val clean = (1 to 16).map(i => s"z$i").mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((40L, dirty), (41L, clean))
+    val landed = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        CurationOps.DecontamStore.decontaminateBatch(spark, store, batch)
+          .select("doc_id").collect().foreach(r => landed.synchronized {
+            landed += r.getLong(0)
+          })
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(landed.sorted.toSeq == Seq(41L),
+      s"stream must land only the clean doc: ${landed.toSeq}")
+  }
+
+  test("q96: hard negatives come only from other labels, ranked by cosine, self excluded") {
+    val out = CurationOps.q96.run(spark, sf("sf0.01")).collect()
+    assert(out.nonEmpty)
+    val vecs = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val (qid, rn, vid, cos) = (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      assert(vecs(qid) != vecs(vid), s"negative $vid shares label with query $qid")
+      assert(rn >= 1 && rn <= 5 && cos <= 1.0001 && cos >= -1.0001)
+    }
+    // per query: descending cosine
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q95: exact clones collapse to one survivor per clique, lowest id wins; distinct vectors survive") {
     val r = new scala.util.Random(7)
     def unit(): Array[Float] = {
