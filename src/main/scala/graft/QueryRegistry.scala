@@ -13,6 +13,7 @@ object QueryRegistry {
       graft.llmops.ProductQuant.all ++
       graft.llmops.Multimodal.all ++
       graft.llmops.AudioMeta.all ++
+      graft.llmops.VideoMeta.all ++
       graft.llmops.CorpusPipeline.all ++
       graft.llmops.PretrainOps.all ++
       graft.llmops.CurationOps.all

@@ -61,7 +61,8 @@ object ScaleSmoke {
       "q84_unigram_surprisal", "q85_chunk_dedup", "q88_source_overlap",
       "q89_zipf_spectrum", "q90_tokenizer_efficiency",
       "q91_bloom_decontamination", "q92_importance_resample",
-      "q93_bigram_perplexity", "q94_quality_gate", "q95_semantic_dedup")
+      "q93_bigram_perplexity", "q94_quality_gate", "q95_semantic_dedup",
+      "q96_hard_negatives")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

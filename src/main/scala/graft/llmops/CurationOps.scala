@@ -22,8 +22,8 @@ object CurationOps {
     * the full distinct eval 8-gram SET and hash-joins the corpus gram
     * stream against it; at a large benchmark suite that broadcast is GBs
     * and every corpus gram pays a hash-table probe. Here the eval side is
-    * compressed to a ~1.2 MB Bloom filter over `xxhash64(gram)` (1M
-    * capacity @ 1% fpp — sized for a benchmark suite, not the corpus) and
+    * compressed to a Bloom filter over `xxhash64(gram)` (sized from the
+    * eval gram count @ 1% fpp — KBs here, ~1 MB for a real suite) and
     * the corpus stream is pre-filtered by a codegen-friendly
     * `BloomFilterMightContain` probe BEFORE the exact verify join, so
     * ~99% of clean grams never reach the join. The verify join against
@@ -43,8 +43,12 @@ object CurationOps {
       val docs = Tables.documents(s, d)
       val evalGrams = Dedup.shingles(docs.filter(col("doc_id") < 10), 8)
         .select("shingle").distinct()
+      // sized from the real eval gram count (one count() on the SMALL side):
+      // a fixed 1M-capacity bloom is a 1.2 MB literal that bloats every task
+      // binary and plan copy; sizing to the suite keeps it a few KB
+      val nEval = evalGrams.count()
       val bloom = evalGrams.select(xxhash64(col("shingle")).as("h"))
-        .stat.bloomFilter("h", 1000000L, 0.01)
+        .stat.bloomFilter("h", math.max(nEval, 1L), 0.01)
       val ser = { val b = new java.io.ByteArrayOutputStream(); bloom.writeTo(b); b.toByteArray }
       val mightContain: Column = ColumnBridge.column(
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
@@ -308,14 +312,18 @@ object CurationOps {
     */
   object DecontamStore {
     def build(evalDocs: DataFrame, dir: String, k: Int = 8,
-              capacity: Long = 1000000L, fpp: Double = 0.01): Unit = {
+              capacity: Option[Long] = None, fpp: Double = 0.01): Unit = {
       val grams = Dedup.shingles(evalDocs, k).select("shingle").distinct()
       grams.write.mode("overwrite").parquet(s"$dir/grams.parquet")
       val spark = evalDocs.sparkSession
-      // re-read what was written: one eval-side pass feeds both artifacts
-      val bloom = spark.read.parquet(s"$dir/grams.parquet")
+      // re-read what was written: one eval-side pass feeds both artifacts.
+      // Capacity defaults to the REAL gram count (cheap — it's the eval
+      // side): an oversized bloom is a megabyte literal in every probe plan.
+      val landed = spark.read.parquet(s"$dir/grams.parquet")
+      val cap = capacity.getOrElse(math.max(landed.count(), 1L))
+      val bloom = landed
         .select(xxhash64(col("shingle")).as("h"))
-        .stat.bloomFilter("h", capacity, fpp)
+        .stat.bloomFilter("h", cap, fpp)
       val conf = spark.sparkContext.hadoopConfiguration
       val p = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
       val fs = p.getFileSystem(conf)
@@ -432,5 +440,82 @@ object CurationOps {
             WHERE rn <= 5 ORDER BY qid, rn""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q91, q92, q93, q94, q95, q96)
+  // ---------------------------------------------------------------- q98
+  /** Boilerplate STRIPPING — the transform that consumes q68's mined list:
+    * every token covered by any occurrence of a corpus-frequent trigram
+    * (doc-frequency ≥ minDf, q68's definition) is removed, and the
+    * document is reassembled from the surviving tokens in order. Reports
+    * per doc the before/after token counts and the md5 of the cleaned
+    * text, so the oracle hash certifies the REASSEMBLED BYTES, not just
+    * counts.
+    *
+    * Scale shape: the hot-gram list is vocabulary-scale and df-filtered
+    * (boilerplate is by definition few distinct spans) → broadcast; the
+    * coverage explode is ×3 on matched positions only; reassembly
+    * aggregates per doc_id with an explicit array_sort on (pos, tok) —
+    * collect_list order is plan-dependent, the sort makes it
+    * deterministic — and the array is bounded by the longest document,
+    * the same bound every shingle window here already carries.
+    */
+  def stripBoilerplate(docs: DataFrame, minDf: Int): DataFrame = {
+    val toks = Dedup.tokensWithPos(docs)
+    val grams = Dedup.shinglesWithPos(docs, 3)
+    val hot = grams.select("doc_id", "shingle").distinct()
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("shingle")
+    val covered = grams.join(broadcast(hot), "shingle")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(2))).as("pos"))
+      .distinct()
+    val before = toks.groupBy("doc_id").agg(count(lit(1)).as("n_before"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_after"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"))
+    before.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q98 = QuerySpec(
+    "q98_boilerplate_strip",
+    (s, d) => stripBoilerplate(Tables.documents(s, d), minDf = 5),
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents),
+            tp AS (
+              SELECT doc_id, i AS pos, ts[i] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)),
+            grams AS (
+              SELECT doc_id, i AS pos,
+                ts[i] || '_' || ts[i+1] || '_' || ts[i+2] AS g
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks
+                    WHERE len(ts) >= 3)),
+            hot AS (
+              SELECT g FROM (
+                SELECT g, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, g FROM grams)
+                GROUP BY g) WHERE df >= 5),
+            covered AS (
+              SELECT DISTINCT doc_id, grams.pos + o.o AS pos
+              FROM grams JOIN hot USING (g)
+              CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o),
+            before_t AS (SELECT doc_id, COUNT(*) AS n_before FROM tp GROUP BY doc_id),
+            kept AS (
+              SELECT tp.doc_id, COUNT(*) AS n_after,
+                string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+              FROM tp ANTI JOIN covered
+                ON tp.doc_id = covered.doc_id AND tp.pos = covered.pos
+              GROUP BY tp.doc_id)
+            SELECT b.doc_id, b.n_before,
+              CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after,
+              md5(COALESCE(k.clean_text, '')) AS clean_md5
+            FROM before_t b LEFT JOIN kept k USING (doc_id)
+            ORDER BY doc_id""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q91, q92, q93, q94, q95, q96, q98)
 }

@@ -168,6 +168,27 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q98: planted boilerplate spans strip; unique content survives byte-exactly") {
+    // "sub to our feed" (4 tokens = two overlapping trigrams) appears in 6
+    // docs -> df >= 5 -> every token it covers strips; unique tails survive.
+    val boiler = "sub to our feed"
+    val rows = (1L to 6L).map(i =>
+      (i, s"$boiler unique$i tail$i words$i here$i", "en", "s", 1L)) :+
+      (7L, "entirely original text with no repeats at all", "en", "s", 1L)
+    val dir = docsDir(rows)
+    val out = CurationOps.q98.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    (1L to 6L).foreach { i =>
+      assert(out(i)._1 == 8L && out(i)._2 == 4L, s"doc $i: ${out(i)}")
+      // the cleaned text is exactly the unique tail
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"unique$i tail$i words$i here$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(out(i)._3 == expect, s"doc $i md5 mismatch")
+    }
+    assert(out(7L)._1 == 8L && out(7L)._2 == 8L, s"doc 7 untouched: ${out(7L)}")
+  }
+
   test("q95: exact clones collapse to one survivor per clique, lowest id wins; distinct vectors survive") {
     val r = new scala.util.Random(7)
     def unit(): Array[Float] = {
