@@ -62,7 +62,7 @@ object ScaleSmoke {
       "q89_zipf_spectrum", "q90_tokenizer_efficiency",
       "q91_bloom_decontamination", "q92_importance_resample",
       "q93_bigram_perplexity", "q94_quality_gate", "q95_semantic_dedup",
-      "q96_hard_negatives")
+      "q96_hard_negatives", "q97_video_meta", "q98_boilerplate_strip")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

@@ -517,5 +517,100 @@ object CurationOps {
             ORDER BY doc_id""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q91, q92, q93, q94, q95, q96, q98)
+  // ---------------------------------------------------------------- q99
+  /** Deterministic epoch-shuffle shard manifest — the reproducible
+    * replacement for "shuffle the corpus each epoch with RNG state":
+    * epoch e's order/placement key is `md5(doc_id || ':epoch' || e)`, so
+    * every worker (and every re-run, and every engine) derives the SAME
+    * epoch permutation from data alone, docs land on `nShards` via the
+    * key's hex prefix (uniform, content-addressed), and consecutive
+    * epochs are independent permutations (different salt → decorrelated,
+    * the q79 domain-separation lesson). Output: per (epoch, shard) doc
+    * count and token volume — the manifest a trainer validates against.
+    *
+    * Scale shape: per-row hash + ONE aggregate per epoch (unioned here for
+    * two epochs); no window, no sort of the corpus, no RNG state to
+    * distribute. The full sort a naive shuffle implies never happens —
+    * shard membership IS the permutation's coarse order, and within-shard
+    * order is the hash itself if a reader wants it.
+    */
+  val q99 = QuerySpec(
+    "q99_epoch_shuffle_manifest",
+    (s, d) => {
+      val nShards = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+      def epochOf(e: Int): DataFrame = {
+        // hex prefix → shard: first 8 hex digits mod nShards, computed as
+        // conv() in Spark and printf-free integer arithmetic in DuckDB via
+        // the LAST hex digit (16 % 8 == 0, so digit-mod is exact for
+        // power-of-two shard counts)
+        val h = CorpusPipeline.hashFrac(col("doc_id"), s"epoch$e")
+        val shard = (conv(substring(h, 8, 1), 16, 10).cast("int") % nShards)
+        docs.select(lit(e).as("epoch"), shard.as("shard"), col("n_chars"))
+      }
+      epochOf(0).unionAll(epochOf(1))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars"))
+        .orderBy("epoch", "shard")
+    },
+    Some("""WITH k AS (
+              SELECT e.epoch,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                  || ':epoch' || CAST(e.epoch AS VARCHAR)), 8, 1)) AS BIGINT) % 8
+                  AS shard,
+                n_chars
+              FROM documents CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e)
+            SELECT epoch, CAST(shard AS INTEGER) AS shard, COUNT(*) AS n_docs,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars
+            FROM k GROUP BY epoch, shard ORDER BY epoch, shard""")
+  )
+
+  // --------------------------------------------------------------- q100
+  /** Per-suite contamination attribution — q58/q91 answer "is this doc
+    * contaminated?"; governance needs "BY WHICH benchmark?" before
+    * deciding to drop a doc or an eval. Eval docs are grouped into suites
+    * (doc_id % 5 here; in production the benchmark name), and each corpus
+    * doc reports its shared-8-gram count PER SUITE — the table that
+    * distinguishes "one leaked benchmark" from "generally templated text".
+    *
+    * Scale shape: q58's broadcast join with (gram → suite) instead of
+    * (gram), then a (doc, suite) aggregate: the corpus still never
+    * shuffles, and the output is bounded by contaminated-docs × suites.
+    */
+  val q100 = QuerySpec(
+    "q100_contamination_by_suite",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalGrams = Dedup.shingles(docs.filter(col("doc_id") < 10), 8)
+        .select((col("doc_id") % 5).cast("int").as("suite"), col("shingle"))
+        .distinct()
+      Dedup.shingles(docs.filter(col("doc_id") >= 10), 8)
+        .join(broadcast(evalGrams), "shingle")
+        .groupBy("doc_id", "suite")
+        .agg(count(lit(1)).as("n_shared_8grams"))
+        .orderBy("doc_id", "suite")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 8),
+            grams AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 6),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                      || '_' || ts[i+4] || '_' || ts[i+5] || '_' || ts[i+6] || '_' || ts[i+7])) AS g
+                FROM toks)),
+            eval_grams AS (
+              SELECT DISTINCT CAST(doc_id % 5 AS INTEGER) AS suite, g
+              FROM grams WHERE doc_id < 10)
+            SELECT doc_id, suite, COUNT(*) AS n_shared_8grams
+            FROM grams JOIN eval_grams USING (g)
+            WHERE doc_id >= 10
+            GROUP BY doc_id, suite ORDER BY doc_id, suite""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100)
 }

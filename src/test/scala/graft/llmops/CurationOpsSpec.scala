@@ -189,6 +189,43 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out(7L)._1 == 8L && out(7L)._2 == 8L, s"doc 7 untouched: ${out(7L)}")
   }
 
+  test("q99: epoch permutations decorrelate; shards stay balanced; totals conserved") {
+    val dir = docsDir((1L to 400L).map(i => (i, s"doc$i", "en", "s", 10L)))
+    val out = CurationOps.q99.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every (epoch, shard) cell exists and totals conserve per epoch
+    (0 to 1).foreach { e =>
+      val counts = (0 to 7).map(sh => out.getOrElse((e, sh), 0L))
+      assert(counts.sum == 400L, s"epoch $e loses docs: $counts")
+      // binomial(400, 1/8): mean 50; all shards within a wide sanity band
+      assert(counts.forall(c => c > 20 && c < 90), s"epoch $e skew: $counts")
+    }
+    // the two epochs are DIFFERENT permutations: per-shard counts can
+    // collide, so check assignment-level divergence via the underlying hash
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def shard(e: Int) = (conv(substring(
+      CorpusPipeline.hashFrac(col("doc_id"), s"epoch$e"), 8, 1), 16, 10)
+      .cast("int") % 8).as(s"s$e")
+    val moved = docs.select(shard(0), shard(1))
+      .filter(col("s0") =!= col("s1")).count()
+    assert(moved > 250, s"epochs barely decorrelate: only $moved of 400 moved")
+  }
+
+  test("q100: contamination attributes to the right suite with per-suite counts") {
+    // eval docs 0..4 -> suites 0..4; corpus doc 20 copies an 8-gram from
+    // eval doc 2 (suite 2) and one from eval doc 4 (suite 4)
+    def run(tag: Int) = (1 to 20).map(i => s"e${tag}w$i").mkString(" ")
+    val dirty = ((5 to 12).map(i => s"e2w$i") ++ (9 to 16).map(i => s"e4w$i")).mkString(" ")
+    val rows = (0L to 4L).map(i => (i, run(i.toInt), "en", "s", 1L)) :+
+      (20L, dirty, "en", "s", 1L)
+    val dir = docsDir(rows)
+    val out = CurationOps.q100.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // doc 20: exactly one shared 8-gram with suite 2 and one with suite 4
+    assert(out == Map((20L, 2) -> 1L, (20L, 4) -> 1L), s"got $out")
+  }
+
   test("q95: exact clones collapse to one survivor per clique, lowest id wins; distinct vectors survive") {
     val r = new scala.util.Random(7)
     def unit(): Array[Float] = {
