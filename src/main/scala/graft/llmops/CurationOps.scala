@@ -611,6 +611,90 @@ object CurationOps {
             GROUP BY doc_id, suite ORDER BY doc_id, suite""")
   )
 
+  // --------------------------------------------------------------- q103
+  /** Naive-Bayes quality classifier — the CCNet/GPT-3-style "does this doc
+    * look like the curated seed?" filter, one step past q93's single-LM
+    * perplexity: train per-token log-odds from TWO seed sets (positive =
+    * src0's docs standing in for the curated corpus, negative = src1's for
+    * raw crawl), then score every document by its length-normalized
+    * log-odds sum. Add-one smoothing on both classes over the shared
+    * corpus vocabulary; tokens unseen in either seed contribute the prior
+    * odds ln((Nn+V)/(Np+V)) via coalesce(count, 0) — the same formula, no
+    * special case.
+    *
+    * Scale shape: seed counting scans only the seed slices; the model
+    * table is VOCAB-bounded and broadcast to the per-doc tf join, so the
+    * corpus is touched by exactly one scan + one (doc_id, tok) aggregate —
+    * no corpus-wide shuffle keyed on anything but doc_id. The class
+    * totals and V are single-row aggregates (broadcast cross joins).
+    *
+    * Determinism: per-token-TYPE log-odds truncate to integer micro-nats
+    * (q84/q93's contract) before the per-doc sum, so doc scores are
+    * integer-arithmetic-exact across engines; the final mean is one
+    * ffloor'd division.
+    */
+  val q103 = QuerySpec(
+    "q103_nb_quality_classifier",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(graft.operators.Ops.asciiLower(col("text")), " ")).as("tok"))
+      val tfDoc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val cp = toks.filter(col("source") === "src0")
+        .groupBy("tok").agg(count(lit(1)).as("cp"))
+      val cn = toks.filter(col("source") === "src1")
+        .groupBy("tok").agg(count(lit(1)).as("cn"))
+      val sizes = toks.agg(
+        countDistinct("tok").cast("double").as("v"),
+        count(when(col("source") === "src0", 1)).cast("double").as("np"),
+        count(when(col("source") === "src1", 1)).cast("double").as("nn"))
+      val llrMicro = floor(log(
+        ((coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) * (col("nn") + col("v"))) /
+          ((coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) * (col("np") + col("v")))
+      ) * lit(1e6)).cast("long")
+      val model = toks.select("tok").distinct()
+        .join(cp, Seq("tok"), "left")
+        .join(cn, Seq("tok"), "left")
+        .crossJoin(broadcast(sizes))
+        .select(col("tok"), llrMicro.as("llr_micro"))
+      tfDoc.join(broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("llr_micro")).cast("long").as("__total_micro"),
+          sum("tf").cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          ffloor(col("__total_micro").cast("double") / lit(1e6) /
+            col("n_tokens").cast("double"), 4).as("nb_logodds"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, source, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            cp AS (SELECT tok, COUNT(*) AS cp FROM toks WHERE source = 'src0' GROUP BY tok),
+            cn AS (SELECT tok, COUNT(*) AS cn FROM toks WHERE source = 'src1' GROUP BY tok),
+            sizes AS (SELECT
+                CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v,
+                CAST(COUNT(CASE WHEN source = 'src0' THEN 1 END) AS DOUBLE) AS np,
+                CAST(COUNT(CASE WHEN source = 'src1' THEN 1 END) AS DOUBLE) AS nn
+              FROM toks),
+            model AS (
+              SELECT t.tok,
+                CAST(FLOOR(ln(
+                  ((CAST(COALESCE(cp.cp, 0) AS DOUBLE) + 1.0) * (s.nn + s.v)) /
+                  ((CAST(COALESCE(cn.cn, 0) AS DOUBLE) + 1.0) * (s.np + s.v))
+                ) * 1000000.0) AS BIGINT) AS llr_micro
+              FROM (SELECT DISTINCT tok FROM toks) t
+              LEFT JOIN cp ON t.tok = cp.tok
+              LEFT JOIN cn ON t.tok = cn.tok
+              CROSS JOIN sizes s)
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+              CAST(FLOOR(CAST(SUM(tf * llr_micro) AS DOUBLE) / 1000000.0
+                / CAST(SUM(tf) AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0
+                AS nb_logodds
+            FROM tf JOIN model USING (tok)
+            GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100)
+    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103)
 }

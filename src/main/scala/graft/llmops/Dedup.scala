@@ -3,7 +3,7 @@ package graft.llmops
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.operators.Ops._
@@ -205,6 +205,72 @@ object Dedup {
             JOIN sizes s1 ON d1 = s1.doc_id
             JOIN sizes s2 ON d2 = s2.doc_id
             WHERE CAST(FLOOR(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.1
+            ORDER BY d1, d2""")
+  )
+
+  // --------------------------------------------------------------- q102
+  /** CONTAINMENT near-dup pairs — the asymmetric companion to q27's
+    * Jaccard. Jaccard misses the most common real-corpus duplication mode:
+    * a short doc fully CONTAINED in a longer one (truncated crawl, quoted
+    * article, doc + appended boilerplate) scores |A|/|B| ≈ small Jaccard
+    * but containment(A→B) = |A∩B|/|A| ≈ 1. Broder's containment measure is
+    * what suffix/quote dedup actually thresholds on.
+    *
+    * Same plan skeleton as q27 — the capped shared-shingle equi-join
+    * computes |A∩B| once per unordered pair, and BOTH directions fall out
+    * of the same row by dividing by either side's size (no second join,
+    * no ordered-pair blowup). Keeps every scale property argued at q27:
+    * df-capped shingles, one materialized shingle set feeding three
+    * consumers, broadcast size tables.
+    */
+  val q102 = QuerySpec(
+    "q102_shingle_containment",
+    (s, d) => {
+      val bg = graft.core.Materialize(
+        capKeyFreq(shingles(Tables.documents(s, d), 3), MaxShingleDocFreq, col("shingle")))
+      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+      val inter = bg.as("a")
+        .join(bg.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      val c12 = ffloor(col("inter").cast("double") / col("s1.nbg"), 4)
+      val c21 = ffloor(col("inter").cast("double") / col("s2.nbg"), 4)
+      inter
+        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
+        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"),
+          c12.as("c_d1_in_d2"), c21.as("c_d2_in_d1"))
+        .filter(greatest(col("c_d1_in_d2"), col("c_d2_in_d1")) >= 0.5)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            trigrams_all AS (
+              SELECT DISTINCT doc_id, bg FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
+                FROM toks)),
+            trigrams AS (
+              SELECT doc_id, bg FROM trigrams_all
+              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= 1000),
+            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+              FROM trigrams a JOIN trigrams b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT d1, d2,
+                CAST(FLOOR(CAST(inter AS DOUBLE) / s1.nbg * 10000.0) AS DOUBLE) / 10000.0 AS c_d1_in_d2,
+                CAST(FLOOR(CAST(inter AS DOUBLE) / s2.nbg * 10000.0) AS DOUBLE) / 10000.0 AS c_d2_in_d1
+              FROM pairs
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id)
+            SELECT d1, d2, c_d1_in_d2, c_d2_in_d1 FROM scored
+            WHERE GREATEST(c_d1_in_d2, c_d2_in_d1) >= 0.5
             ORDER BY d1, d2""")
   )
 
@@ -417,11 +483,12 @@ object Dedup {
     * the same loop to a fixpoint (or large-star/small-star) when true CC
     * is required.
     */
-  /** Cluster labels for every doc with ≥1 candidate edge — the K-round
-    * min-label propagation described at [[q69]], shared by q69 (label
-    * dump) and q72 (canonical selection). Returns (doc_id, cluster).
+  /** SYMMETRIC candidate edge list (src, dst) — docs sharing a rare
+    * 5-gram (df capped to [2,50] so boilerplate grams never fan out).
+    * Shared by q69/q72 (bounded-K labels) and q101 (fixpoint CC); both
+    * directions present so one join step propagates along every edge.
     */
-  def neardupLabels(docs: DataFrame): DataFrame = {
+  private[llmops] def neardupEdges(docs: DataFrame): DataFrame = {
     val grams = shingles(fanOut(docs), 5)
     val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50)).select("shingle")
@@ -430,8 +497,16 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
-    val edges = graft.core.Materialize(
+    graft.core.Materialize(
       half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
+  /** Cluster labels for every doc with ≥1 candidate edge — the K-round
+    * min-label propagation described at [[q69]], shared by q69 (label
+    * dump) and q72 (canonical selection). Returns (doc_id, cluster).
+    */
+  def neardupLabels(docs: DataFrame): DataFrame = {
+    val edges = neardupEdges(docs)
     val init = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     // round k's plan embeds round k-1's subtree twice (once direct, once
@@ -455,10 +530,11 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
-  /** The DuckDB CTE chain computing the same labels (through `l3`), shared
-    * by the q69/q72 oracles.
+  /** The DuckDB CTE chain building the SAME symmetric capped edge list as
+    * [[neardupEdges]] (through `edges`), shared by the q69/q72 unrolled
+    * oracles and q101's recursive-CTE fixpoint oracle.
     */
-  private val neardupLabelsCtes: String = s"""toks AS (
+  private val neardupEdgesCtes: String = s"""toks AS (
               SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
               WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
             grams AS (
@@ -474,7 +550,12 @@ object Dedup {
               FROM grams a JOIN keep USING (g) JOIN grams b USING (g)
               WHERE a.doc_id < b.doc_id),
             edges AS (SELECT src, dst FROM half
-                      UNION ALL SELECT dst, src FROM half),
+                      UNION ALL SELECT dst, src FROM half)"""
+
+  /** K=3 unrolled label rounds (l0..l3) on top of [[neardupEdgesCtes]] —
+    * the q69/q72 oracle form.
+    */
+  private val neardupLabelsCtes: String = s"""$neardupEdgesCtes,
             l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
             l1 AS (SELECT id, MIN(lbl) AS lbl FROM (
                      SELECT id, lbl FROM l0
@@ -497,6 +578,81 @@ object Dedup {
     (s, d) => neardupLabels(Tables.documents(s, d)).orderBy("doc_id"),
     Some(s"""WITH $neardupLabelsCtes
             SELECT id AS doc_id, lbl AS cluster FROM l3 ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q101
+  /** TRUE connected components — min-label propagation run to a FIXPOINT,
+    * the production form q69's scaladoc promises ("production runs the
+    * same loop to a fixpoint"). q69's bounded K=3 is the exactly-checkable
+    * contract; this operator is what a curation run actually ships when
+    * dup chains can exceed K hops (A~B~C~...~Z truncation chains), and the
+    * q69/q101 pair mirrors q59/q61: oracle twin + production twin, both
+    * oracled.
+    *
+    * LOOP SHAPE (the Pregel idiom without a framework): each round is one
+    * keyed join + min-aggregate over the LABEL table — which holds only
+    * edge-endpoint docs, a vanishing fraction of a real corpus — followed
+    * by a lineage cut ([[graft.core.Materialize]]: localCheckpoint locally,
+    * reliable checkpoint/replicated persist under cluster config — a
+    * 100-round lineage would otherwise stack-overflow the planner).
+    * Convergence detection costs ONE tiny aggregate per round, not a join:
+    * labels only ever DECREASE under min-propagation, so the label-sum is
+    * strictly monotone and `sum(lbl)` (decimal — no Long overflow at any
+    * corpus size) is unchanged iff no label moved. Rounds needed = graph
+    * diameter; near-dup clusters are shallow cliques, so 2–3 rounds
+    * typical, `maxRounds` guards pathological chains. At 100 TB each round
+    * shuffles the endpoint set only — never the corpus, never the edges'
+    * text.
+    *
+    * Contrast with alternating large-star/small-star (the O(log n)-round
+    * CC of Kiveris et al.): that wins when components have LARGE diameter
+    * (web graphs); for shingle-candidate graphs the diameter is small and
+    * plain min-propagation does fewer total shuffles with simpler rounds.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var labels = graft.core.Materialize(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = graft.core.Materialize(
+        labels.union(
+            edges.join(labels, edges("src") === labels("id"))
+              .select(edges("dst").as("id"), labels("lbl")))
+          .groupBy("id").agg(min("lbl").as("lbl")))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
+  /** q101: fixpoint near-dup components over the same capped edge list as
+    * q69. Oracled via DuckDB's recursive CTE: `reach` enumerates every
+    * (node, reachable-label) pair — min over it IS the component minimum —
+    * so the oracle states the fixpoint declaratively while Spark iterates
+    * to it; any label q101 gets wrong (loop stopped early, missed an edge
+    * direction) hash-mismatches.
+    */
+  val q101 = QuerySpec(
+    "q101_connected_components",
+    (s, d) => connectedComponents(neardupEdges(Tables.documents(s, d)))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
+            reach(id, lbl) AS (
+              SELECT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl AS lbl
+              FROM edges e JOIN reach r ON r.id = e.src)
+            SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach
+            GROUP BY id ORDER BY doc_id""")
   )
 
   // ---------------------------------------------------------------- q72
@@ -630,5 +786,6 @@ object Dedup {
             FROM keyed GROUP BY split ORDER BY split""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79)
+  val all: Seq[QuerySpec] =
+    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102)
 }

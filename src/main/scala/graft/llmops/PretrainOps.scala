@@ -393,5 +393,140 @@ object PretrainOps {
             FROM t GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q84, q85, q86, q87, q88, q89, q90)
+  // --------------------------------------------------------------- q104
+  /** BPE merge induction — train the TOKENIZER on the corpus: two unrolled
+    * rounds of byte-pair-encoding merge selection (Sennrich et al., applied
+    * at word granularity): count adjacent-pair frequencies over the current
+    * token stream, pick the winner (count desc, then lexicographic — the
+    * deterministic tie-break both engines apply), rewrite the stream with
+    * winner occurrences merged, repeat. Reports each round's winning pair,
+    * its count, and the stream length after the merge — the artifact a
+    * vocab-induction run logs per merge.
+    *
+    * The REWRITE is the subtle half: BPE merges left-to-right
+    * NON-OVERLAPPING, so in a run of consecutive matches (`a a a` under
+    * winner (a,a)) only even offsets merge. That sequential-looking rule is
+    * expressed relationally via gaps-and-islands: mark match-run STARTS
+    * (match whose predecessor is not a match), carry the latest run-start
+    * position forward with a running max, and merge exactly the matches at
+    * even distance from their run start; the row AFTER a merge is consumed
+    * (lag). Every window partitions by doc_id — bounded by document length,
+    * never a corpus stratum — and each round is a fixed number of
+    * window/aggregate passes, so K rounds cost K·O(corpus) with no
+    * driver-side data movement (the winner is a broadcast single row).
+    * Production runs the same loop for 30k rounds on a sampled corpus;
+    * two rounds is the exactly-checkable contract (q69's bounded-K idiom).
+    */
+  val q104 = QuerySpec(
+    "q104_bpe_merges",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val wRun = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+      def winner(st: DataFrame): DataFrame =
+        st.select(col("doc_id"), col("pos"), col("tok"),
+            lead("tok", 1).over(wDoc).as("nxt"))
+          .filter(col("nxt").isNotNull)
+          .groupBy("tok", "nxt").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok"), col("nxt")).limit(1)
+          .select(col("tok").as("w1"), col("nxt").as("w2"), col("cnt"))
+
+      def mergeRound(st: DataFrame, win: DataFrame): DataFrame =
+        st.crossJoin(broadcast(win.select("w1", "w2")))
+          .withColumn("nxt", lead("tok", 1).over(wDoc))
+          .withColumn("mtch",
+            coalesce(col("tok") === col("w1") && col("nxt") === col("w2"), lit(false)))
+          .withColumn("mstart",
+            col("mtch") && !coalesce(lag("mtch", 1).over(wDoc), lit(false)))
+          .withColumn("rstart", max(when(col("mstart"), col("pos"))).over(wRun))
+          .withColumn("mrg",
+            col("mtch") && (col("pos") - col("rstart")) % 2 === 0)
+          .withColumn("consumed",
+            coalesce(lag("mrg", 1).over(wDoc), lit(false)))
+          .filter(!col("consumed"))
+          .select(col("doc_id"),
+            (row_number().over(wDoc) - 1).as("pos"),
+            when(col("mrg"), concat_ws("_", col("tok"), col("nxt")))
+              .otherwise(col("tok")).as("tok"))
+
+      val t0 = Dedup.tokensWithPos(fanOut(Tables.documents(s, d)))
+      val win1 = graft.core.Materialize(winner(t0))
+      val s1 = graft.core.Materialize(mergeRound(t0, win1))
+      val win2 = graft.core.Materialize(winner(s1))
+      val s2 = mergeRound(s1, win2)
+
+      def report(round: Int, win: DataFrame, after: DataFrame): DataFrame =
+        win.crossJoin(after.agg(count(lit(1)).as("tokens_after")))
+          .select(lit(round).as("round"), col("w1"), col("w2"),
+            col("cnt").as("pair_count"), col("tokens_after"))
+
+      report(1, win1, s1).union(report(2, win2, s2)).orderBy("round")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents),
+            t0 AS (
+              SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)),
+            p1 AS (SELECT tok, nxt, COUNT(*) AS cnt FROM (
+                     SELECT tok, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                     FROM t0)
+                   WHERE nxt IS NOT NULL GROUP BY tok, nxt),
+            win1 AS (SELECT tok AS w1, nxt AS w2, cnt FROM p1
+                     ORDER BY cnt DESC, tok, nxt LIMIT 1),
+            m1a AS (SELECT doc_id, pos, tok,
+                      LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                    FROM t0),
+            m1b AS (SELECT doc_id, pos, tok, nxt,
+                      COALESCE(tok = w.w1 AND nxt = w.w2, FALSE) AS mtch
+                    FROM m1a CROSS JOIN win1 w),
+            m1c AS (SELECT *, (mtch AND NOT COALESCE(
+                      LAG(mtch) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)) AS mstart
+                    FROM m1b),
+            m1d AS (SELECT *, MAX(CASE WHEN mstart THEN pos END)
+                      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rstart
+                    FROM m1c),
+            m1e AS (SELECT *, (mtch AND (pos - rstart) % 2 = 0) AS mrg FROM m1d),
+            m1f AS (SELECT *, COALESCE(
+                      LAG(mrg) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS consumed
+                    FROM m1e),
+            s1 AS (SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+                     CASE WHEN mrg THEN tok || '_' || nxt ELSE tok END AS tok
+                   FROM m1f WHERE NOT consumed),
+            p2 AS (SELECT tok, nxt, COUNT(*) AS cnt FROM (
+                     SELECT tok, LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                     FROM s1)
+                   WHERE nxt IS NOT NULL GROUP BY tok, nxt),
+            win2 AS (SELECT tok AS w1, nxt AS w2, cnt FROM p2
+                     ORDER BY cnt DESC, tok, nxt LIMIT 1),
+            m2a AS (SELECT doc_id, pos, tok,
+                      LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                    FROM s1),
+            m2b AS (SELECT doc_id, pos, tok, nxt,
+                      COALESCE(tok = w.w1 AND nxt = w.w2, FALSE) AS mtch
+                    FROM m2a CROSS JOIN win2 w),
+            m2c AS (SELECT *, (mtch AND NOT COALESCE(
+                      LAG(mtch) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)) AS mstart
+                    FROM m2b),
+            m2d AS (SELECT *, MAX(CASE WHEN mstart THEN pos END)
+                      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS rstart
+                    FROM m2c),
+            m2e AS (SELECT *, (mtch AND (pos - rstart) % 2 = 0) AS mrg FROM m2d),
+            m2f AS (SELECT *, COALESCE(
+                      LAG(mrg) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS consumed
+                    FROM m2e),
+            s2 AS (SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+                     CASE WHEN mrg THEN tok || '_' || nxt ELSE tok END AS tok
+                   FROM m2f WHERE NOT consumed)
+            SELECT CAST(1 AS INTEGER) AS round, w1, w2, cnt AS pair_count,
+              (SELECT COUNT(*) FROM s1) AS tokens_after FROM win1
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), w1, w2, cnt,
+              (SELECT COUNT(*) FROM s2) FROM win2
+            ORDER BY round""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q84, q85, q86, q87, q88, q89, q90, q104)
 }

@@ -1,0 +1,121 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the graph/tokenizer/classifier operators added this
+  * round: q101 fixpoint connected components (vs q69's bounded K), q102
+  * asymmetric containment (vs Jaccard), q103 Naive-Bayes scoring direction,
+  * and q104's left-to-right non-overlapping BPE merge rule. The DuckDB hash
+  * oracle proves engine parity on sf data; these prove the SEMANTICS on
+  * corpora crafted to separate each operator from its nearest neighbor.
+  */
+class DedupGraphSpec extends SparkTestBase {
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedupgraph").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def row(id: Long, text: String, source: String = "src0") =
+    (id, text, "en", source, text.length.toLong)
+
+  /** Chain corpus: doc i = span_i ++ span_{i+1} (each span 5 unique
+    * tokens), so consecutive docs share EXACTLY one rare 5-gram and the
+    * candidate graph is a path 0-1-2-...-(n-1) of diameter n-1. The
+    * straddling 5-grams are unique per doc (df=1) and drop at the
+    * df-in-[2,50] cap, so no shortcut edges exist.
+    */
+  private def chain(n: Int): Seq[(Long, String, String, String, Long)] = {
+    def span(i: Int) = (1 to 5).map(t => s"w${i}x$t").mkString(" ")
+    (0 until n).map(i => row(i.toLong, span(i) + " " + span(i + 1)))
+  }
+
+  test("q101: fixpoint CC collapses a 8-doc chain that bounded K=3 cannot") {
+    val dir = docsDir(chain(8))
+    val docs = graft.Tables.documents(spark, dir)
+    val cc = Dedup.connectedComponents(Dedup.neardupEdges(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc.keySet == (0L until 8L).toSet)
+    assert(cc.values.toSet == Set(0L), s"fixpoint must reach min label: $cc")
+
+    // the bounded-K form (q69) stops at 3 hops: doc 7 is 7 hops from 0,
+    // so its label CANNOT be 0 — this is precisely the gap q101 closes
+    val k3 = Dedup.neardupLabels(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(k3(7L) != 0L, "K=3 labels reached 7 hops — chain fixture broken")
+  }
+
+  test("q101: separate components keep separate labels") {
+    // two disjoint 2-doc clusters (shared 5-gram within, none across)
+    val a = "c1 c2 c3 c4 c5"
+    val b = "d1 d2 d3 d4 d5"
+    val dir = docsDir(Seq(
+      row(10, a + " p1 p2 p3 p4 p5"), row(11, a + " q1 q2 q3 q4 q5"),
+      row(20, b + " r1 r2 r3 r4 r5"), row(21, b + " s1 s2 s3 s4 s5")))
+    val cc = Dedup.connectedComponents(
+        Dedup.neardupEdges(graft.Tables.documents(spark, dir)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q102: containment flags a short doc embedded in a long one that Jaccard misses") {
+    // short doc (12 tokens) fully contained in a 120-token host:
+    // containment(short→host) = 1.0 while Jaccard ≈ 10/118 < 0.1 (below
+    // q27's emit threshold) — the truncation/quotation case
+    val short = (1 to 12).map(i => s"s$i").mkString(" ")
+    val host = short + " " + (1 to 108).map(i => s"h$i").mkString(" ")
+    val dir = docsDir(Seq(row(1, short), row(2, host)))
+    val cont = Dedup.q102.run(spark, dir).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 1.0, s"containment d1→d2: $r") // all 10 trigrams shared
+    val jac = Dedup.q27.run(spark, dir).collect()
+    assert(jac.isEmpty, "fixture broken: Jaccard should be under the 0.1 threshold")
+  }
+
+  test("q103: docs made of seed-positive tokens outscore seed-negative ones") {
+    val dir = docsDir(Seq(
+      row(1, "good clean prose text here", "src0"),
+      row(2, "spam spam junk junk junk", "src1"),
+      row(3, "good clean prose text here", "src9"), // scores like the pos seed
+      row(4, "spam junk spam junk spam", "src9"))) // scores like the neg seed
+    val scores = CurationOps.q103.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(3L) > 0, s"positive-seed lookalike must score > 0: $scores")
+    assert(scores(4L) < 0, s"negative-seed lookalike must score < 0: $scores")
+    assert(scores(3L) > scores(4L))
+  }
+
+  test("q104: runs merge left-to-right non-overlapping (odd run keeps tail)") {
+    // one doc "a a a a a": winner (a,a) count 4 (overlapping counting),
+    // rewrite merges offsets 0 and 2 only → "a_a a_a a" (3 tokens).
+    // round 2 over that stream: pairs (a_a,a_a) and (a_a,a) tie at 1 →
+    // lexicographic tie-break picks (a_a, a) → "a_a a_a_a" (2 tokens).
+    val dir = docsDir(Seq(row(1, "a a a a a")))
+    val rows = graft.QueryRegistry.byName("q104_bpe_merges")
+      .run(spark, dir).collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert((r1.getString(1), r1.getString(2), r1.getLong(3), r1.getLong(4)) ==
+      ("a", "a", 4L, 3L), s"round 1: $r1")
+    val r2 = rows(1)
+    assert((r2.getString(1), r2.getString(2), r2.getLong(3), r2.getLong(4)) ==
+      ("a_a", "a", 1L, 2L), s"round 2: $r2")
+  }
+
+  test("q104: distinct adjacent pairs merge everywhere they occur") {
+    // "x y x y x y": winner (x,y) count 3 (no overlaps among its
+    // occurrences) → "x_y x_y x_y" (3 tokens)
+    val dir = docsDir(Seq(row(1, "x y x y x y")))
+    val rows = graft.QueryRegistry.byName("q104_bpe_merges")
+      .run(spark, dir).collect()
+    val r1 = rows(0)
+    assert((r1.getString(1), r1.getString(2), r1.getLong(3), r1.getLong(4)) ==
+      ("x", "y", 3L, 3L), s"round 1: $r1")
+  }
+}
