@@ -611,6 +611,89 @@ object CurationOps {
             GROUP BY doc_id, suite ORDER BY doc_id, suite""")
   )
 
+  // ------------------------------------------------ NB classifier model
+  /** The q103 model build, shared by the inline query and [[NBModelStore]]:
+    * returns the vocab-bounded (tok, llr_micro) model plus a one-row meta
+    * table (np, nn, v, default_llr_micro) where `default_llr_micro` is the
+    * smoothed log-odds of a token seen in NEITHER seed —
+    * ln((nn+v)/(np+v)) micro-truncated — which is exactly what the
+    * in-vocab formula yields at cp=cn=0, so out-of-vocabulary tokens in a
+    * future batch score identically to how an unseen token scores at
+    * train time (no special case, one coalesce).
+    */
+  private[llmops] def nbModel(docs: DataFrame, posSource: String,
+                              negSource: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(graft.operators.Ops.asciiLower(col("text")), " ")).as("tok"))
+    val cp = toks.filter(col("source") === posSource)
+      .groupBy("tok").agg(count(lit(1)).as("cp"))
+    val cn = toks.filter(col("source") === negSource)
+      .groupBy("tok").agg(count(lit(1)).as("cn"))
+    val sizes = toks.agg(
+      countDistinct("tok").cast("double").as("v"),
+      count(when(col("source") === posSource, 1)).cast("double").as("np"),
+      count(when(col("source") === negSource, 1)).cast("double").as("nn"))
+    val llrMicro = floor(log(
+      ((coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) * (col("nn") + col("v"))) /
+        ((coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) * (col("np") + col("v")))
+    ) * lit(1e6)).cast("long")
+    val model = toks.select("tok").distinct()
+      .join(cp, Seq("tok"), "left")
+      .join(cn, Seq("tok"), "left")
+      .crossJoin(broadcast(sizes))
+      .select(col("tok"), llrMicro.as("llr_micro"))
+    val meta = sizes.select(col("np"), col("nn"), col("v"),
+      floor(log((col("nn") + col("v")) / (col("np") + col("v"))) * lit(1e6))
+        .cast("long").as("default_llr_micro"))
+    (model, meta)
+  }
+
+  /** Score a batch of (doc_id, text) rows against a broadcast NB model:
+    * per-doc tf → left join model → OOV tokens take the default prior
+    * odds → micro-nat sum → length-normalized score. The one scan + one
+    * (doc_id, tok) aggregate shape of q103's scoring half.
+    */
+  private[llmops] def nbScore(batch: DataFrame, model: DataFrame,
+                              defaultLlr: Column): DataFrame =
+    batch.select(col("doc_id"),
+        explode(split(graft.operators.Ops.asciiLower(col("text")), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(broadcast(model), Seq("tok"), "left")
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("llr_micro"), defaultLlr).as("llr"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("llr")).cast("long").as("__total_micro"),
+        sum("tf").cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        ffloor(col("__total_micro").cast("double") / lit(1e6) /
+          col("n_tokens").cast("double"), 4).as("nb_logodds"))
+
+  /** Persisted quality-classifier store — the train-once-score-many form
+    * of q103 (the [[DecontamStore]] idiom applied to the NB model): the
+    * vocab-bounded model table and its meta row are written once; every
+    * ingest batch — or streaming micro-batch via `foreachBatch` — scores
+    * against the broadcast model without touching the seed corpus again.
+    * OOV tokens (absent from the training vocabulary) score the stored
+    * prior default, so scoring is total on any future batch.
+    */
+  object NBModelStore {
+    def build(docs: DataFrame, dir: String, posSource: String = "src0",
+              negSource: String = "src1"): Unit = {
+      val (model, meta) = nbModel(docs, posSource, negSource)
+      model.write.mode("overwrite").parquet(s"$dir/model.parquet")
+      meta.write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    }
+
+    def scoreBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   batch: DataFrame): DataFrame = {
+      val model = spark.read.parquet(s"$dir/model.parquet")
+      // one-row meta read at store-open (the bloom.bin idiom, O(1))
+      val defaultLlr = spark.read.parquet(s"$dir/meta.parquet")
+        .select("default_llr_micro").head.getLong(0)
+      nbScore(batch, model, lit(defaultLlr))
+    }
+  }
+
   // --------------------------------------------------------------- q103
   /** Naive-Bayes quality classifier — the CCNet/GPT-3-style "does this doc
     * look like the curated seed?" filter, one step past q93's single-LM
@@ -637,34 +720,11 @@ object CurationOps {
     "q103_nb_quality_classifier",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), col("source"),
-        explode(split(graft.operators.Ops.asciiLower(col("text")), " ")).as("tok"))
-      val tfDoc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val cp = toks.filter(col("source") === "src0")
-        .groupBy("tok").agg(count(lit(1)).as("cp"))
-      val cn = toks.filter(col("source") === "src1")
-        .groupBy("tok").agg(count(lit(1)).as("cn"))
-      val sizes = toks.agg(
-        countDistinct("tok").cast("double").as("v"),
-        count(when(col("source") === "src0", 1)).cast("double").as("np"),
-        count(when(col("source") === "src1", 1)).cast("double").as("nn"))
-      val llrMicro = floor(log(
-        ((coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) * (col("nn") + col("v"))) /
-          ((coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) * (col("np") + col("v")))
-      ) * lit(1e6)).cast("long")
-      val model = toks.select("tok").distinct()
-        .join(cp, Seq("tok"), "left")
-        .join(cn, Seq("tok"), "left")
-        .crossJoin(broadcast(sizes))
-        .select(col("tok"), llrMicro.as("llr_micro"))
-      tfDoc.join(broadcast(model), "tok")
-        .groupBy("doc_id")
-        .agg(sum(col("tf") * col("llr_micro")).cast("long").as("__total_micro"),
-          sum("tf").cast("long").as("n_tokens"))
-        .select(col("doc_id"), col("n_tokens"),
-          ffloor(col("__total_micro").cast("double") / lit(1e6) /
-            col("n_tokens").cast("double"), 4).as("nb_logodds"))
-        .orderBy("doc_id")
+      val (model, _) = nbModel(docs, "src0", "src1")
+      // trained on the corpus it scores → every token is in-vocab and the
+      // OOV default is unreachable (lit(0) placeholder); batches with
+      // genuinely new tokens go through NBModelStore.scoreBatch
+      nbScore(docs, model, lit(0L)).orderBy("doc_id")
     },
     Some(s"""WITH toks AS (
               SELECT doc_id, source, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS tok

@@ -150,6 +150,72 @@ class CurationOpsSpec extends SparkTestBase {
       s"stream must land only the clean doc: ${landed.toSeq}")
   }
 
+  test("NBModelStore: persisted model scores batches identically to inline q103") {
+    val sfDir = sf("sf0.01")
+    val store = java.nio.file.Files.createTempDirectory("nbstore").toString
+    CurationOps.NBModelStore.build(
+      spark.read.parquet(s"$sfDir/documents.parquet"), store)
+    val stored = CurationOps.NBModelStore
+      .scoreBatch(spark, store, spark.read.parquet(s"$sfDir/documents.parquet"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val inline = CurationOps.q103.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(stored.sameElements(inline),
+      s"store scoring diverged from inline (first 3): ${stored.take(3).toSeq} vs ${inline.take(3).toSeq}")
+  }
+
+  test("NBModelStore: OOV tokens score the stored prior default") {
+    // unbalanced seeds → nonzero prior: neg seed has 9 tokens, pos 3
+    val dir = docsDir(Seq(
+      (1L, "good clean text", "en", "src0", 1L),
+      (2L, "spam junk spam junk spam junk spam junk spam", "en", "src1", 1L)))
+    val store = java.nio.file.Files.createTempDirectory("nbstore_oov").toString
+    CurationOps.NBModelStore.build(
+      spark.read.parquet(s"$dir/documents.parquet"), store)
+    val meta = spark.read.parquet(s"$store/meta.parquet").head
+    val expected = math.floor(
+      meta.getLong(meta.fieldIndex("default_llr_micro")).toDouble / 1e6 * 1e4) / 1e4
+    import spark.implicits._
+    val out = CurationOps.NBModelStore.scoreBatch(spark, store,
+        Seq((99L, "wholly unseen tokens entirely")).toDF("doc_id", "text"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 4L)
+    assert(out.head.getDouble(2) == expected,
+      s"OOV doc must score the prior default: ${out.head} vs $expected")
+    assert(expected > 0, "fixture: bigger neg seed → unseen tokens lean positive prior")
+  }
+
+  test("NBModelStore: streaming micro-batches score via foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = docsDir(Seq(
+      (1L, "good clean prose text here", "en", "src0", 1L),
+      (2L, "spam spam junk junk junk", "en", "src1", 1L)))
+    val store = java.nio.file.Files.createTempDirectory("nbstore_s").toString
+    CurationOps.NBModelStore.build(
+      spark.read.parquet(s"$dir/documents.parquet"), store)
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((50L, "good clean prose"), (51L, "junk spam junk"))
+    val scored = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        CurationOps.NBModelStore.scoreBatch(spark, store, batch)
+          .collect().foreach(r => scored.synchronized {
+            scored += ((r.getLong(0), r.getDouble(2)))
+          })
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val byId = scored.toMap
+    assert(byId.keySet == Set(50L, 51L), s"both docs must score: $scored")
+    assert(byId(50L) > 0 && byId(51L) < 0,
+      s"good-seed lookalike positive, junk negative: $scored")
+  }
+
   test("q96: hard negatives come only from other labels, ranked by cosine, self excluded") {
     val out = CurationOps.q96.run(spark, sf("sf0.01")).collect()
     assert(out.nonEmpty)
