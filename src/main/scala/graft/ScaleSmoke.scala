@@ -62,7 +62,9 @@ object ScaleSmoke {
       "q89_zipf_spectrum", "q90_tokenizer_efficiency",
       "q91_bloom_decontamination", "q92_importance_resample",
       "q93_bigram_perplexity", "q94_quality_gate", "q95_semantic_dedup",
-      "q96_hard_negatives", "q97_video_meta", "q98_boilerplate_strip")
+      "q96_hard_negatives", "q97_video_meta", "q98_boilerplate_strip",
+      "q101_connected_components", "q102_shingle_containment",
+      "q103_nb_quality_classifier", "q104_bpe_merges")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

@@ -528,5 +528,137 @@ object PretrainOps {
             ORDER BY round""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q84, q85, q86, q87, q88, q89, q90, q104)
+  // --------------------------------------------------------------- q105
+  /** Curriculum-phase manifest: bucket documents into three training
+    * phases by corpus-calibrated DIFFICULTY tertiles — difficulty = each
+    * doc's integer mean micro-nat unigram surprisal (q84's signal, kept
+    * in integer µ-nats via `div` so the tertile comparison is
+    * integer-vs-integer). Curriculum schedules (easy→hard ordering,
+    * Bengio et al.) consume exactly this table: per phase, the doc count,
+    * token budget, and difficulty band.
+    *
+    * SCALE SHAPE: cutoffs come from the exact `percentile` AGGREGATE
+    * (q43/q66's cross-engine idiom) over the per-doc difficulty table —
+    * one doc-sized aggregate broadcast back as two scalars — then phase
+    * assignment is a per-row comparison. No corpus-wide sort or rank
+    * window (contrast ntile, which would serialize the corpus into one
+    * task); at 100 TB the difficulty table is |docs| rows and the same
+    * plan holds with percentile_approx swapped in by config if even that
+    * table is too big for exact percentile's sketch.
+    */
+  val q105 = QuerySpec(
+    "q105_curriculum_phases",
+    (s, d) => {
+      val tf = termFreq(Tables.documents(s, d))
+      val ctf = tf.groupBy("term").agg(sum("tf").cast("long").as("ctf"))
+      val n = tf.agg(sum("tf").cast("long").as("n_total"))
+      val sMicro = floor(
+        log(col("n_total").cast("double") / col("ctf").cast("double")) * lit(1e6))
+        .cast("long")
+      val diff = tf.join(ctf, "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tf"), sMicro.as("s_micro"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf") * col("s_micro")).cast("long").as("tot"),
+          sum("tf").cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("tot div n_tokens").as("dmicro"))
+      val cuts = diff.agg(
+        floor(expr("percentile(dmicro, 0.3333333333333333)")).cast("long").as("c1"),
+        floor(expr("percentile(dmicro, 0.6666666666666666)")).cast("long").as("c2"))
+      diff.crossJoin(broadcast(cuts))
+        .select(col("n_tokens"), col("dmicro"),
+          when(col("dmicro") <= col("c1"), 1)
+            .when(col("dmicro") <= col("c2"), 2).otherwise(3).as("phase"))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("total_tokens"),
+          min("dmicro").as("min_dmicro"), max("dmicro").as("max_dmicro"))
+        .orderBy("phase")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   WHERE term <> '' GROUP BY 1, 2),
+            ctf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+            n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM tf),
+            s AS (SELECT term,
+                CAST(FLOOR(ln(CAST(n_total AS DOUBLE) / CAST(ctf AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS s_micro
+              FROM ctf CROSS JOIN n),
+            diff AS (
+              SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                CAST(SUM(tf * s_micro) AS BIGINT) // CAST(SUM(tf) AS BIGINT) AS dmicro
+              FROM tf JOIN s USING (term) GROUP BY doc_id),
+            cuts AS (SELECT
+                CAST(FLOOR(quantile_cont(dmicro, 0.3333333333333333)) AS BIGINT) AS c1,
+                CAST(FLOOR(quantile_cont(dmicro, 0.6666666666666666)) AS BIGINT) AS c2
+              FROM diff),
+            ph AS (
+              SELECT n_tokens, dmicro,
+                CASE WHEN dmicro <= c1 THEN 1
+                     WHEN dmicro <= c2 THEN 2 ELSE 3 END AS phase
+              FROM diff CROSS JOIN cuts)
+            SELECT phase, COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+              MIN(dmicro) AS min_dmicro, MAX(dmicro) AS max_dmicro
+            FROM ph GROUP BY phase ORDER BY phase""")
+  )
+
+  // --------------------------------------------------------------- q106
+  /** Corpus heavy hitters — the two-pass sketch shape for frequent items
+    * over an UNBOUNDED key domain (URLs, fingerprints, hosts — here
+    * terms): pass 1 reduces the stream to ≤ k=256 Misra–Gries counters
+    * ([[graft.functions.FreqSketchAgg]] — O(k) state, map-side partials,
+    * arbitrary merge order); pass 2 re-counts ONLY the ≤ 256 candidate
+    * keys exactly and keeps those at ≥ 0.5% of the stream.
+    *
+    * Why this is layout-independent (and thus oracle-able) even though MG
+    * counter VALUES are order-dependent: with k=256 every term above
+    * N/257 < 0.39% of the stream is GUARANTEED a counter in any
+    * stream/merge order, so the candidate set is always a superset of the
+    * ≥ 0.5% emit set, and the emitted counts are exact. The integer
+    * predicate `cnt · 200 ≥ N` keeps the threshold engine-exact.
+    *
+    * Scale: contrast q89's full vocabulary aggregate — correct when the
+    * key domain is vocab-bounded, but a corpus-cardinality key (URL,
+    * fingerprint) makes that shuffle the size of the corpus. Here the
+    * shuffle after partial aggregation is ≤ k rows per task for pass 1
+    * and ≤ 256 keys' partial counts for pass 2.
+    */
+  val q106 = QuerySpec(
+    "q106_heavy_hitters",
+    (s, d) => {
+      def terms = fanOut(Tables.documents(s, d))
+        .select(explode(split(asciiLower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val cand = terms
+        .agg(graft.functions.FreqSketch.freq_sketch(col("term"), 256).as("sk"))
+        .select(explode(map_keys(col("sk"))).as("term"))
+      val n = terms.agg(count(lit(1)).as("n_total"))
+      terms.join(broadcast(cand), "term")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * lit(200L) >= col("n_total"))
+        .select(col("term"), col("cnt"), col("n_total"),
+          ffloor(col("cnt").cast("double") / col("n_total").cast("double"), 4)
+            .as("freq"))
+        .orderBy(col("cnt").desc, col("term"))
+    },
+    Some(s"""WITH t AS (
+              SELECT unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
+              FROM documents),
+            tt AS (SELECT term FROM t WHERE term <> ''),
+            n AS (SELECT COUNT(*) AS n_total FROM tt),
+            c AS (SELECT term, COUNT(*) AS cnt FROM tt GROUP BY term)
+            SELECT term, cnt, n_total,
+              CAST(FLOOR(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
+                * 10000.0) AS DOUBLE) / 10000.0 AS freq
+            FROM c CROSS JOIN n
+            WHERE cnt * 200 >= n_total
+            ORDER BY cnt DESC, term""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106)
 }
