@@ -660,5 +660,96 @@ object PretrainOps {
             ORDER BY cnt DESC, term""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106)
+  // --------------------------------------------------------------- q107
+  /** Okapi BM25 retrieval scoring — the lexical ranking function every
+    * retrieval/RAG pipeline starts from (and the harder sibling of q55's
+    * TF-IDF: BM25 adds tf saturation and doc-length normalization). Query
+    * terms are a constant literal set; each matching (doc, term) pair
+    * scores idf·(tf·(k1+1))/(tf + k1·(1−b+b·len/avgdl)) with k1=1.2,
+    * b=0.75.
+    *
+    * Determinism: the PER-PAIR score is truncated to integer micro-units
+    * — idf is micro-truncated first (q84's contract), the saturation
+    * fraction is one double expression with an explicitly-pinned op
+    * order, and floor() lands the pair on an integer — so the per-doc SUM
+    * is order-free integer arithmetic (double summation order would
+    * differ between engines). Top-20 via sort-limit compiles to
+    * TakeOrderedAndProject — per-partition heaps + one 20-row merge, no
+    * global sort materialization at any corpus size.
+    *
+    * Scale shape: query terms broadcast (literal row set), df/avgdl are
+    * term-table and single-row aggregates, the scored table is bounded by
+    * docs-containing-a-query-term. Nothing shuffles except the tf
+    * aggregate the corpus already pays.
+    */
+  val q107 = QuerySpec(
+    "q107_bm25",
+    (s, d) => {
+      val queryTerms = Seq("spark", "join", "merge")
+      val docs = Tables.documents(s, d)
+      val tf = termFreq(docs)
+      val lens = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("len"))
+      val nAvg = lens.agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        (sum("len").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      val df = tf.filter(col("term").isin(queryTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val idfMicro = floor(log(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6)).cast("long")
+      val sat = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * (col("len").cast("double") / col("avgdl"))))
+      val pairMicro = floor(col("idf_micro").cast("double") * sat).cast("long")
+      tf.filter(col("term").isin(queryTerms: _*))
+        .join(broadcast(df), "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(nAvg))
+        .select(col("doc_id"), col("term"), col("tf"), col("len"), col("avgdl"),
+          idfMicro.as("idf_micro"))
+        .select(col("doc_id"), pairMicro.as("pair_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum("pair_micro").cast("long").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_terms_hit"), col("score_micro"),
+          ffloor(col("score_micro").cast("double") / lit(1e6), 4).as("score"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                   WHERE term <> '' GROUP BY 1, 2),
+            lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+            navg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                     FROM lens),
+            qdf AS (SELECT term, COUNT(*) AS df FROM tf
+                    WHERE term IN ('spark', 'join', 'merge') GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                CAST(FLOOR(
+                  CAST(CAST(FLOOR(ln(
+                    (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                      / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+                  * ((CAST(tf AS DOUBLE) * 2.2)
+                     / (CAST(tf AS DOUBLE) + 1.2
+                        * (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE) / avgdl))))
+                ) AS BIGINT) AS pair_micro
+              FROM tf
+              JOIN qdf USING (term)
+              JOIN lens ON tf.doc_id = lens.doc_id
+              CROSS JOIN navg
+              WHERE tf.term IN ('spark', 'join', 'merge'))
+            SELECT doc_id, COUNT(*) AS n_terms_hit,
+              CAST(SUM(pair_micro) AS BIGINT) AS score_micro,
+              CAST(FLOOR(CAST(SUM(pair_micro) AS DOUBLE) / 1000000.0
+                * 10000.0) AS DOUBLE) / 10000.0 AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score_micro DESC, doc_id LIMIT 20""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107)
 }
