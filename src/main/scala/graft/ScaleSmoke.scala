@@ -65,7 +65,8 @@ object ScaleSmoke {
       "q96_hard_negatives", "q97_video_meta", "q98_boilerplate_strip",
       "q101_connected_components", "q102_shingle_containment",
       "q103_nb_quality_classifier", "q104_bpe_merges",
-      "q105_curriculum_phases", "q106_heavy_hitters", "q107_bm25")
+      "q105_curriculum_phases", "q106_heavy_hitters", "q107_bm25",
+      "q108_incremental_cc")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

@@ -208,6 +208,39 @@ object Dedup {
             ORDER BY d1, d2""")
   )
 
+  // --------------------------------------------------------------- q108
+  /** Incremental cluster maintenance — q101's warm-start form, the
+    * operator a continuously-ingesting pipeline runs when a batch lands:
+    * seed the fixpoint with the ALREADY-CONVERGED labels of the landed
+    * corpus (q73/q74's store-split idiom: store = doc_id % 5 ≠ 0, batch =
+    * the rest), add the batch's edges, propagate. Old components start
+    * collapsed, so the loop pays rounds proportional to how far the BATCH
+    * chains old components together — not to the corpus diameter — while
+    * converging to exactly the full-recompute labels (seed labels are
+    * member ids, so the fixpoint is the merged-component minimum; proof
+    * sketch at [[ccFixpoint]]). The oracle is therefore q101's recursive
+    * CTE verbatim: any warm-start shortcut that changed ANY label would
+    * hash-mismatch the cold answer.
+    */
+  val q108 = QuerySpec(
+    "q108_incremental_cc",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val stored = connectedComponents(
+        neardupEdges(docs.filter(col("doc_id") % 5 =!= 0)))
+      connectedComponentsSeeded(neardupEdges(docs), stored)._1
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
+            reach(id, lbl) AS (
+              SELECT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl AS lbl
+              FROM edges e JOIN reach r ON r.id = e.src)
+            SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach
+            GROUP BY id ORDER BY doc_id""")
+  )
+
   // --------------------------------------------------------------- q102
   /** CONTAINMENT near-dup pairs — the asymmetric companion to q27's
     * Jaccard. Jaccard misses the most common real-corpus duplication mode:
@@ -534,7 +567,7 @@ object Dedup {
     * [[neardupEdges]] (through `edges`), shared by the q69/q72 unrolled
     * oracles and q101's recursive-CTE fixpoint oracle.
     */
-  private val neardupEdgesCtes: String = s"""toks AS (
+  private lazy val neardupEdgesCtes: String = s"""toks AS (
               SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
               WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
             grams AS (
@@ -555,7 +588,7 @@ object Dedup {
   /** K=3 unrolled label rounds (l0..l3) on top of [[neardupEdgesCtes]] —
     * the q69/q72 oracle form.
     */
-  private val neardupLabelsCtes: String = s"""$neardupEdgesCtes,
+  private lazy val neardupLabelsCtes: String = s"""$neardupEdgesCtes,
             l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
             l1 AS (SELECT id, MIN(lbl) AS lbl FROM (
                      SELECT id, lbl FROM l0
@@ -609,10 +642,17 @@ object Dedup {
     * (web graphs); for shingle-candidate graphs the diameter is small and
     * plain min-propagation does fewer total shuffles with simpler rounds.
     */
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    var labels = graft.core.Materialize(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")))
+  /** The shared fixpoint engine: min-label propagation from an arbitrary
+    * initial labeling. Returns the labels AND the round count (the last
+    * round is the no-change verification round) so warm-start callers can
+    * measure how much a seed saves. Initial labels must each be the id of
+    * SOME member of their component (self-labels and previously-converged
+    * component minima both qualify) — then the fixpoint is the component
+    * minimum over member ids, independent of the seeding.
+    */
+  private[llmops] def ccFixpoint(edges: DataFrame, init: DataFrame,
+                                 maxRounds: Int): (DataFrame, Int) = {
+    var labels = graft.core.Materialize(init)
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
         .head.getDecimal(0)
@@ -631,7 +671,32 @@ object Dedup {
       prevSum = s
       labels = next
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster")), round)
+  }
+
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    ccFixpoint(edges,
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")),
+      maxRounds)._1
+
+  /** Warm-start CC: seed the fixpoint with previously-converged labels
+    * ((id, lbl) — q101's output renamed) and run over the UPDATED edge
+    * set. Old components start already collapsed, so rounds needed track
+    * the DIAMETER OF THE CHANGE (how far new edges chain old components
+    * together), not the corpus — the cluster-maintenance analog of
+    * q73/q74's incremental store probes. Converges to exactly the
+    * full-recompute answer: every seed label is a member id of its
+    * component, so the fixpoint is the merged component's true minimum
+    * (see [[ccFixpoint]]).
+    */
+  def connectedComponentsSeeded(edges: DataFrame, seed: DataFrame,
+                                maxRounds: Int = 50): (DataFrame, Int) = {
+    val init = edges.select(col("src").as("id")).distinct()
+      .join(seed.select(col("doc_id").as("id"), col("cluster").as("seed_lbl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("seed_lbl"), col("id")).as("lbl"))
+    ccFixpoint(edges, init, maxRounds)
   }
 
   /** q101: fixpoint near-dup components over the same capped edge list as
@@ -787,5 +852,5 @@ object Dedup {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102)
+    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108)
 }

@@ -62,6 +62,27 @@ class DedupGraphSpec extends SparkTestBase {
     assert(cc == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("q108: warm-start CC converges in fewer rounds and to identical labels") {
+    // store = chain docs 0..5 (already one component); the batch extends
+    // the chain with docs 6,7 — a 2-hop change on a 7-hop graph
+    val dir = docsDir(chain(8))
+    val docs = graft.Tables.documents(spark, dir)
+    val all = Dedup.neardupEdges(docs)
+    val (coldLabels, coldRounds) =
+      Dedup.ccFixpoint(all,
+        all.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl")), 50)
+    val stored = Dedup.connectedComponents(
+      Dedup.neardupEdges(docs.filter(col("doc_id") < 6)))
+    val (warmLabels, warmRounds) = Dedup.connectedComponentsSeeded(all, stored)
+    assert(warmLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .sameElements(coldLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted),
+      "warm-start must converge to the full-recompute labels")
+    assert(coldRounds >= 7, s"chain fixture: cold needs diameter rounds, got $coldRounds")
+    assert(warmRounds < coldRounds,
+      s"warm start must track the change, not the corpus: $warmRounds vs $coldRounds")
+  }
+
   test("q102: containment flags a short doc embedded in a long one that Jaccard misses") {
     // short doc (12 tokens) fully contained in a 120-token host:
     // containment(short→host) = 1.0 while Jaccard ≈ 10/118 < 0.1 (below
