@@ -517,6 +517,82 @@ object CurationOps {
             ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q109
+  /** SPAN-LEVEL decontamination — q58/q91 DETECT contaminated documents
+    * and the blunt remedy drops them whole; production pipelines (code
+    * and long-document corpora especially) instead excise just the
+    * leaked spans and keep the rest of the document. Every token covered
+    * by an occurrence of an eval-set 8-gram is removed (q98's coverage
+    * machinery pointed at q58's eval grams), the document is reassembled
+    * in order, and the md5 of the rebuilt text certifies the exact bytes.
+    * Only affected documents are emitted — output is bounded by
+    * contamination, not corpus.
+    *
+    * Scale shape: eval grams broadcast (same side q58 broadcasts), the
+    * coverage explode is ×8 on MATCHED positions only, reassembly
+    * aggregates by doc_id with an explicit array_sort (plan-independent
+    * order), and the corpus never shuffles except by doc_id.
+    */
+  val q109 = QuerySpec(
+    "q109_span_decontamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") >= 10)
+      val evalGrams = Dedup.shingles(docs.filter(col("doc_id") < 10), 8)
+        .select("shingle").distinct()
+      val toks = Dedup.tokensWithPos(corpus)
+      val grams = Dedup.shinglesWithPos(corpus, 8)
+      val covered = grams.join(broadcast(evalGrams), "shingle")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(7))).as("pos"))
+        .distinct()
+      val before = toks.groupBy("doc_id").agg(count(lit(1)).as("n_before"))
+      val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_after"),
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok"))).as("clean_text"))
+      before.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+        .filter(col("n_after") < col("n_before"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents),
+            tp AS (
+              SELECT doc_id, i AS pos, ts[i] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks)
+              WHERE doc_id >= 10),
+            grams AS (
+              SELECT doc_id, i AS pos,
+                ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3] || '_'
+                  || ts[i+4] || '_' || ts[i+5] || '_' || ts[i+6] || '_' || ts[i+7] AS g
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i FROM toks
+                    WHERE len(ts) >= 8)),
+            eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+            covered AS (
+              SELECT DISTINCT grams.doc_id, grams.pos + o.o AS pos
+              FROM grams JOIN eval_grams USING (g)
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o
+              WHERE grams.doc_id >= 10),
+            before_t AS (SELECT doc_id, COUNT(*) AS n_before FROM tp GROUP BY doc_id),
+            kept AS (
+              SELECT tp.doc_id, COUNT(*) AS n_after,
+                string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+              FROM tp ANTI JOIN covered
+                ON tp.doc_id = covered.doc_id AND tp.pos = covered.pos
+              GROUP BY tp.doc_id)
+            SELECT b.doc_id, b.n_before,
+              CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after,
+              md5(COALESCE(k.clean_text, '')) AS clean_md5
+            FROM before_t b LEFT JOIN kept k USING (doc_id)
+            WHERE COALESCE(k.n_after, 0) < b.n_before
+            ORDER BY doc_id""")
+  )
+
   // ---------------------------------------------------------------- q99
   /** Deterministic epoch-shuffle shard manifest — the reproducible
     * replacement for "shuffle the corpus each epoch with RNG state":
@@ -756,5 +832,5 @@ object CurationOps {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103)
+    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109)
 }

@@ -150,6 +150,28 @@ class CurationOpsSpec extends SparkTestBase {
       s"stream must land only the clean doc: ${landed.toSeq}")
   }
 
+  test("q109: planted contaminated span is excised; surrounding text survives byte-exactly") {
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ")
+    // doc 30: 4 clean + 8 eval tokens (one exact 8-gram) + 4 clean;
+    // doc 31 fully clean → must NOT be emitted
+    val pre = (1 to 4).map(i => s"x$i")
+    val post = (1 to 4).map(i => s"y$i")
+    val contaminated = (pre ++ (5 to 12).map(i => s"ev$i") ++ post).mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, evalText, "en", "s", 1L),
+      (30L, contaminated, "en", "s", 1L),
+      (31L, (1 to 16).map(i => s"z$i").mkString(" "), "en", "s", 1L)))
+    val out = CurationOps.q109.run(spark, dir).collect()
+    assert(out.length == 1, s"only the contaminated doc is emitted: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) == 30L && r.getLong(1) == 16L && r.getLong(2) == 8L)
+    val expected = (pre ++ post).mkString(" ")
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(3) == expectedMd5,
+      s"rebuilt text must be exactly the clean remainder: $r")
+  }
+
   test("NBModelStore: persisted model scores batches identically to inline q103") {
     val sfDir = sf("sf0.01")
     val store = java.nio.file.Files.createTempDirectory("nbstore").toString
