@@ -66,7 +66,8 @@ object ScaleSmoke {
       "q101_connected_components", "q102_shingle_containment",
       "q103_nb_quality_classifier", "q104_bpe_merges",
       "q105_curriculum_phases", "q106_heavy_hitters", "q107_bm25",
-      "q108_incremental_cc")
+      "q108_incremental_cc", "q109_span_decontamination",
+      "q110_distribution_drift")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

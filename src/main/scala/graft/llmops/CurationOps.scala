@@ -831,6 +831,82 @@ object CurationOps {
             GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q110
+  /** Distribution-drift monitor (PSI) — the governance check that catches
+    * a silently-changed upstream pipeline between corpus snapshots:
+    * bucket a cheap observable (doc length, 100-char bands capped at 10
+    * buckets — integer arithmetic only), compare the old snapshot's
+    * bucket distribution (even doc_ids, q77's split idiom) against the
+    * new one's, and report each bucket's Population Stability Index
+    * contribution (pA−pB)·ln(pA/pB) with add-one smoothing. Σ > 0.2 is
+    * the conventional "investigate" threshold; the per-bucket table says
+    * WHERE the mass moved.
+    *
+    * Determinism: the log argument is a ratio of INTEGER products cast to
+    * double — ((cA+1)·(NB+K)) / ((cB+1)·(NA+K)) — and each contribution
+    * is floored to integer micro-units before any sum, the q84/q93/q107
+    * contract. Scale shape: two scans (or one with conditional
+    * aggregation at the cost of a wider row), one 10-row full-outer
+    * join, broadcast single-row totals. Nothing shuffles but the bucket
+    * aggregate.
+    */
+  val q110 = QuerySpec(
+    "q110_distribution_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bucket = least(expr("n_chars div 100"), lit(9L)).as("bucket")
+      val oldB = docs.filter(col("doc_id") % 2 === 0).select(bucket)
+        .groupBy("bucket").agg(count(lit(1)).as("n_old"))
+      val newB = docs.filter(col("doc_id") % 2 =!= 0).select(bucket)
+        .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      val totals = docs.agg(
+        count(when(col("doc_id") % 2 === 0, 1)).cast("double").as("na"),
+        count(when(col("doc_id") % 2 =!= 0, 1)).cast("double").as("nb"))
+      val k = lit(10.0)
+      val ca = coalesce(col("n_old"), lit(0L)).cast("double") + lit(1.0)
+      val cb = coalesce(col("n_new"), lit(0L)).cast("double") + lit(1.0)
+      val pa = ca / (col("na") + k)
+      val pb = cb / (col("nb") + k)
+      val psiMicro = floor(
+        ((pa - pb) * log((ca * (col("nb") + k)) / (cb * (col("na") + k)))) * lit(1e6))
+        .cast("long")
+      oldB.join(newB, Seq("bucket"), "full_outer")
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          ffloor(pa, 4).as("frac_old"),
+          ffloor(pb, 4).as("frac_new"),
+          psiMicro.as("psi_micro"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, LEAST(n_chars // 100, 9) AS bucket FROM documents),
+            o AS (SELECT bucket, COUNT(*) AS n_old FROM b
+                  WHERE doc_id % 2 = 0 GROUP BY bucket),
+            n AS (SELECT bucket, COUNT(*) AS n_new FROM b
+                  WHERE doc_id % 2 <> 0 GROUP BY bucket),
+            t AS (SELECT
+                CAST(COUNT(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS DOUBLE) AS na,
+                CAST(COUNT(CASE WHEN doc_id % 2 <> 0 THEN 1 END) AS DOUBLE) AS nb
+              FROM documents),
+            j AS (
+              SELECT bucket,
+                CAST(COALESCE(n_old, 0) AS DOUBLE) + 1.0 AS ca,
+                CAST(COALESCE(n_new, 0) AS DOUBLE) + 1.0 AS cb,
+                COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+                na, nb
+              FROM o FULL OUTER JOIN n USING (bucket) CROSS JOIN t)
+            SELECT bucket,
+              CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+              CAST(FLOOR(ca / (na + 10.0) * 10000.0) AS DOUBLE) / 10000.0 AS frac_old,
+              CAST(FLOOR(cb / (nb + 10.0) * 10000.0) AS DOUBLE) / 10000.0 AS frac_new,
+              CAST(FLOOR(((ca / (na + 10.0)) - (cb / (nb + 10.0)))
+                * ln((ca * (nb + 10.0)) / (cb * (na + 10.0))) * 1000000.0) AS BIGINT)
+                AS psi_micro
+            FROM j ORDER BY bucket""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109)
+    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109, q110)
 }
