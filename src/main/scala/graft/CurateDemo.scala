@@ -10,15 +10,18 @@ import graft.llmops.{CorpusPipeline, Dedup, TextAnalysis}
   * inventory interoperates as ONE pipeline, not 70 isolated queries.
   *
   *   1. normalize + exact-dedup (content fingerprint, lowest id wins)
-  *   2. near-dup CLUSTER collapse: q69's bounded min-label propagation
+  *   2. near-dup CLUSTER collapse: q101's fixpoint connected components
   *      over capped shared-5-gram edges, keep the min-id representative
   *      of every cluster
   *   3. PII redaction (chained global regex)
   *   4. quality gate (token band + stopword ratio)
-  *   5. benchmark decontamination (8-gram overlap vs the eval slice,
+  *   5. NB classifier gate (q103's model as a persisted NBModelStore —
+  *      train once on seed sources, score survivors, drop the low tail)
+  *   6. benchmark decontamination (8-gram overlap vs the eval slice,
   *      broadcast eval side)
-  *   6. scale-safe stratified sample (per-row hash threshold, q61 path)
-  *   7. training-sequence packing manifest (q64 path)
+  *   7. scale-safe stratified sample (per-row hash threshold, q61 path)
+  *   8. training-sequence packing manifest (q64 path) + z-ordered landing
+  *      (operators/ZOrder: two-column min/max envelopes for pruning)
   *
   * Every stage is the same code the oracled queries run; the demo prints
   * the survivor count per stage (monotone non-increasing through 1-6) and
@@ -42,11 +45,12 @@ object CurateDemo {
     val deduped = step("exact_dedup")(
       CorpusPipeline.dedupExact(CorpusPipeline.normalize(raw)))
 
-    // q69: cluster near-dups, keep each cluster's min-id representative.
-    // Docs with no candidate edges are their own cluster (left anti on
-    // the non-representative set).
-    val clusters = QueryRegistry.byName("q69_neardup_clusters")
-      .run(spark, sfDir)
+    // q101: cluster near-dups with the PRODUCTION fixpoint CC (q69's
+    // bounded-K is the oracle twin), keep each cluster's min-id
+    // representative. Docs with no candidate edges are their own cluster
+    // (left anti on the non-representative set).
+    val clusters = llmops.Dedup.connectedComponents(
+      llmops.Dedup.neardupEdges(raw))
     val dropDocs = clusters.filter(col("doc_id") =!= col("cluster"))
       .select("doc_id")
     val neardupFree = step("neardup_collapse")(
@@ -60,14 +64,27 @@ object CurateDemo {
       CorpusPipeline.qualityFilter(redacted,
         minTokens = 20, maxTokens = 300, maxStopRatio = 0.15))
 
+    // NB classifier gate (q103's model as a persisted store): train on
+    // the seed sources once, score every survivor against the broadcast
+    // model, drop the low-scoring tail
+    val nbDir = java.nio.file.Files.createTempDirectory("curate-nb").toString
+    llmops.CurationOps.NBModelStore.build(raw, nbDir)
+    val nbScores = llmops.CurationOps.NBModelStore
+      .scoreBatch(spark, nbDir,
+        quality.select(col("doc_id"), col("text_norm").as("text")))
+      .filter(col("nb_logodds") >= -0.05)
+      .select("doc_id")
+    val classified = step("classifier_gate")(
+      quality.join(broadcast(nbScores), Seq("doc_id"), "left_semi"))
+
     // decontaminate against the eval slice (doc_id < 10), q58's shape
     val evalGrams = Dedup.shingles(raw.filter(col("doc_id") < 10), 8)
       .select("shingle").distinct()
-    val contaminated = Dedup.shingles(quality.filter(col("doc_id") >= 10), 8)
+    val contaminated = Dedup.shingles(classified.filter(col("doc_id") >= 10), 8)
       .join(broadcast(evalGrams), "shingle")
       .select("doc_id").distinct()
     val clean = step("decontaminate")(
-      quality.filter(col("doc_id") >= 10)
+      classified.filter(col("doc_id") >= 10)
         .join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
 
     val sampled = step("stratified_sample")(
@@ -91,7 +108,7 @@ object CurateDemo {
 
     println("== curation funnel ==")
     stages.foreach { case (n, c) => println(f"  $n%-18s $c%7d docs") }
-    val counts = stages.map(_._2).take(7) // funnel stages only
+    val counts = stages.map(_._2).take(8) // funnel stages only
     require(counts.tail.zip(counts.tail.tail).forall { case (a, b) => b <= a },
       "curation funnel must be monotone non-increasing after raw")
     require(stages.find(_._1 == "store_exact_hits").get._2 > 0,
@@ -115,6 +132,18 @@ object CurateDemo {
       .orderBy("source")
       .collect()
       .foreach(r => println(f"  ${r.getString(0)}%-8s shards=${r.getLong(1)}%2d docs=${r.getLong(2)}%6d total_tokens=${r.getLong(4)}%9d"))
+
+    // land the curated corpus z-ordered on (doc_id, n_chars): every file
+    // gets a tight min/max envelope on BOTH columns, so snapshot reads
+    // filtered by either prune at row-group grain (operators/ZOrder)
+    val lakeDir = java.nio.file.Files.createTempDirectory("curate-lake").toString
+    operators.ZOrder.clusterBy(
+        sampled.select("doc_id", "text_norm", "lang", "source", "n_chars"),
+        "doc_id", "n_chars", 8)
+      .write.mode("overwrite").parquet(lakeDir)
+    val nFiles = new java.io.File(lakeDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    println(s"== landed z-ordered curated lake: $nFiles files at $lakeDir ==")
     spark.stop()
   }
 }

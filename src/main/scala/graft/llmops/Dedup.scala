@@ -521,7 +521,7 @@ object Dedup {
     * Shared by q69/q72 (bounded-K labels) and q101 (fixpoint CC); both
     * directions present so one join step propagates along every edge.
     */
-  private[llmops] def neardupEdges(docs: DataFrame): DataFrame = {
+  def neardupEdges(docs: DataFrame): DataFrame = {
     val grams = shingles(fanOut(docs), 5)
     val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50)).select("shingle")
