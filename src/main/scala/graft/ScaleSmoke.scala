@@ -67,7 +67,7 @@ object ScaleSmoke {
       "q103_nb_quality_classifier", "q104_bpe_merges",
       "q105_curriculum_phases", "q106_heavy_hitters", "q107_bm25",
       "q108_incremental_cc", "q109_span_decontamination",
-      "q110_distribution_drift")
+      "q110_distribution_drift", "q111_longest_shared_span")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

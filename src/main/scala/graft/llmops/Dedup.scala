@@ -307,6 +307,81 @@ object Dedup {
             ORDER BY d1, d2""")
   )
 
+  // --------------------------------------------------------------- q111
+  /** Longest EXACTLY-SHARED token span per document pair — the exact-
+    * substring dedup signal (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): two docs sharing a verbatim run of
+    * ≥ L tokens is the strongest duplication evidence there is, and it is
+    * invisible to whole-doc Jaccard when the shared run is a small part
+    * of both docs (q102's containment catches SMALL-in-LARGE; this
+    * catches LARGE∩LARGE with a common block — syndicated paragraphs,
+    * license headers, quoted articles).
+    *
+    * A shared span of length s ⟺ s−k+1 consecutive shared k-grams at a
+    * constant positional offset, so: join position-stamped 10-grams
+    * (df-capped, the q27 candidate discipline), put each match on its
+    * DIAGONAL (p1−p2), and find the longest run of consecutive p1 per
+    * (pair, diagonal) with the gaps-and-islands grouping p1−row_number —
+    * pure window arithmetic, no per-pair quadratic scan. max_run + k − 1
+    * is the span length in tokens.
+    *
+    * Scale shape: everything rides the gram equi-join's shuffle; the
+    * islands window partitions by (d1, d2, diag) — bounded by a single
+    * shared block's length, never a corpus stratum. Output is bounded by
+    * pairs sharing ≥ 15-token runs.
+    */
+  val q111 = QuerySpec(
+    "q111_longest_shared_span",
+    (s, d) => {
+      val g = graft.core.Materialize(
+        capKeyFreq(shinglesWithPos(Tables.documents(s, d), 10),
+          MaxShingleDocFreq, col("shingle")))
+      val matches = g.as("a").join(g.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.pos").as("p1"), (col("a.pos") - col("b.pos")).as("diag"))
+      val wDiag = Window.partitionBy("d1", "d2", "diag").orderBy("p1")
+      matches
+        .withColumn("grp", col("p1") - row_number().over(wDiag))
+        .groupBy("d1", "d2", "diag", "grp")
+        .agg(count(lit(1)).as("run"))
+        .groupBy("d1", "d2")
+        .agg((max("run") + lit(9)).as("max_span_tokens"),
+          sum("run").cast("long").as("n_shared_grams"))
+        .filter(col("max_span_tokens") >= 15)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 10),
+            grams_all AS (
+              SELECT doc_id, i AS pos,
+                ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3] || '_'
+                  || ts[i+4] || '_' || ts[i+5] || '_' || ts[i+6] || '_' || ts[i+7]
+                  || '_' || ts[i+8] || '_' || ts[i+9] AS g
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8)) AS i FROM toks)),
+            grams AS (
+              SELECT doc_id, pos, g FROM grams_all
+              QUALIFY COUNT(*) OVER (PARTITION BY g) <= 1000),
+            m AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, a.pos AS p1,
+                a.pos - b.pos AS diag
+              FROM grams a JOIN grams b
+                ON a.g = b.g AND a.doc_id < b.doc_id),
+            runs AS (
+              SELECT d1, d2, diag,
+                p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, diag ORDER BY p1) AS grp
+              FROM m),
+            islands AS (
+              SELECT d1, d2, COUNT(*) AS run
+              FROM runs GROUP BY d1, d2, diag, grp)
+            SELECT d1, d2, MAX(run) + 9 AS max_span_tokens,
+              CAST(SUM(run) AS BIGINT) AS n_shared_grams
+            FROM islands GROUP BY d1, d2
+            HAVING MAX(run) + 9 >= 15
+            ORDER BY d1, d2""")
+  )
+
   // ------------------------------------------------------------- MinHash
   /** Number of hash functions / LSH bands (16 bands × 4 rows). */
   val NumHashes = 64
@@ -852,5 +927,5 @@ object Dedup {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108)
+    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111)
 }

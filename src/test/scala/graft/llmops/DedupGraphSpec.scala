@@ -99,6 +99,23 @@ class DedupGraphSpec extends SparkTestBase {
     assert(jac.isEmpty, "fixture broken: Jaccard should be under the 0.1 threshold")
   }
 
+  test("q111: longest shared span is found at its exact length, diagonals independent") {
+    // docs 1 and 2 share a verbatim 20-token block at DIFFERENT positions
+    // (diag ≠ 0) inside otherwise-unique text; doc 3 shares nothing long
+    val block = (1 to 20).map(i => s"blk$i").mkString(" ")
+    val d1txt = (1 to 7).map(i => s"a$i").mkString(" ") + " " + block + " " +
+      (1 to 6).map(i => s"b$i").mkString(" ")
+    val d2txt = block + " " + (1 to 12).map(i => s"c$i").mkString(" ")
+    val d3txt = (1 to 30).map(i => s"u$i").mkString(" ")
+    val dir = docsDir(Seq(row(1, d1txt), row(2, d2txt), row(3, d3txt)))
+    val out = graft.QueryRegistry.byName("q111_longest_shared_span")
+      .run(spark, dir).collect()
+    assert(out.length == 1, s"only the (1,2) pair shares a span: ${out.toSeq}")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 20L, s"span must be exactly the 20-token block: $r")
+  }
+
   test("q103: docs made of seed-positive tokens outscore seed-negative ones") {
     val dir = docsDir(Seq(
       row(1, "good clean prose text here", "src0"),
