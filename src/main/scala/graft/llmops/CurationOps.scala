@@ -907,6 +907,51 @@ object CurationOps {
             FROM j ORDER BY bucket""")
   )
 
+  /** Persisted drift baseline — q110 as a train-once monitor (the
+    * NBModelStore/DecontamStore idiom for governance): the reference
+    * corpus's bucket counts land once; every ingest batch — or streaming
+    * micro-batch via `foreachBatch` — computes its per-bucket PSI
+    * contributions against the broadcast baseline with q110's integer-
+    * product/micro-unit arithmetic. Σ psi_micro ≥ 0.2·1e6 is the
+    * conventional alert threshold a monitoring sink applies.
+    */
+  object DriftStore {
+    private def buckets(docs: DataFrame): DataFrame =
+      docs.select(least(expr("n_chars div 100"), lit(9L)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+    def build(docs: DataFrame, dir: String): Unit =
+      buckets(docs).write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+
+    /** (bucket, n_base, n_batch, psi_micro) for one batch vs the stored
+      * baseline. Tiny-side work only: the baseline is ≤ 10 rows, the
+      * batch contributes one bucket aggregate.
+      */
+    def psiOfBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   batch: DataFrame): DataFrame = {
+      val base = spark.read.parquet(s"$dir/buckets.parquet")
+        .withColumnRenamed("n", "n_base")
+      val cur = buckets(batch).withColumnRenamed("n", "n_batch")
+      val totals = base.agg(sum("n_base").cast("double").as("na"))
+        .crossJoin(cur.agg(sum("n_batch").cast("double").as("nb")))
+      val k = lit(10.0)
+      val ca = coalesce(col("n_base"), lit(0L)).cast("double") + lit(1.0)
+      val cb = coalesce(col("n_batch"), lit(0L)).cast("double") + lit(1.0)
+      val pa = ca / (col("na") + k)
+      val pb = cb / (col("nb") + k)
+      val psiMicro = floor(
+        ((pa - pb) * log((ca * (col("nb") + k)) / (cb * (col("na") + k)))) * lit(1e6))
+        .cast("long")
+      base.join(cur, Seq("bucket"), "full_outer")
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+          psiMicro.as("psi_micro"))
+        .orderBy("bucket")
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109, q110)
 }

@@ -525,5 +525,93 @@ object TextAnalysis {
             GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80)
+  // --------------------------------------------------------------- q112
+  /** Degenerate-repetition detector — the decoding-loop artifact check a
+    * synthetic-data pipeline runs before training on model outputs:
+    * q56's duplicate-token ratios measure GLOBAL duplication; this finds
+    * the longest CONSECUTIVE repetition runs — period-1 ("the the the",
+    * max run of tok == lag(tok)) and period-2 ("a b a b a b", runs of
+    * tok == lag(tok, 2), cycle length run+2) — the signatures of greedy-
+    * decoding loops. Both are gaps-and-islands over doc-local windows
+    * (partition by doc_id, bounded by document length); docs with no
+    * repeats report run 1 / cycle 2 via the left-join default.
+    *
+    * Output is per-doc metrics for docs showing ANY period-1 repeat or a
+    * period-2 cycle of ≥ 4 — bounded by affected docs, the q109 output
+    * discipline.
+    */
+  val q112 = QuerySpec(
+    "q112_repetition_loops",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = Dedup.tokensWithPos(Tables.documents(s, d))
+      def maxRun(lagBy: Int, colName: String) = {
+        val matches = toks
+          .withColumn("m", col("tok") === lag("tok", lagBy).over(wDoc))
+          .filter(col("m"))
+        matches
+          .withColumn("grp", col("pos") - row_number().over(wDoc))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("run"))
+          .groupBy("doc_id")
+          .agg((max("run") + lit(lagBy)).as(colName))
+      }
+      val docs = toks.select("doc_id").distinct()
+      docs
+        .join(maxRun(1, "max_rep_run"), Seq("doc_id"), "left")
+        .join(maxRun(2, "max_cycle_len"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("max_rep_run"), lit(1L)).as("max_rep_run"),
+          coalesce(col("max_cycle_len"), lit(2L)).as("max_cycle_len"))
+        .filter(col("max_rep_run") >= 2 || col("max_cycle_len") >= 4)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, i AS pos, ts[i] AS tok
+              FROM (SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts,
+                      unnest(range(1, len(string_split(${asciiLowerSql("text")}, ' ')) + 1)) AS i
+                    FROM documents)),
+            m1 AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, tok,
+                  LAG(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1
+                FROM toks)
+              WHERE tok = l1),
+            r1 AS (
+              SELECT doc_id, MAX(run) + 1 AS max_rep_run FROM (
+                SELECT doc_id, COUNT(*) AS run FROM (
+                  SELECT doc_id, pos,
+                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                  FROM m1)
+                GROUP BY doc_id, grp)
+              GROUP BY doc_id),
+            m2 AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, tok,
+                  LAG(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+                FROM toks)
+              WHERE tok = l2),
+            r2 AS (
+              SELECT doc_id, MAX(run) + 2 AS max_cycle_len FROM (
+                SELECT doc_id, COUNT(*) AS run FROM (
+                  SELECT doc_id, pos,
+                    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                  FROM m2)
+                GROUP BY doc_id, grp)
+              GROUP BY doc_id),
+            ids AS (SELECT DISTINCT doc_id FROM toks)
+            SELECT ids.doc_id,
+              COALESCE(r1.max_rep_run, 1) AS max_rep_run,
+              COALESCE(r2.max_cycle_len, 2) AS max_cycle_len
+            FROM ids
+            LEFT JOIN r1 ON ids.doc_id = r1.doc_id
+            LEFT JOIN r2 ON ids.doc_id = r2.doc_id
+            WHERE COALESCE(r1.max_rep_run, 1) >= 2
+               OR COALESCE(r2.max_cycle_len, 2) >= 4
+            ORDER BY ids.doc_id""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80, q112)
 }

@@ -238,6 +238,41 @@ class CurationOpsSpec extends SparkTestBase {
       s"good-seed lookalike positive, junk negative: $scored")
   }
 
+  test("DriftStore: same-shaped stream batches score near zero; shifted ones alarm") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // baseline: lengths spread over buckets 0..4
+    val base = (1L to 100L).map(i => (i, "t", "en", "s", (i % 5) * 100 + 50))
+    val dir = docsDir(base)
+    val store = java.nio.file.Files.createTempDirectory("drift").toString
+    CurationOps.DriftStore.build(
+      spark.read.parquet(s"$dir/documents.parquet"), store)
+    // stream two micro-batch payloads: one same-shaped, one all-bucket-9
+    val stream = MemoryStream[(Long, Long)]
+    stream.addData((1L to 100L).map(i => (i, (i % 5) * 100 + 50)): _*)
+    val psis = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = stream.toDF().toDF("doc_id", "n_chars").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val total = CurationOps.DriftStore.psiOfBatch(spark, store, batch)
+          .agg(sum("psi_micro")).head.getLong(0)
+        psis.synchronized { psis += total }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(psis.nonEmpty && psis.head < 10000,
+      s"identically-distributed batch must score ~0 PSI: $psis")
+    val shifted = Seq((999L, "t", "en", "s", 950L), (998L, "t", "en", "s", 970L),
+      (997L, "t", "en", "s", 990L))
+    val shiftDir = docsDir(shifted)
+    val alarm = CurationOps.DriftStore.psiOfBatch(spark, store,
+        spark.read.parquet(s"$shiftDir/documents.parquet"))
+      .agg(sum("psi_micro")).head.getLong(0)
+    assert(alarm > 200000, s"bucket-9-only batch must exceed the 0.2 threshold: $alarm")
+  }
+
   test("q96: hard negatives come only from other labels, ranked by cosine, self excluded") {
     val out = CurationOps.q96.run(spark, sf("sf0.01")).collect()
     assert(out.nonEmpty)

@@ -116,6 +116,19 @@ class DedupGraphSpec extends SparkTestBase {
     assert(r.getLong(2) == 20L, s"span must be exactly the 20-token block: $r")
   }
 
+  test("q112: planted decoding loops measured at exact lengths") {
+    val dir = docsDir(Seq(
+      row(1, "p q x x x x r s"), // period-1 run of 4 ("x x x x")
+      row(2, "m a b a b a b n"), // period-2 cycle of 6 ("a b a b a b")
+      row(3, (1 to 10).map(i => s"u$i").mkString(" ")))) // clean → excluded
+    val out = graft.QueryRegistry.byName("q112_repetition_loops")
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L), s"clean doc must be excluded: $out")
+    assert(out(1L)._1 == 4L, s"x-run of 4: ${out(1L)}")
+    assert(out(2L) == ((1L, 6L)), s"ab-cycle of 6, no immediate repeats: ${out(2L)}")
+  }
+
   test("q103: docs made of seed-positive tokens outscore seed-negative ones") {
     val dir = docsDir(Seq(
       row(1, "good clean prose text here", "src0"),
