@@ -926,6 +926,45 @@ object Dedup {
             FROM keyed GROUP BY split ORDER BY split""")
   )
 
+  // --------------------------------------------------------------- q113
+  /** Sketch-path containment — the scale companion of q102, completing
+    * the exact/sketch pairing (q27↔q30, q59↔q61): LSH-banded MinHash
+    * candidates get an ASYMMETRY score from the identity
+    * |A∩B| = J/(1+J)·(|A|+|B|), so est_c(A→B) = est_inter/|A| with only
+    * the signature agreement and two per-doc size scalars — no shared-
+    * shingle join at all. Per-doc sizes are one keyed aggregate over the
+    * corpus (rides the shingle shuffle the signatures already pay).
+    *
+    * SCOPE, stated honestly: LSH surfaces candidates by JACCARD, so this
+    * refines large∩large asymmetric pairs (doc + appended boilerplate,
+    * shared blocks — J ≳ 0.2); a SMALL doc inside a much larger one has
+    * near-zero Jaccard and never reaches a band bucket. At 100 TB that
+    * truncation case is the HEAD-FINGERPRINT increment's job
+    * (IncrementalDedup q73, prefixTokens) — the exact q102 remains the
+    * oracle twin on gate data. Hash-seeded → rows-only; the spec checks
+    * the estimates against exact q102 on asymmetric near-dup fixtures.
+    */
+  val q113 = QuerySpec(
+    "q113_containment_sketch",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = graft.core.Materialize(minhashSignatures(docs, k = 3))
+      val pairs = minhashPairs(sigs, minSim = 0.2)
+      val sizes = shingles(docs, 3).groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val j = col("est_jaccard")
+      val inter = j / (j + lit(1.0)) *
+        (col("s1.nsh").cast("double") + col("s2.nsh").cast("double"))
+      pairs
+        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
+        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), col("est_jaccard"),
+          ffloor(inter / col("s1.nsh").cast("double"), 4).as("est_c_d1_in_d2"),
+          ffloor(inter / col("s2.nsh").cast("double"), 4).as("est_c_d2_in_d1"))
+        .orderBy("d1", "d2")
+    },
+    None
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111)
+    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111, q113)
 }

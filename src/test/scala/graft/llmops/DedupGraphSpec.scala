@@ -116,6 +116,26 @@ class DedupGraphSpec extends SparkTestBase {
     assert(r.getLong(2) == 20L, s"span must be exactly the 20-token block: $r")
   }
 
+  test("q113: sketch containment tracks exact q102 on asymmetric near-dups") {
+    // doc 2 = doc 1 + ~45% appended boilerplate: J ≈ 0.69 (LSH surfaces
+    // it), exact containment(1→2) = 1.0, (2→1) ≈ 0.69
+    val core = (1 to 60).map(i => s"c$i").mkString(" ")
+    val tail = (1 to 27).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq(row(1, core), row(2, core + " " + tail)))
+    val sketch = graft.QueryRegistry.byName("q113_containment_sketch")
+      .run(spark, dir).collect()
+    assert(sketch.length == 1, s"the pair must surface via LSH: ${sketch.toSeq}")
+    val r = sketch.head
+    val (c12, c21) = (r.getDouble(3), r.getDouble(4))
+    val exact = Dedup.q102.run(spark, dir).collect().head
+    val (e12, e21) = (exact.getDouble(2), exact.getDouble(3))
+    assert(e12 == 1.0, s"fixture: exact containment 1→2 must be 1.0: $exact")
+    // MinHash with 64 hashes: estimate within ~0.2 of exact
+    assert(math.abs(c12 - e12) < 0.2, s"est $c12 vs exact $e12")
+    assert(math.abs(c21 - e21) < 0.2, s"est $c21 vs exact $e21")
+    assert(c12 > c21, "asymmetry direction must be preserved")
+  }
+
   test("q112: planted decoding loops measured at exact lengths") {
     val dir = docsDir(Seq(
       row(1, "p q x x x x r s"), // period-1 run of 4 ("x x x x")
