@@ -38,7 +38,13 @@ object GraftExtensions {
     "vec_dot" -> (exprs => FloatVectorDot(exprs(0), exprs(1))),
     "minhash_sketch" -> (exprs => graft.functions.MinHashSketchAgg(
       exprs.head, graft.llmops.Dedup.minhashParams, graft.llmops.Dedup.MersennePrime)),
-    "simhash_sketch" -> (exprs => graft.functions.SimHashSketchAgg(exprs.head)))
+    "simhash_sketch" -> (exprs => graft.functions.SimHashSketchAgg(exprs.head)),
+    "sig_agreement" -> (exprs =>
+      graft.functions.LongArrayAgreement(exprs(0), exprs(1))),
+    // k must be a foldable literal (the aggregate's state size is fixed
+    // at plan time): freq_sketch(term, 256)
+    "freq_sketch" -> (exprs => graft.functions.FreqSketchAgg(
+      exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an already-running session (extensions only take effect
     * for sessions created with `.withExtensions` / `spark.sql.extensions`).

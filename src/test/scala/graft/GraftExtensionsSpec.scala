@@ -16,6 +16,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     spark.catalog.dropTempView("vecs")
   }
 
+  test("freq_sketch and sig_agreement are SQL-callable") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    Seq("a", "a", "a", "b", "c").toDF("t").createOrReplaceTempView("terms")
+    val sk = spark.sql("SELECT freq_sketch(t, 2) AS sk FROM terms")
+      .head.getMap[String, Long](0)
+    assert(sk.contains("a") && sk.size <= 2)
+    Seq((Seq(1L, 2L, 3L), Seq(1L, 9L, 3L))).toDF("x", "y")
+      .createOrReplaceTempView("sigs")
+    val agree = spark.sql("SELECT sig_agreement(x, y) AS n FROM sigs")
+      .head.getInt(0)
+    assert(agree == 2)
+    spark.catalog.dropTempView("terms"); spark.catalog.dropTempView("sigs")
+  }
+
   test("minhash_sketch aggregate is SQL-callable and matches the library path") {
     import spark.implicits._
     GraftExtensions.registerAll(spark)
