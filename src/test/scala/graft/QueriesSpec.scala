@@ -27,6 +27,7 @@ class QueriesSpec extends SparkTestBase {
     assert(rowsOnly.forall(n => n.contains("minhash") || n.contains("simhash") ||
       n.contains("lsh") || n.contains("approx") || n.contains("ivf") ||
       n.contains("winnowing") || n.contains("incremental_neardup") ||
-      n.contains("pq_topk") || n.contains("semantic_dedup")))
+      n.contains("pq_topk") || n.contains("semantic_dedup") ||
+      n.contains("containment_sketch")))
   }
 }
