@@ -294,5 +294,113 @@ object Advanced {
             FROM m GROUP BY event_type ORDER BY event_type""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81)
+  // --------------------------------------------------------------- q114
+  /** Ordered conversion funnel — the staple event-analytics query: of the
+    * users who VIEWed, how many went on to CLICK after that view, and
+    * then PURCHASE after that click, with the mean seconds between
+    * reached steps. Step semantics are strict ordering (each step's
+    * timestamp must EXCEED the previous step's first-reach time), which
+    * is what separates a funnel from three independent counts.
+    *
+    * Plan shape: one keyed aggregate per step over the (events ⋈
+    * prior-step) join — user_id-keyed shuffles only, no windows, no
+    * per-user sort. Mean seconds are computed from an INTEGER micro sum
+    * (ffloor'd once at output), not an avg of doubles — summation-order-
+    * free across engines and layouts.
+    */
+  val q114 = QuerySpec(
+    "q114_event_funnel",
+    (s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"), max("t1").as("t1"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2.select("user_id", "t2"), "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"), max("t2").as("t2"))
+      def report(step: Int, name: String, df: DataFrame,
+                 from: Option[(String, String)]): DataFrame = {
+        val base = from match {
+          case Some((a, b)) => df.agg(
+            count(lit(1)).as("n_users"),
+            sum(unix_micros(col(b)) - unix_micros(col(a))).cast("long").as("__tot"))
+            .select(col("n_users"),
+              ffloor(col("__tot").cast("double") / lit(1e6) /
+                col("n_users").cast("double"), 2).as("avg_secs_from_prev"))
+          case None => df.agg(count(lit(1)).as("n_users"))
+            .select(col("n_users"), lit(null).cast("double").as("avg_secs_from_prev"))
+        }
+        base.select(lit(step).as("step"), lit(name).as("event"),
+          col("n_users"), col("avg_secs_from_prev"))
+      }
+      report(1, "view", s1, None)
+        .union(report(2, "click", s2, Some(("t1", "t2"))))
+        .union(report(3, "purchase", s3, Some(("t2", "t3"))))
+        .orderBy("step")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MAX(t1) AS t1
+                   FROM e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MAX(t2) AS t2
+                   FROM e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT CAST(1 AS INTEGER) AS step, 'view' AS event,
+              COUNT(*) AS n_users, CAST(NULL AS DOUBLE) AS avg_secs_from_prev
+            FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'click', COUNT(*),
+              CAST(FLOOR(CAST(CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS BIGINT) AS DOUBLE)
+                / 1000000.0 / CAST(COUNT(*) AS DOUBLE) * 100.0) AS DOUBLE) / 100.0
+            FROM s2
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'purchase', COUNT(*),
+              CAST(FLOOR(CAST(CAST(SUM(epoch_us(t3) - epoch_us(t2)) AS BIGINT) AS DOUBLE)
+                / 1000000.0 / CAST(COUNT(*) AS DOUBLE) * 100.0) AS DOUBLE) / 100.0
+            FROM s3
+            ORDER BY step""")
+  )
+
+  // --------------------------------------------------------------- q115
+  /** Retention cohort matrix — the other event-analytics staple: users
+    * grouped by FIRST-ACTIVITY week (cohort), counted in each subsequent
+    * activity week. Pure integer date arithmetic (days since the corpus
+    * epoch, integer-divided into weeks) and two keyed aggregates — the
+    * (user, week) distinct rides the first aggregate's shuffle and the
+    * cohort join is user-keyed. No windows, no corpus stratum sorts.
+    */
+  val q115 = QuerySpec(
+    "q115_retention_cohorts",
+    (s, d) => {
+      val week = expr("datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7")
+        .cast("long")
+      val e = Tables.events(s, d).select(col("user_id"), week.as("week"))
+      val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+      e.distinct()
+        .join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(count(lit(1)).as("n_active"))
+        .select(col("cohort_week"), col("week").as("activity_week"), col("n_active"))
+        .orderBy("cohort_week", "activity_week")
+    },
+    Some("""WITH e AS (
+              SELECT user_id,
+                CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+              FROM events),
+            cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+            act AS (SELECT DISTINCT user_id, week FROM e)
+            SELECT cohort_week, week AS activity_week, COUNT(*) AS n_active
+            FROM act JOIN cohort USING (user_id)
+            GROUP BY cohort_week, week
+            ORDER BY cohort_week, activity_week""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81, q114, q115)
 }
