@@ -2,7 +2,7 @@ package graft.llmops
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.operators.Ops.{asciiLower, asciiLowerSql, fanOut, ffloor}
 
@@ -750,6 +750,60 @@ object PretrainOps {
             ORDER BY score_micro DESC, doc_id LIMIT 20""")
   )
 
+  // --------------------------------------------------------------- q116
+  /** Contrastive two-view crop manifest — the training-example
+    * constructor for contrastive/retrieval pretraining (Contriever/SimCSE
+    * style): each document yields two half-length crops at
+    * DETERMINISTIC hash-derived offsets (salted md5 → integer offset, the
+    * q92/q99 membership idiom — no RNG state, rerunning the pipeline
+    * regenerates byte-identical views), with the overlap-token count the
+    * loss weighting needs and an md5 per view certifying the exact crop
+    * bytes. Pure per-row expressions over the token ARRAY (slice, no
+    * explode) — a narrow scan at any corpus size.
+    */
+  val q116 = QuerySpec(
+    "q116_contrastive_views",
+    (s, d) => {
+      def h32(salt: String) = conv(
+        substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))), 1, 8),
+        16, 10).cast("long")
+      def crop(o: Column, len: Column) =
+        md5(concat_ws(" ", slice(col("ts"), (o + lit(1L)).cast("int"), len.cast("int"))))
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(asciiLower(col("text")), " ").as("ts"))
+        .withColumn("n", size(col("ts")).cast("long"))
+        .filter(col("n") >= 10)
+        .withColumn("len", greatest(lit(5L), expr("n div 2")))
+        .withColumn("o1", h32("cv1") % (col("n") - col("len") + 1))
+        .withColumn("o2", h32("cv2") % (col("n") - col("len") + 1))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("o1"), col("o2"),
+          greatest(lit(0L), col("len") - abs(col("o1") - col("o2")))
+            .as("overlap_tokens"),
+          crop(col("o1"), col("len")).as("v1_md5"),
+          crop(col("o2"), col("len")).as("v2_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts,
+                CAST(len(string_split(${asciiLowerSql("text")}, ' ')) AS BIGINT) AS n
+              FROM documents),
+            f AS (
+              SELECT doc_id, ts, n, GREATEST(5, n // 2) AS len
+              FROM t WHERE n >= 10),
+            o AS (
+              SELECT doc_id, ts, n, len,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cv1'), 1, 8))
+                  AS BIGINT) % (n - len + 1) AS o1,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cv2'), 1, 8))
+                  AS BIGINT) % (n - len + 1) AS o2
+              FROM f)
+            SELECT doc_id, n AS n_tokens, o1, o2,
+              GREATEST(0, len - ABS(o1 - o2)) AS overlap_tokens,
+              md5(array_to_string(list_slice(ts, o1 + 1, o1 + len), ' ')) AS v1_md5,
+              md5(array_to_string(list_slice(ts, o2 + 1, o2 + len), ' ')) AS v2_md5
+            FROM o ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107)
+    Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116)
 }

@@ -148,4 +148,67 @@ object StatefulOps {
           }
       }
   }
+
+  // ----------------------------------------------------- streaming funnel
+  /** A typed funnel event: user + step name + event time (millis). */
+  case class FunnelEvent(user_id: Long, event_type: String, tsMillis: Long)
+  /** Per-user funnel state: the furthest step reached and when. */
+  case class FunnelState(step: Int, tsMillis: Long)
+  /** Emitted when a user ADVANCES: the new step and seconds from the
+    * previous step (0 for step 1).
+    */
+  case class FunnelAdvance(user_id: Long, step: Int, event_type: String,
+                           secsFromPrev: Double)
+
+  /** Streaming conversion funnel — the online form of q114: per user, a
+    * state machine holds only (furthest step, its event time); an event
+    * advances the state iff it is the NEXT step with a LATER timestamp
+    * (q114's strict ordering), and each advance emits one row. Events for
+    * already-passed or skipped-ahead steps mutate nothing, so replays and
+    * out-of-order duplicates are naturally idempotent at the state level.
+    *
+    * State is O(users) × one 2-field case class — the same bound
+    * latestWins carries — with the same TTL/refresh-on-touch eviction
+    * contract. Within a micro-batch, events apply in timestamp order
+    * (event-time, then arrival) so a batch containing view+click+purchase
+    * advances all three steps deterministically.
+    */
+  def streamingFunnel(
+      events: Dataset[FunnelEvent],
+      steps: Seq[String],
+      ttlMillis: Long = -1L): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap // step name -> 0-based
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append,
+        if (ttlMillis > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+            val ordered = batch.filter(e => stepIdx.contains(e.event_type))
+              .toSeq.sortBy(e => (e.tsMillis, stepIdx(e.event_type)))
+            ordered.foreach { e =>
+              val s = stepIdx(e.event_type) + 1 // 1-based step number
+              if (s == cur.step + 1 && e.tsMillis > cur.tsMillis) {
+                val secs = if (cur.step == 0) 0.0
+                  else (e.tsMillis - cur.tsMillis) / 1000.0
+                out += FunnelAdvance(user, s, e.event_type, secs)
+                cur = FunnelState(s, e.tsMillis)
+              }
+            }
+            if (cur.step > 0) {
+              state.update(cur)
+              if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)
+            }
+            out.iterator
+          }
+      }
+  }
 }

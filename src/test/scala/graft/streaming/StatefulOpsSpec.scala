@@ -35,6 +35,39 @@ class StatefulOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingFunnel advances strictly ordered steps across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[FunnelEvent]
+    val q = streamingFunnel(stream.toDS(), Seq("view", "click", "purchase"))
+      .toDF("user_id", "step", "event_type", "secs")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // batch 1: user 1 views then clicks (same batch, ts-ordered);
+      // user 2 clicks FIRST (no view) -> no advance at all
+      stream.addData(
+        FunnelEvent(1, "view", 1000), FunnelEvent(1, "click", 61000),
+        FunnelEvent(2, "click", 2000))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (advance); an out-of-order duplicate
+      // click at an EARLIER ts mutates nothing; user 2 finally views ->
+      // step 1 only (the earlier click is gone - strict order)
+      stream.addData(
+        FunnelEvent(1, "purchase", 181000), FunnelEvent(1, "click", 500),
+        FunnelEvent(2, "view", 3000))
+      q.processAllAvailable()
+
+      val rows = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+        .toList.sortBy(t => (t._1, t._2))
+      assert(rows == List(
+        (1L, 1, "view", 0.0), (1L, 2, "click", 60.0), (1L, 3, "purchase", 120.0),
+        (2L, 1, "view", 0.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streamingNearDup flags near-identical arrivals against earlier docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
