@@ -804,6 +804,101 @@ object PretrainOps {
             FROM o ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q117
+  /** Span-corruption manifest — the T5/UL2 denoising-objective example
+    * constructor: mask ~15% of each document's tokens as fixed-length-3
+    * spans replaced by `<extra_id_k>` sentinels. Spans are deterministic
+    * and NON-OVERLAPPING by construction: the doc is cut into n_spans
+    * equal segments and each span lands at a salted-hash offset WITHIN
+    * its segment (the q116 idiom, so no rejection sampling and no RNG
+    * state — production's Poisson span lengths are a documented
+    * deviation). The masked text's md5 certifies the exact corrupted
+    * bytes, q98/q109's contract.
+    *
+    * Scale shape: spans explode ×3 per span (≈ 0.15 × corpus positions),
+    * reassembly aggregates by doc_id with explicit array_sort; per-doc
+    * arithmetic is all integer.
+    */
+  val q117 = QuerySpec(
+    "q117_span_corruption",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = Dedup.tokensWithPos(docs)
+      val base = docs
+        .select(col("doc_id"), size(split(asciiLower(col("text")), " ")).cast("long").as("n"))
+        .filter(col("n") >= 20)
+        .withColumn("n_spans", greatest(lit(1L), expr("(n * 15 div 100) div 3")))
+        .withColumn("seg", expr("n div n_spans"))
+      val spans = base
+        .select(col("doc_id"), col("n"), col("n_spans"), col("seg"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("k"))
+        .withColumn("start",
+          col("k") * col("seg") + conv(
+            substring(md5(concat(col("doc_id").cast("string"), lit(":sc"),
+              col("k").cast("string"))), 1, 8), 16, 10).cast("long") % (col("seg") - lit(2L)))
+      val covered = spans
+        .select(col("doc_id"), col("k"), col("start"),
+          explode(sequence(col("start"), col("start") + lit(2L))).as("pos"))
+      val rebuilt = toks
+        .join(covered.select(col("doc_id"), col("pos"), col("k"),
+            (col("pos") === col("start")).as("is_start")),
+          Seq("doc_id", "pos"), "left")
+        .filter(col("k").isNull || col("is_start"))
+        .select(col("doc_id"), col("pos"),
+          when(col("is_start"),
+            concat(lit("<extra_id_"), col("k").cast("string"), lit(">")))
+            .otherwise(col("tok")).as("tok"))
+        .groupBy("doc_id")
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("masked"))
+      base.join(rebuilt, "doc_id")
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_spans"),
+          (col("n_spans") * 3).as("n_corrupted"),
+          ffloor(col("n_spans").cast("double") * 3 / col("n").cast("double"), 4)
+            .as("corrupt_frac"),
+          md5(col("masked")).as("masked_md5"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts,
+                CAST(len(string_split(${asciiLowerSql("text")}, ' ')) AS BIGINT) AS n
+              FROM documents),
+            base AS (
+              SELECT doc_id, ts, n,
+                GREATEST(1, (n * 15 // 100) // 3) AS n_spans,
+                n // GREATEST(1, (n * 15 // 100) // 3) AS seg
+              FROM t WHERE n >= 20),
+            spans AS (
+              SELECT doc_id, n, n_spans, seg, k,
+                k * seg + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sc'
+                  || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % (seg - 2) + 1 AS start
+              FROM (SELECT *, unnest(range(0, n_spans)) AS k FROM base)),
+            covered AS (
+              SELECT doc_id, k, start, start + o.o AS pos
+              FROM spans CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o),
+            tp AS (
+              SELECT doc_id, i AS pos, ts[i] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t
+                    WHERE n >= 20)),
+            rebuilt AS (
+              SELECT tp.doc_id,
+                string_agg(CASE WHEN c.pos = c.start
+                  THEN '<extra_id_' || CAST(c.k AS VARCHAR) || '>'
+                  ELSE tp.tok END, ' ' ORDER BY tp.pos) AS masked
+              FROM tp LEFT JOIN covered c
+                ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+              WHERE c.k IS NULL OR c.pos = c.start
+              GROUP BY tp.doc_id)
+            SELECT b.doc_id, b.n AS n_tokens, b.n_spans,
+              b.n_spans * 3 AS n_corrupted,
+              CAST(FLOOR(CAST(b.n_spans AS DOUBLE) * 3
+                / CAST(b.n AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0 AS corrupt_frac,
+              md5(r.masked) AS masked_md5
+            FROM base b JOIN rebuilt r ON b.doc_id = r.doc_id
+            ORDER BY b.doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116)
+    Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116, q117)
 }
