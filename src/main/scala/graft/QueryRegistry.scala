@@ -6,6 +6,7 @@ object QueryRegistry {
     graft.operators.Relational.all ++
       graft.operators.Advanced.all ++
       graft.operators.Extras.all ++
+      graft.operators.Quantiles.all ++
       graft.llmops.Dedup.all ++
       graft.llmops.IncrementalDedup.all ++
       graft.llmops.TextAnalysis.all ++
