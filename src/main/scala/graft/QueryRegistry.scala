@@ -9,6 +9,7 @@ object QueryRegistry {
       graft.operators.Quantiles.all ++
       graft.llmops.Dedup.all ++
       graft.llmops.IncrementalDedup.all ++
+      graft.llmops.ClusterStore.all ++
       graft.llmops.TextAnalysis.all ++
       graft.llmops.Similarity.all ++
       graft.llmops.ProductQuant.all ++

@@ -642,7 +642,7 @@ object Dedup {
     * [[neardupEdges]] (through `edges`), shared by the q69/q72 unrolled
     * oracles and q101's recursive-CTE fixpoint oracle.
     */
-  private lazy val neardupEdgesCtes: String = s"""toks AS (
+  private[llmops] lazy val neardupEdgesCtes: String = s"""toks AS (
               SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
               WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
             grams AS (
@@ -728,9 +728,13 @@ object Dedup {
   private[llmops] def ccFixpoint(edges: DataFrame, init: DataFrame,
                                  maxRounds: Int): (DataFrame, Int) = {
     var labels = graft.core.Materialize(init)
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      // empty label table (no edges at all) sums to NULL → zero, so the
+      // loop converges on the first round instead of NPE-ing
+      val s = l.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
         .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
