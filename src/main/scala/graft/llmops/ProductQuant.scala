@@ -114,19 +114,31 @@ object ProductQuant {
   }
 
   /** ADC top-k: approximate cosine of every code row against each query
-    * (collected — queries are a small batch by contract), keeping a
-    * per-(partition, query) heap of size k so the shuffle input is
-    * |queries|·k rows per partition. Returns (qid, rn, vec_id, acos).
+    * (collected — queries are a small batch by ENFORCED contract:
+    * `maxQueryBatch` caps the collect and over-cap batches are rejected
+    * with a `require`), keeping a per-(partition, query) heap of size k so
+    * the shuffle input is |queries|·k rows per partition. Returns
+    * (qid, rn, vec_id, acos).
     */
   def pqTopK(codes: DataFrame, codebooks: Codebooks, queries: DataFrame,
-             topK: Int): DataFrame = {
+             topK: Int, maxQueryBatch: Int = 4096): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    val qs: Array[(Long, Array[Float], Double)] = queries
+    // The contract is now CHECKED, not just documented: collect at most
+    // cap+1 rows (bounded driver memory even against a corpus-sized input)
+    // and refuse a batch over the cap — per-query ADC tables and heaps make
+    // driver/executor memory linear in the batch, so an unbounded batch
+    // must fail loudly, not OOM an executor mid-stage.
+    val collected = queries
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .limit(maxQueryBatch + 1)
       .collect()
+    require(collected.length <= maxQueryBatch,
+      s"pqTopK: query batch exceeds maxQueryBatch=$maxQueryBatch rows — " +
+        "split the queries or raise the cap explicitly")
+    val qs: Array[(Long, Array[Float], Double)] = collected
       .map { case (id, e) =>
         (id, e, math.sqrt(e.map(x => x.toDouble * x).sum))
       }

@@ -52,6 +52,18 @@ class ProductQuantSpec extends SparkTestBase {
     assert(rrRecall >= 0.8, s"rerank recall too low: $rrRecall")
   }
 
+  test("pq: over-cap query batch is rejected before any heavy work") {
+    val cb = ProductQuant.pqTrain(e, m = 8, k = 16, iters = 1)
+    val codes = ProductQuant.pqEncode(e, cb)
+    val ex = intercept[IllegalArgumentException] {
+      ProductQuant.pqTopK(codes, cb, e, topK = 5, maxQueryBatch = 100).count()
+    }
+    assert(ex.getMessage.contains("maxQueryBatch"))
+    // at the cap boundary it still runs
+    assert(ProductQuant.pqTopK(codes, cb, queries, 5, maxQueryBatch = 10)
+      .count() > 0)
+  }
+
   test("pq: registry q75 returns 5 ranked rows per query, scores in [-1,1]") {
     val out = graft.QueryRegistry.byName("q75_embedding_pq_topk")
       .run(spark, sf("sf0.001")).collect()
