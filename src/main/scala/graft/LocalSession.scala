@@ -15,6 +15,21 @@ import org.apache.spark.sql.SparkSession
 object LocalSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Streaming state store provider. Default is RocksDB, NOT the
+    * HDFS-backed in-memory default: the stateful ops
+    * (`streaming/StatefulOps.scala`) keep per-key MinHash bucket FIFOs /
+    * funnel machines / champions, and the in-memory provider holds every
+    * key's state on-heap per executor — at 100× the near-dup bucket map is
+    * the first thing to blow the heap. RocksDB keeps the working set
+    * off-heap with spill-to-disk, so state capacity scales with disk, not
+    * heap. Sizing: streamingNearDup state ≈ (16 bands × maxBucket × 8 B
+    * doc-ids + 64×8 B signature) ≈ 1 KiB/doc at maxBucket=10 → 1 M tracked
+    * docs ≈ 1 GiB per executor — fine on disk, fatal on a shared heap.
+    * Override (e.g. back to HDFS for tiny tests) via SPARK_GRAFT_STATE_STORE.
+    */
+  def stateStoreProvider: String = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE",
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   def apply(width: String = cpus): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$width]")
@@ -23,6 +38,7 @@ object LocalSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
