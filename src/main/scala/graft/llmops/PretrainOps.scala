@@ -806,18 +806,22 @@ object PretrainOps {
 
   // --------------------------------------------------------------- q117
   /** Span-corruption manifest — the T5/UL2 denoising-objective example
-    * constructor: mask ~15% of each document's tokens as fixed-length-3
-    * spans replaced by `<extra_id_k>` sentinels. Spans are deterministic
-    * and NON-OVERLAPPING by construction: the doc is cut into n_spans
-    * equal segments and each span lands at a salted-hash offset WITHIN
-    * its segment (the q116 idiom, so no rejection sampling and no RNG
-    * state — production's Poisson span lengths are a documented
-    * deviation). The masked text's md5 certifies the exact corrupted
-    * bytes, q98/q109's contract.
+    * constructor: mask ~15% of each document's tokens as variable-length
+    * spans replaced by `<extra_id_k>` sentinels. Span lengths follow T5's
+    * mean-3 Poisson — sampled DETERMINISTICALLY by inverse-CDF over a
+    * salted-hash uniform (the q116 idiom: no RNG state, no rejection
+    * sampling; 0-length draws fold into 1, lengths truncate at 8, the
+    * usual production truncation). Spans are NON-OVERLAPPING by
+    * construction: the doc is cut into n_spans equal segments (seg ≥ 20
+    * tokens by the 15%/mean-3 arithmetic, so an 8-token span always fits)
+    * and each span lands at a salted-hash offset within its segment,
+    * clamped to the segment's remaining room. The masked text's md5
+    * certifies the exact corrupted bytes, q98/q109's contract.
     *
-    * Scale shape: spans explode ×3 per span (≈ 0.15 × corpus positions),
-    * reassembly aggregates by doc_id with explicit array_sort; per-doc
-    * arithmetic is all integer.
+    * Scale shape: spans explode ×len per span (≈ 0.15 × corpus
+    * positions), reassembly aggregates by doc_id with explicit
+    * array_sort; per-doc arithmetic is all integer except the u-threshold
+    * comparisons, identical double literals on both engines.
     */
   val q117 = QuerySpec(
     "q117_span_corruption",
@@ -829,16 +833,32 @@ object PretrainOps {
         .filter(col("n") >= 20)
         .withColumn("n_spans", greatest(lit(1L), expr("(n * 15 div 100) div 3")))
         .withColumn("seg", expr("n div n_spans"))
+      def h32(salt: String) = conv(
+        substring(md5(concat(col("doc_id").cast("string"), lit(salt),
+          col("k").cast("string"))), 1, 8), 16, 10).cast("long")
+      // inverse CDF of Poisson(mean 3) on u ∈ [0,1) from the :len hash;
+      // P(0) folds into length 1, tail truncates at 8
+      val u = h32(":len") / lit(4294967296.0)
+      val poisLen =
+        when(u < 0.19914827347145578, 1L)
+          .when(u < 0.42319008112684353, 2L)
+          .when(u < 0.6472318887822313, 3L)
+          .when(u < 0.8152632445237721, 4L)
+          .when(u < 0.9160820579686966, 5L)
+          .when(u < 0.9664914646911589, 6L)
+          .when(u < 0.9880954961436427, 7L)
+          .otherwise(lit(8L))
       val spans = base
         .select(col("doc_id"), col("n"), col("n_spans"), col("seg"),
           explode(sequence(lit(0L), col("n_spans") - 1)).as("k"))
+        .withColumn("len", least(poisLen, col("seg") - 2))
         .withColumn("start",
-          col("k") * col("seg") + conv(
-            substring(md5(concat(col("doc_id").cast("string"), lit(":sc"),
-              col("k").cast("string"))), 1, 8), 16, 10).cast("long") % (col("seg") - lit(2L)))
+          col("k") * col("seg") +
+            h32(":sc") % greatest(lit(1L), col("seg") - col("len") + 1))
+      val spanStats = spans.groupBy("doc_id").agg(sum("len").as("n_corrupted"))
       val covered = spans
         .select(col("doc_id"), col("k"), col("start"),
-          explode(sequence(col("start"), col("start") + lit(2L))).as("pos"))
+          explode(sequence(col("start"), col("start") + col("len") - 1)).as("pos"))
       val rebuilt = toks
         .join(covered.select(col("doc_id"), col("pos"), col("k"),
             (col("pos") === col("start")).as("is_start")),
@@ -852,10 +872,10 @@ object PretrainOps {
         .agg(concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             x => x.getField("tok"))).as("masked"))
-      base.join(rebuilt, "doc_id")
+      base.join(rebuilt, "doc_id").join(spanStats, "doc_id")
         .select(col("doc_id"), col("n").as("n_tokens"), col("n_spans"),
-          (col("n_spans") * 3).as("n_corrupted"),
-          ffloor(col("n_spans").cast("double") * 3 / col("n").cast("double"), 4)
+          col("n_corrupted"),
+          ffloor(col("n_corrupted").cast("double") / col("n").cast("double"), 4)
             .as("corrupt_frac"),
           md5(col("masked")).as("masked_md5"))
         .orderBy("doc_id")
@@ -869,14 +889,33 @@ object PretrainOps {
                 GREATEST(1, (n * 15 // 100) // 3) AS n_spans,
                 n // GREATEST(1, (n * 15 // 100) // 3) AS seg
               FROM t WHERE n >= 20),
+            lens AS (
+              SELECT *, LEAST(CASE
+                  WHEN u < 0.19914827347145578 THEN 1
+                  WHEN u < 0.42319008112684353 THEN 2
+                  WHEN u < 0.6472318887822313 THEN 3
+                  WHEN u < 0.8152632445237721 THEN 4
+                  WHEN u < 0.9160820579686966 THEN 5
+                  WHEN u < 0.9664914646911589 THEN 6
+                  WHEN u < 0.9880954961436427 THEN 7
+                  ELSE 8 END, seg - 2) AS len
+              FROM (
+                SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':len'
+                    || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+                FROM (SELECT *, unnest(range(0, n_spans)) AS k FROM base))),
             spans AS (
-              SELECT doc_id, n, n_spans, seg, k,
+              SELECT doc_id, n, n_spans, seg, k, len,
                 k * seg + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sc'
-                  || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % (seg - 2) + 1 AS start
-              FROM (SELECT *, unnest(range(0, n_spans)) AS k FROM base)),
+                  || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % GREATEST(1, seg - len + 1) + 1 AS start
+              FROM lens),
+            span_stats AS (
+              SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_corrupted
+              FROM spans GROUP BY doc_id),
             covered AS (
               SELECT doc_id, k, start, start + o.o AS pos
-              FROM spans CROSS JOIN (SELECT unnest(range(0, 3)) AS o) o),
+              FROM spans CROSS JOIN (SELECT unnest(range(0, 8)) AS o) o
+              WHERE o.o < spans.len),
             tp AS (
               SELECT doc_id, i AS pos, ts[i] AS tok
               FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t
@@ -891,11 +930,12 @@ object PretrainOps {
               WHERE c.k IS NULL OR c.pos = c.start
               GROUP BY tp.doc_id)
             SELECT b.doc_id, b.n AS n_tokens, b.n_spans,
-              b.n_spans * 3 AS n_corrupted,
-              CAST(FLOOR(CAST(b.n_spans AS DOUBLE) * 3
+              s.n_corrupted,
+              CAST(FLOOR(CAST(s.n_corrupted AS DOUBLE)
                 / CAST(b.n AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0 AS corrupt_frac,
               md5(r.masked) AS masked_md5
             FROM base b JOIN rebuilt r ON b.doc_id = r.doc_id
+            JOIN span_stats s ON b.doc_id = s.doc_id
             ORDER BY b.doc_id""")
   )
 

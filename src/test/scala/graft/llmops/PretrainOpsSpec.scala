@@ -110,6 +110,54 @@ class PretrainOpsSpec extends SparkTestBase {
     assert(out("fr") == ((1L, 2L, 5L, 9L, 2.5, 1.8)))
   }
 
+  test("q117: span lengths are Poisson(3)-distributed, spans stay in-segment") {
+    import org.apache.spark.sql.functions._
+    val out = graft.QueryRegistry.byName("q117_span_corruption")
+      .run(spark, sf("sf0.01")).collect()
+    // variable lengths: n_corrupted is no longer always 3×n_spans
+    val fixed = out.count(r => r.getLong(3) == 3 * r.getLong(2))
+    assert(fixed < out.length, "every doc still has 3-token spans — lengths not variable")
+    // mean span length ≈ 3 (law of large numbers over ~2k spans)
+    val mean = out.map(_.getLong(3)).sum.toDouble / out.map(_.getLong(2)).sum
+    assert(mean > 2.6 && mean < 3.4, s"mean span length $mean not ≈ 3")
+    // per-doc corruption stays near the 15% target (len is capped at 8
+    // and seg ≥ 20, so the fraction cannot run away)
+    out.foreach { r =>
+      val frac = r.getDouble(4)
+      assert(frac > 0.02 && frac < 0.45, s"doc ${r.getLong(0)} corrupt_frac $frac")
+    }
+    // the length distribution has real spread (≥4 distinct lengths among
+    // per-doc means would be too coarse; recompute the exact len draw)
+    val docs = graft.Tables.documents(spark, sf("sf0.01"))
+    val lens = docs
+      .select(col("doc_id"),
+        size(split(graft.operators.Ops.asciiLower(col("text")), " ")).cast("long").as("n"))
+      .filter(col("n") >= 20)
+      .withColumn("n_spans", greatest(lit(1L), expr("(n * 15 div 100) div 3")))
+      .withColumn("seg", expr("n div n_spans"))
+      .select(col("doc_id"), col("seg"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("k"))
+      .withColumn("u",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":len"),
+          col("k").cast("string"))), 1, 8), 16, 10).cast("long") / lit(4294967296.0))
+      .withColumn("len",
+        least(when(col("u") < 0.19914827347145578, 1L)
+          .when(col("u") < 0.42319008112684353, 2L)
+          .when(col("u") < 0.6472318887822313, 3L)
+          .when(col("u") < 0.8152632445237721, 4L)
+          .when(col("u") < 0.9160820579686966, 5L)
+          .when(col("u") < 0.9664914646911589, 6L)
+          .when(col("u") < 0.9880954961436427, 7L)
+          .otherwise(lit(8L)), col("seg") - 2))
+      .groupBy("len").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lens.keySet.size >= 6, s"only lengths ${lens.keySet} drawn")
+    val total = lens.values.sum.toDouble
+    // observed frequencies track the folded-Poisson pmf within noise
+    assert(math.abs(lens.getOrElse(1L, 0L) / total - 0.199) < 0.05)
+    assert(math.abs(lens.getOrElse(3L, 0L) / total - 0.224) < 0.05)
+  }
+
   test("q87: buckets are bit widths, doc counts conserve, pad math is exact") {
     val dir = docsDir(Seq(
       (1L, (1 to 7).map(_ => "w").mkString(" "), "en", "s", 1L),    // 7 tok  -> bucket 3
