@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,9 +14,9 @@ import org.apache.spark.sql.functions._
   * produce. But the rank-k VALUE can be found exactly from repeated narrow
   * passes:
   *
-  *   1. bounds pass — min/max/count collected to the driver (one 1-row
-  *      aggregate; inlined as literals so later passes don't re-scan for
-  *      them);
+  *   1. bounds pass — per-group min/max/count collected to the driver (one
+  *      G-row aggregate; inlined as literals so later passes don't re-scan
+  *      for them);
   *   2. histogram pass — bucket every row of each still-active target range
   *      into one of B=1024 fixed-width bins (map-side partial count, one
   *      ≤targets×B-row result collected to the driver); the cumulative bin
@@ -49,79 +49,96 @@ import org.apache.spark.sql.functions._
   * ((pct·n+99) div 100) so no engine's decimal-vs-double literal typing can
   * shift a rank.
   *
-  * Driver-side state is O(targets) rows plus one ≤targets×B histogram
-  * collect per round — constant in the corpus size. Each distributed pass is
-  * a scan filtered to the union of active ranges (range predicates push to
-  * the parquet reader) feeding a map-side-combined count/min/max aggregate:
-  * the shape you want at 1000 executors.
+  * Driver-side state is O(groups × pcts) rows plus one ≤targets×B histogram
+  * collect per round — constant in the corpus size (the grouped form
+  * `require`s the bounded-group contract explicitly). Each distributed pass
+  * is a scan filtered to the union of active ranges (range predicates push
+  * to the parquet reader) feeding a map-side-combined count/min/max
+  * aggregate: the shape you want at 1000 executors. Contrast with q43's
+  * per-group `percentile` aggregates — those sort every group's rows inside
+  * the aggregate buffer; this engine's per-group cost is histogram counts
+  * until the final ≤threshold-row window.
   *
   * The reference connector has no analytics surface (SURVEY.md §2.7); this
   * is part of the engine's own inventory.
   */
 object Quantiles {
 
-  /** One still-unresolved rank target: find the value of rank `off` (1-based)
-    * among rows with x in [lo, hi]; `cnt` rows are known to be in range. */
-  private final case class Target(
-      tid: Int, pct: Int, k: Long, lo: Double, hi: Double, off: Long, cnt: Long)
+  /** One still-unresolved rank target: find the value of rank `off`
+    * (1-based) among rows of group `g` with x in [lo, hi]; `cnt` rows are
+    * known to be in range. */
+  private final case class Target(tid: Int, g: String, pct: Int, k: Long,
+                                  lo: Double, hi: Double, off: Long, cnt: Long)
 
-  /** Exact values at `ceil(pct·n/100)` ranks of `xCol` (must be numeric,
-    * non-null rows only are ranked). Returns (pct:int, k:long, value).
-    *
-    * @param refineThreshold max rows a single refine-window partition may
-    *   hold; candidate buckets above it are re-histogrammed instead.
-    * @param maxRounds loud failure bound on the narrowing loop.
+  /** The shared engine over a (g: string, x: numeric) projection.
+    * Returns (g, pct, k, value). `singleGroup=true` skips the group-equality
+    * clause in scan filters so pure x-range predicates reach parquet.
     */
-  def exactQuantiles(
-      df: DataFrame,
-      xCol: String,
-      pcts: Seq[Int],
-      B: Int = 1024,
-      refineThreshold: Long = 1 << 20,
-      maxRounds: Int = 64): DataFrame = {
-    val spark = df.sparkSession
+  private def engine(
+      gx: DataFrame, pcts: Seq[Int], B: Int, refineThreshold: Long,
+      maxRounds: Int, maxGroups: Int): DataFrame = {
+    val spark = gx.sparkSession
     import spark.implicits._
 
-    val li = df.select(col(xCol).as("x")).filter(col("x").isNotNull)
+    val li = gx.filter(col("x").isNotNull)
+    val xType = li.schema("x").dataType
 
-    // Bounds pass: one 1-row aggregate to the driver; every later pass gets
-    // minv/maxv/n as literals instead of a re-scanned crossJoin.
-    val bRow = li.agg(min(col("x").cast("double")), max(col("x").cast("double")),
-      count(lit(1))).head()
-    val n = bRow.getLong(2)
-    if (n == 0L)
-      return li.select(lit(0).as("pct"), lit(0L).as("k"), col("x").as("value"))
-        .limit(0)
-    val (minv, maxv) = (bRow.getDouble(0), bRow.getDouble(1))
+    // Bounds pass: one G-row aggregate to the driver. The grouped-quantile
+    // contract is BOUNDED group cardinality (a report dimension, not a key);
+    // the cap is checked, not assumed.
+    val bounds = li.groupBy("g")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"), count(lit(1)).as("n"))
+      .limit(maxGroups + 1)
+      .collect()
+    require(bounds.length <= maxGroups,
+      s"exactQuantiles: more than $maxGroups groups — grouped exact " +
+        "quantiles are for bounded report dimensions; use a sketch for keys")
+    if (bounds.isEmpty)
+      return li.select(col("g"), lit(0).as("pct"), lit(0L).as("k"),
+        col("x").as("value")).limit(0)
+    val single = bounds.length == 1
 
-    val init = pcts.distinct.sorted.zipWithIndex.map { case (p, i) =>
-      Target(i, p, (p.toLong * n + 99) / 100, minv, maxv, (p.toLong * n + 99) / 100, n)
+    val sortedPcts = pcts.distinct.sorted
+    val init = bounds.toSeq.sortBy(_.getString(0)).zipWithIndex.flatMap {
+      case (r, gi) =>
+        val (g, mn, mx, n) = (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))
+        sortedPcts.zipWithIndex.map { case (p, pi) =>
+          val k = (p.toLong * n + 99) / 100
+          Target(gi * sortedPcts.size + pi, g, p, k, mn, mx, k, n)
+        }
     }
 
-    var active = init.filter(t => t.lo < t.hi && t.cnt > refineThreshold)
-    var small = init.filterNot(t => t.lo < t.hi && t.cnt > refineThreshold)
-    val resolved = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
-    // Point-mass whole column: every row is minv.
+    def isBig(t: Target): Boolean = t.lo < t.hi && t.cnt > refineThreshold
+    var active = init.filter(isBig)
+    var small = init.filterNot(isBig)
+    val resolved = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Double)]
     val (pm, rest) = small.partition(t => t.lo >= t.hi)
-    resolved ++= pm.map(t => (t.pct, t.k, t.lo))
+    resolved ++= pm.map(t => (t.g, t.pct, t.k, t.lo))
     small = rest
+
+    // Union-of-active-ranges scan predicate. With one group the clauses are
+    // pure x ranges (push to parquet untouched); with many, each clause
+    // pins the group value too — both sides of the AND are scan columns.
+    def scanFilter(ts: Seq[Target]): Column = ts.map { t =>
+      val r = col("x") >= lit(t.lo) && col("x") <= lit(t.hi)
+      if (single) r else col("g") === lit(t.g) && r
+    }.reduce(_ || _)
 
     var round = 0
     while (active.nonEmpty) {
       round += 1
       if (round > maxRounds) throw new IllegalStateException(
         s"exactQuantiles: ${active.size} target(s) unresolved after $maxRounds " +
-          s"histogram rounds (ranges: ${active.map(t => s"[${t.lo},${t.hi}]x${t.cnt}")
+          s"histogram rounds (ranges: ${active.map(t => s"${t.g}[${t.lo},${t.hi}]x${t.cnt}")
             .mkString(", ")}) — refusing to fall back to a corpus-scale sort")
 
-      // Histogram pass over the union of active ranges. The containment join
-      // is a ≤targets-row broadcast; the OR-of-ranges filter pushes down.
-      val tdf = broadcast(active.map(t => (t.tid, t.lo, t.hi))
-        .toDF("tid", "lo", "hi"))
-      val rangeFilter = active.map(t =>
-        col("x") >= lit(t.lo) && col("x") <= lit(t.hi)).reduce(_ || _)
-      val hist = li.filter(rangeFilter)
-        .join(tdf, col("x") >= col("lo") && col("x") <= col("hi"))
+      val tdf = broadcast(active.map(t => (t.tid, t.g, t.lo, t.hi))
+        .toDF("tid", "tg", "lo", "hi"))
+      val hist = li.filter(scanFilter(active))
+        .join(tdf, col("g") === col("tg") &&
+          col("x") >= col("lo") && col("x") <= col("hi"))
         .select(col("tid"),
           when(col("hi") > col("lo"),
             least(floor((col("x") - col("lo")) /
@@ -141,13 +158,13 @@ object Quantiles {
         bins.foreach { r =>
           val (c, bmin, bmax) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
           if (placedT.isEmpty && t.off > cum && t.off <= cum + c)
-            placedT = Some(Target(t.tid, t.pct, t.k, bmin, bmax, t.off - cum, c))
+            placedT = Some(Target(t.tid, t.g, t.pct, t.k, bmin, bmax, t.off - cum, c))
           cum += c
         }
         val p = placedT.getOrElse(throw new IllegalStateException(
           s"exactQuantiles: rank ${t.off} not found in histogram of " +
-            s"[${t.lo},${t.hi}] (${cum} rows) — bucket arithmetic drift"))
-        if (p.lo >= p.hi) resolved += ((p.pct, p.k, p.lo)) // point mass
+            s"${t.g}[${t.lo},${t.hi}] (${cum} rows) — bucket arithmetic drift"))
+        if (p.lo >= p.hi) resolved += ((p.g, p.pct, p.k, p.lo)) // point mass
         else if (p.cnt <= refineThreshold) small = small :+ p
         else next += p
       }
@@ -159,24 +176,59 @@ object Quantiles {
     val fromWindow: Seq[DataFrame] =
       if (small.isEmpty) Nil
       else {
-        val tdf = broadcast(small.map(t => (t.tid, t.pct, t.k, t.lo, t.hi, t.off))
-          .toDF("tid", "pct", "k", "lo", "hi", "off"))
-        val rangeFilter = small.map(t =>
-          col("x") >= lit(t.lo) && col("x") <= lit(t.hi)).reduce(_ || _)
-        Seq(li.filter(rangeFilter)
-          .join(tdf, col("x") >= col("lo") && col("x") <= col("hi"))
+        val tdf = broadcast(
+          small.map(t => (t.tid, t.g, t.pct, t.k, t.lo, t.hi, t.off))
+            .toDF("tid", "tg", "pct", "k", "lo", "hi", "off"))
+        Seq(li.filter(scanFilter(small))
+          .join(tdf, col("g") === col("tg") &&
+            col("x") >= col("lo") && col("x") <= col("hi"))
           .withColumn("rn",
             row_number().over(Window.partitionBy("tid").orderBy("x")))
           .filter(col("rn") === col("off"))
-          .select(col("pct"), col("k"), col("x").as("value")))
+          .select(col("g"), col("pct"), col("k"), col("x").as("value")))
       }
     val fromResolved: Seq[DataFrame] =
       if (resolved.isEmpty) Nil
-      else Seq(resolved.toSeq.toDF("pct", "k", "value")
-        .select(col("pct"), col("k"), col("value").cast(li.schema("x").dataType)))
+      else Seq(resolved.toSeq.toDF("g", "pct", "k", "value")
+        .select(col("g"), col("pct"), col("k"), col("value").cast(xType)))
 
-    (fromWindow ++ fromResolved).reduce(_ unionByName _).orderBy("pct")
+    (fromWindow ++ fromResolved).reduce(_ unionByName _)
   }
+
+  /** Exact values at `ceil(pct·n/100)` ranks of `xCol` (non-null rows).
+    * Returns (pct:int, k:long, value).
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      xCol: String,
+      pcts: Seq[Int],
+      B: Int = 1024,
+      refineThreshold: Long = 1 << 20,
+      maxRounds: Int = 64): DataFrame =
+    engine(df.select(lit("").as("g"), col(xCol).as("x")), pcts, B,
+        refineThreshold, maxRounds, maxGroups = 1)
+      .select(col("pct"), col("k"), col("value"))
+      .orderBy("pct")
+
+  /** Per-group exact quantiles: (group, pct, k, value). The group column
+    * must be string-typed and BOUNDED (`maxGroups` is `require`d) — this is
+    * a report dimension, not a join key. Per-group ranks use each group's
+    * own row count.
+    */
+  def exactQuantilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      pcts: Seq[Int],
+      B: Int = 1024,
+      refineThreshold: Long = 1 << 20,
+      maxRounds: Int = 64,
+      maxGroups: Int = 1024): DataFrame =
+    engine(df.select(col(groupCol).as("g"), col(xCol).as("x"))
+        .filter(col("g").isNotNull), pcts, B, refineThreshold, maxRounds,
+        maxGroups)
+      .select(col("g").as(groupCol), col("pct"), col("k"), col("value"))
+      .orderBy(groupCol, "pct")
 
   // ---------------------------------------------------------------- q118
   /** Exact p25/p50/p75/p90/p99 of `l_extendedprice` → (pct, k, value). */
@@ -199,5 +251,32 @@ object Quantiles {
             ORDER BY pct""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q118)
+  // ---------------------------------------------------------------- q120
+  /** Grouped exact quantiles: p50/p90/p99 of `l_extendedprice` per
+    * `l_returnflag` — what q43 computes with per-group sort aggregates,
+    * re-expressed on the histogram-refine engine so group size never
+    * dictates a task's memory. The DuckDB oracle is the textbook
+    * per-group row_number form.
+    */
+  val q120 = QuerySpec(
+    "q120_grouped_quantiles_nosort",
+    (s, d) => exactQuantilesByGroup(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+      Seq(50, 90, 99), refineThreshold = 4096),
+    Some("""WITH n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+                       WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+            t(pct) AS (VALUES (50), (90), (99)),
+            ks AS (SELECT l_returnflag, pct,
+                     CAST((pct * n + 99) // 100 AS BIGINT) AS k
+                   FROM t CROSS JOIN n),
+            r AS (SELECT l_returnflag, l_extendedprice AS x,
+                    row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice) AS rn
+                  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+            SELECT ks.l_returnflag, pct, k, x AS value
+            FROM ks JOIN r ON r.l_returnflag = ks.l_returnflag AND rn = k
+            ORDER BY ks.l_returnflag, pct""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q120)
 }

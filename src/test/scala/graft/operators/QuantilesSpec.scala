@@ -54,6 +54,31 @@ class QuantilesSpec extends SparkTestBase {
     assert(run(xs, threshold = 1000) == naive(xs))
   }
 
+  test("grouped engine: per-group ranks on skewed groups, tiny threshold") {
+    // group A is a point mass, group B uniform, group C tiny
+    val rows = Seq.fill(4000)(("A", 9.5)) ++
+      (1 to 3000).map(i => ("B", i * 0.01)) ++ Seq(("C", 1.0), ("C", 2.0))
+    val got = Quantiles.exactQuantilesByGroup(
+        rows.toDF("grp", "v").repartition(4), "grp", "v", pcts,
+        B = 8, refineThreshold = 64)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = rs.size.toLong
+      pcts.map { p => val k = (p * n + 99) / 100; (g, p, k, sorted((k - 1).toInt)) }
+    }
+    assert(got == expect)
+  }
+
+  test("grouped engine rejects unbounded group cardinality") {
+    val rows = (1 to 100).map(i => (s"g$i", i.toDouble))
+    val ex = intercept[IllegalArgumentException] {
+      Quantiles.exactQuantilesByGroup(rows.toDF("grp", "v"), "grp", "v",
+        Seq(50), maxGroups = 10).count()
+    }
+    assert(ex.getMessage.contains("groups"))
+  }
+
   test("production default threshold matches on lineitem sf0.001") {
     val got = Quantiles.q118.run(spark, sf("sf0.001"))
       .as[(Int, Long, Double)].collect().toSeq
