@@ -969,6 +969,69 @@ object Dedup {
     None
   )
 
+  // --------------------------------------------------------------- q123
+  /** Fused dedup VERDICT — the per-document keep/drop decision record a
+    * curation run actually writes, combining the two oracled dedup signals
+    * with a priority: byte/head-identical ('exact', q73's head fingerprint,
+    * canonical = lowest doc_id sharing the fingerprint) beats near-dup
+    * cluster membership ('near', q101's component labels, canonical = the
+    * component minimum) beats 'keep'. Every upstream piece is an operator
+    * this inventory already oracles — the fusion itself is two left
+    * broadcast-able joins and one CASE, so the verdict table costs no more
+    * than its inputs. Downstream, `verdict != 'keep'` is the drop list and
+    * `canonical` the redirect target (the q72 manifest idiom, per-doc).
+    */
+  val q123 = QuerySpec(
+    "q123_dedup_verdict",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fps = CorpusPipeline.normalize(docs)
+        .select(col("doc_id"), IncrementalDedup.fingerprint(Some(8)).as("fp"))
+      val owners = fps.groupBy("fp").agg(min("doc_id").as("dup_of"))
+      val exact = fps.join(owners, "fp").select(col("doc_id"), col("dup_of"))
+      val near = connectedComponents(neardupEdges(docs))
+      docs.select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("dup_of") < col("doc_id"), lit("exact"))
+            .when(col("cluster") < col("doc_id"), lit("near"))
+            .otherwise(lit("keep")).as("verdict"),
+          when(col("dup_of") < col("doc_id"), col("dup_of"))
+            .when(col("cluster") < col("doc_id"), col("cluster"))
+            .otherwise(col("doc_id")).as("canonical"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
+            reach(id, lbl) AS (
+              SELECT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl AS lbl
+              FROM edges e JOIN reach r ON r.id = e.src),
+            cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach
+                   GROUP BY id),
+            norm AS (
+              SELECT doc_id,
+                md5(array_to_string(
+                  string_split(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g'), ' ')[1:8],
+                  ' ')) AS fp
+              FROM documents),
+            own AS (SELECT fp, MIN(doc_id) AS dup_of FROM norm GROUP BY fp),
+            ex AS (SELECT n.doc_id, o.dup_of FROM norm n JOIN own o USING (fp))
+            SELECT d.doc_id,
+              CASE WHEN e.dup_of < d.doc_id THEN 'exact'
+                   WHEN c.cluster < d.doc_id THEN 'near'
+                   ELSE 'keep' END AS verdict,
+              CASE WHEN e.dup_of < d.doc_id THEN e.dup_of
+                   WHEN c.cluster < d.doc_id THEN c.cluster
+                   ELSE d.doc_id END AS canonical
+            FROM documents d
+            LEFT JOIN ex e ON d.doc_id = e.doc_id
+            LEFT JOIN cc c ON d.doc_id = c.doc_id
+            ORDER BY d.doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111, q113)
+    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
+      q113, q123)
 }

@@ -484,5 +484,46 @@ object Similarity {
             WHERE vr = 1 ORDER BY qid""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82)
+  // --------------------------------------------------------------- q121
+  /** Per-DIMENSION embedding statistics — the whitening/normalization
+    * profile (mean vector, per-dim energy, range) a training pipeline
+    * computes before centering, PCA-whitening, or quantizing a vector
+    * column. posexplode turns the (vec × dim) matrix into rows; the
+    * aggregate is keyed by dim (64 groups — bounded by construction),
+    * map-side combined, so at 100 TB the shuffle is #dims × #partitions
+    * partial rows, never the matrix. Mean/energy go through decimal sums
+    * ([[graft.operators.Ops.dsum]]'s idiom) so the oracle is bit-exact
+    * under any partition order; min/max are exact by nature.
+    */
+  val q121 = QuerySpec(
+    "q121_embedding_dim_stats",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "vf")))
+        .select(col("dim").cast("long").as("dim"), col("vf").cast("double").as("v"))
+        .groupBy("dim")
+        .agg(
+          count(lit(1)).as("n"),
+          graft.operators.Ops.ffloor(
+            sum(col("v").cast(graft.operators.Ops.Dec)).cast("double") /
+              count(lit(1)), 4).as("mean"),
+          graft.operators.Ops.ffloor(
+            sum((col("v") * col("v")).cast(graft.operators.Ops.Dec))
+              .cast("double") / count(lit(1)), 4).as("energy"),
+          min("v").as("vmin"), max("v").as("vmax"))
+        .orderBy("dim"),
+    Some("""WITH x AS (
+              SELECT unnest(range(len(embedding))) AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings)
+            SELECT dim, COUNT(*) AS n,
+              CAST(FLOOR(CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)
+                / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS mean,
+              CAST(FLOOR(CAST(SUM(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE)
+                / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS energy,
+              MIN(v) AS vmin, MAX(v) AS vmax
+            FROM x GROUP BY dim ORDER BY dim""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82, q121)
 }

@@ -402,5 +402,48 @@ object Advanced {
             ORDER BY cohort_week, activity_week""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81, q114, q115)
+  // --------------------------------------------------------------- q122
+  /** Event-transition matrix — the Markov-chain summary of user behavior
+    * (which event follows which, with what probability) that feeds funnel
+    * design (q114) and anomaly detection. `lead` over (user_id, ts) gives
+    * each event its successor; the window partitions by USER — bounded by
+    * one user's history, the q37 sessionization contract, never a corpus
+    * stratum. Counts aggregate by (from, to) — event-type² cells, tiny —
+    * and the per-from totals broadcast back for the probability. Ties on
+    * ts break by event_id so both engines see one deterministic order.
+    */
+  val q122 = QuerySpec(
+    "q122_event_transitions",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("from_type").agg(sum("n").as("tot"))
+      pairs.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          ffloor(col("n").cast("double") / col("tot"), 4).as("p"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH s AS (
+              SELECT event_type AS from_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS to_type
+              FROM events),
+            c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+                  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+            SELECT c.from_type, c.to_type, c.n,
+              CAST(FLOOR(CAST(c.n AS DOUBLE) / t.tot * 10000.0) AS DOUBLE)
+                / 10000.0 AS p
+            FROM c JOIN t USING (from_type)
+            ORDER BY from_type, to_type""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81, q114,
+    q115, q122)
 }
