@@ -939,6 +939,60 @@ object PretrainOps {
             ORDER BY b.doc_id""")
   )
 
+  // --------------------------------------------------------------- q124
+  /** Sliding-window chunk manifest — the RAG/embedding-index chunker:
+    * fixed 64-token windows at stride 48 (16-token overlap so no boundary
+    * sentence is ever split without a copy). Complements q48's
+    * NON-overlapping packer: retrieval wants overlap, packing wants
+    * partition. Chunk count and offsets are pure integer arithmetic per
+    * doc — ceil((n−size)/stride) interior chunks plus the head — and the
+    * md5 certifies each chunk's exact bytes (q116's certificate idiom).
+    * Per-row explode of O(n/stride) chunks, no windows, no shuffle except
+    * the output sort: the chunker is a map-only operator at any corpus
+    * size.
+    */
+  val q124 = QuerySpec(
+    "q124_sliding_chunks",
+    (s, d) => {
+      val size = 64L
+      val stride = 48L
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(asciiLower(col("text")), " ").as("ts"))
+        .withColumn("n", org.apache.spark.sql.functions.size(col("ts")).cast("long"))
+        .filter(col("n") >= 1)
+        .withColumn("nchunks",
+          lit(1L) + when(col("n") > size,
+            expr(s"(n - $size + ${stride - 1}) div $stride"))
+            .otherwise(lit(0L)).cast("long"))
+        .select(col("doc_id"), col("ts"), col("n"),
+          explode(sequence(lit(0L), col("nchunks") - 1)).as("chunk_idx"))
+        .withColumn("start", col("chunk_idx") * stride)
+        .withColumn("len", least(lit(size), col("n") - col("start")))
+        .select(col("doc_id"), col("chunk_idx"), col("start"), col("len"),
+          md5(concat_ws(" ",
+            slice(col("ts"), (col("start") + 1).cast("int"), col("len").cast("int"))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH t AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts,
+                CAST(len(string_split(${asciiLowerSql("text")}, ' ')) AS BIGINT) AS n
+              FROM documents),
+            b AS (
+              SELECT doc_id, ts, n,
+                1 + CASE WHEN n > 64 THEN (n - 64 + 47) // 48 ELSE 0 END AS nchunks
+              FROM t WHERE n >= 1),
+            c AS (
+              SELECT doc_id, ts, n, unnest(range(0, nchunks)) AS chunk_idx FROM b)
+            SELECT doc_id, chunk_idx, chunk_idx * 48 AS start,
+              LEAST(64, n - chunk_idx * 48) AS len,
+              md5(array_to_string(
+                list_slice(ts, chunk_idx * 48 + 1,
+                  chunk_idx * 48 + LEAST(64, n - chunk_idx * 48)), ' ')) AS chunk_md5
+            FROM c ORDER BY doc_id, chunk_idx""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116, q117)
+    Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116, q117,
+      q124)
 }

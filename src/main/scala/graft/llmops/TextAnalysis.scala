@@ -612,6 +612,62 @@ object TextAnalysis {
             ORDER BY ids.doc_id""")
   )
 
+  // --------------------------------------------------------------- q126
+  /** Bigram PMI collocations — the multi-word-expression miner ("new
+    * york", "machine learning") used for tokenizer vocab candidates and
+    * phrase-aware dedup keys. Marginals come from the bigram table itself
+    * (first-position and second-position counts), so the corpus is
+    * scanned once for pairs and never again; PMI = ln(c12·N / (c1·c2))
+    * is truncated to integer micro-nats (q93's determinism contract — the
+    * ratio is a pure-integer-derived double, identical on both engines)
+    * and the top 100 by (pmi, w1, w2) ships via TakeOrderedAndProject —
+    * per-partition heaps, no global sort. Noise floor: pairs seen < 5
+    * times are dropped before ranking (PMI of rare pairs is degenerate).
+    */
+  val q126 = QuerySpec(
+    "q126_bigram_pmi",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val pairs = Dedup.tokensWithPos(Tables.documents(s, d))
+        .select(col("doc_id"), col("tok").as("w1"),
+          lead(col("tok"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+      val c12 = graft.core.Materialize(
+        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+      val c1 = c12.groupBy("w1").agg(sum("c12").cast("long").as("c1"))
+      val c2 = c12.groupBy("w2").agg(sum("c12").cast("long").as("c2"))
+      val nTot = c12.agg(sum("c12").cast("long").as("nb"))
+      c12.filter(col("c12") >= 5)
+        .join(c1, "w1").join(c2, "w2")
+        .crossJoin(broadcast(nTot))
+        .select(col("w1"), col("w2"), col("c12"),
+          floor(log(
+            (col("c12").cast("double") * col("nb").cast("double")) /
+              (col("c1").cast("double") * col("c2").cast("double"))) * lit(1e6))
+            .cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+        .limit(100)
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
+              FROM documents),
+            p AS (
+              SELECT ts[i] AS w1, ts[i+1] AS w2
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+            c2 AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+            n AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM c12)
+            SELECT w1, w2, c12,
+              CAST(FLOOR(ln((CAST(c12 AS DOUBLE) * CAST(nb AS DOUBLE))
+                / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))) * 1000000.0)
+                AS BIGINT) AS pmi_micro
+            FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+            WHERE c12 >= 5
+            ORDER BY pmi_micro DESC, w1, w2 LIMIT 100""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80, q112)
+    Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80, q112, q126)
 }

@@ -444,6 +444,52 @@ object Advanced {
             ORDER BY from_type, to_type""")
   )
 
+  // --------------------------------------------------------------- q125
+  /** Per-event-type inter-arrival quantiles — latency/cadence profiling
+    * composed from two round-5 engines: per-user `lag` gives each event
+    * its gap (seconds) since the user's previous event (user-bounded
+    * window, the q37/q122 contract), then
+    * [[Quantiles.exactQuantilesByGroup]] finds each event type's exact
+    * p50/p90 gap WITHOUT per-group sorts — histogram rounds + a
+    * ≤threshold-row refine window, per group. The gap table is
+    * materialized once so the engine's passes don't replay the window.
+    */
+  val q125 = QuerySpec(
+    "q125_interarrival_quantiles",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = graft.core.Materialize(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .filter(col("prev_us").isNotNull)
+          .select(col("event_type"),
+            expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_secs")))
+      Quantiles.exactQuantilesByGroup(gaps, "event_type", "gap_secs",
+        Seq(50, 90), refineThreshold = 4096)
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                (epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+                  AS gap_secs
+              FROM events),
+            gg AS (SELECT event_type, gap_secs FROM g WHERE gap_secs IS NOT NULL),
+            n AS (SELECT event_type, COUNT(*) AS n FROM gg GROUP BY 1),
+            t(pct) AS (VALUES (50), (90)),
+            ks AS (SELECT event_type, pct,
+                     CAST((pct * n + 99) // 100 AS BIGINT) AS k
+                   FROM t CROSS JOIN n),
+            r AS (SELECT event_type, gap_secs AS x,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY gap_secs) AS rn
+                  FROM gg)
+            SELECT ks.event_type, pct, k, x AS value
+            FROM ks JOIN r ON r.event_type = ks.event_type AND rn = k
+            ORDER BY ks.event_type, pct""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81, q114,
-    q115, q122)
+    q115, q122, q125)
 }
