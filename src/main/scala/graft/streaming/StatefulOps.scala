@@ -211,4 +211,36 @@ object StatefulOps {
           }
       }
   }
+
+  // ----------------------------------------------- streaming sessionization
+  /** STREAMING sessionization — q37's streaming twin, on Spark's NATIVE
+    * `session_window` aggregate (not custom state: when a built-in covers
+    * the semantics, the built-in wins — it gets watermark-driven state
+    * eviction, RocksDB state, and AQE-free incremental planning for
+    * free). Events carry an event-time `ts` column; sessions close when
+    * a user is idle ≥ `gap`, and a closed session is EMITTED once the
+    * watermark (`late`) passes its end — the streaming analog of q37's
+    * per-session one-row output, with identical (user_id, start, n, sum)
+    * semantics on the same inputs (StatefulOpsSpec drives both shapes).
+    *
+    * State: one open session window per active user — O(active users),
+    * evicted by the watermark, stored in the RocksDB provider under
+    * [[graft.LocalSession]]'s default. At 100 TB of events the state is
+    * the ACTIVE user set only; closed sessions leave state the moment
+    * the watermark passes.
+    */
+  def streamingSessionize(
+      events: DataFrame,
+      gap: String = "4 hours",
+      late: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", late)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Ops.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+  }
 }

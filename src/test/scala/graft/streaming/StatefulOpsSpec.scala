@@ -135,6 +135,40 @@ class StatefulOpsSpec extends SparkTestBase {
     } finally spark.conf.unset(key)
   }
 
+  test("streamingSessionize matches q37's batch sessions once the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val hour = 3600 * 1000L
+    // user 1: two sessions (events 0h,1h then 6h); user 2: one session
+    val evs = Seq(
+      (1L, base + 0 * hour, 10.0), (1L, base + 1 * hour, 20.0),
+      (1L, base + 6 * hour, 30.0),
+      (2L, base + 2 * hour, 5.0))
+    val stream = MemoryStream[(Long, Long, Double)]
+    val df = stream.toDS().toDF("user_id", "ts_ms", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_millis(ts_ms)"))
+    val q = StatefulOps.streamingSessionize(df, gap = "4 hours", late = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      stream.addData(evs.map(e => (e._1, e._2, e._3)): _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session end so all close
+      stream.addData((99L, base + 100 * hour, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val expected = Set(
+        (1L, base * 1000L, 2L, 30.0),                      // 0h session: 2 events
+        (1L, (base + 6 * hour) * 1000L, 1L, 30.0),         // 6h session
+        (2L, (base + 2 * hour) * 1000L, 1L, 5.0))
+      assert(expected.subsetOf(got), s"got $got")
+    } finally q.stop()
+  }
+
   test("streamingNearDup: hot bucket over maxBucket across micro-batches evicts FIFO, keeps recall for recent docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
