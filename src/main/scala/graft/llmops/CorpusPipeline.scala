@@ -684,5 +684,50 @@ object CorpusPipeline {
             GROUP BY lang ORDER BY lang""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64, q70, q71, q77, q83)
+  // --------------------------------------------------------------- q127
+  /** Length-decile profile — corpus bucketing by EXACT decile boundaries
+    * without ntile's global sort: boundary values come from the
+    * histogram-refine quantile engine
+    * ([[graft.operators.Quantiles.exactQuantiles]], 9 ranks, narrow
+    * passes), then every doc's decile is a 9-literal comparison chain —
+    * map-side, no shuffle until the 10-group rollup. Ties at a boundary
+    * fall into the LOWER decile (value > bound moves you up), the
+    * deterministic convention the oracle mirrors; deciles with no
+    * exclusive row range collapse to empty and are absent from the
+    * output, exactly like the SQL.
+    */
+  val q127 = QuerySpec(
+    "q127_length_deciles",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bounds = graft.operators.Quantiles.exactQuantiles(
+          docs, "n_chars", (10 to 90 by 10).toSeq, refineThreshold = 4096)
+        .select("value").collect().map(_.getLong(0)).sorted
+      val decile = bounds.map(b =>
+        when(col("n_chars") > lit(b), 1L).otherwise(0L)).reduce(_ + _) + 1L
+      docs.select(col("n_chars"), decile.as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("decile")
+    },
+    Some("""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            t(pct) AS (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)),
+            ks AS (SELECT pct, CAST((pct * n + 99) // 100 AS BIGINT) AS k
+                   FROM t CROSS JOIN n),
+            r AS (SELECT n_chars,
+                    row_number() OVER (ORDER BY n_chars) AS rn
+                  FROM documents),
+            b AS (SELECT x FROM ks JOIN (SELECT n_chars AS x, rn FROM r) rr
+                  ON rr.rn = ks.k),
+            a AS (SELECT d.n_chars,
+                    1 + (SELECT COUNT(*) FROM b WHERE d.n_chars > b.x) AS decile
+                  FROM documents d)
+            SELECT decile, COUNT(*) AS n_docs,
+              MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM a GROUP BY decile ORDER BY decile""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q46, q47, q48, q58, q59, q60, q61, q62, q64,
+    q70, q71, q77, q83, q127)
 }

@@ -981,28 +981,38 @@ object Dedup {
     * than its inputs. Downstream, `verdict != 'keep'` is the drop list and
     * `canonical` the redirect target (the q72 manifest idiom, per-doc).
     */
+  /** The fused per-doc verdict table (doc_id, verdict, canonical) shared by
+    * q123 (the per-doc dump) and q128 (the per-source rate scorecard). */
+  def dedupVerdict(docs: DataFrame): DataFrame = {
+    val fps = CorpusPipeline.normalize(docs)
+      .select(col("doc_id"), IncrementalDedup.fingerprint(Some(8)).as("fp"))
+    val owners = fps.groupBy("fp").agg(min("doc_id").as("dup_of"))
+    val exact = fps.join(owners, "fp").select(col("doc_id"), col("dup_of"))
+    val near = connectedComponents(neardupEdges(docs))
+    docs.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of") < col("doc_id"), lit("exact"))
+          .when(col("cluster") < col("doc_id"), lit("near"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("dup_of") < col("doc_id"), col("dup_of"))
+          .when(col("cluster") < col("doc_id"), col("cluster"))
+          .otherwise(col("doc_id")).as("canonical"))
+  }
+
   val q123 = QuerySpec(
     "q123_dedup_verdict",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val fps = CorpusPipeline.normalize(docs)
-        .select(col("doc_id"), IncrementalDedup.fingerprint(Some(8)).as("fp"))
-      val owners = fps.groupBy("fp").agg(min("doc_id").as("dup_of"))
-      val exact = fps.join(owners, "fp").select(col("doc_id"), col("dup_of"))
-      val near = connectedComponents(neardupEdges(docs))
-      docs.select(col("doc_id"))
-        .join(exact, Seq("doc_id"), "left")
-        .join(near, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("dup_of") < col("doc_id"), lit("exact"))
-            .when(col("cluster") < col("doc_id"), lit("near"))
-            .otherwise(lit("keep")).as("verdict"),
-          when(col("dup_of") < col("doc_id"), col("dup_of"))
-            .when(col("cluster") < col("doc_id"), col("cluster"))
-            .otherwise(col("doc_id")).as("canonical"))
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
+    (s, d) => dedupVerdict(Tables.documents(s, d)).orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $dedupVerdictCtes
+            SELECT doc_id, verdict, canonical FROM verdicts
+            ORDER BY doc_id""")
+  )
+
+  /** Shared oracle CTE chain ending in `verdicts(doc_id, verdict,
+    * canonical, source)` — q123/q128's common SQL. */
+  private[llmops] lazy val dedupVerdictCtes: String =
+    s"""$neardupEdgesCtes,
             reach(id, lbl) AS (
               SELECT src AS id, src AS lbl FROM edges
               UNION
@@ -1017,21 +1027,53 @@ object Dedup {
                   ' ')) AS fp
               FROM documents),
             own AS (SELECT fp, MIN(doc_id) AS dup_of FROM norm GROUP BY fp),
-            ex AS (SELECT n.doc_id, o.dup_of FROM norm n JOIN own o USING (fp))
-            SELECT d.doc_id,
-              CASE WHEN e.dup_of < d.doc_id THEN 'exact'
-                   WHEN c.cluster < d.doc_id THEN 'near'
-                   ELSE 'keep' END AS verdict,
-              CASE WHEN e.dup_of < d.doc_id THEN e.dup_of
-                   WHEN c.cluster < d.doc_id THEN c.cluster
-                   ELSE d.doc_id END AS canonical
-            FROM documents d
-            LEFT JOIN ex e ON d.doc_id = e.doc_id
-            LEFT JOIN cc c ON d.doc_id = c.doc_id
-            ORDER BY d.doc_id""")
+            ex AS (SELECT n.doc_id, o.dup_of FROM norm n JOIN own o USING (fp)),
+            verdicts AS (
+              SELECT d.doc_id,
+                CASE WHEN e.dup_of < d.doc_id THEN 'exact'
+                     WHEN c.cluster < d.doc_id THEN 'near'
+                     ELSE 'keep' END AS verdict,
+                CASE WHEN e.dup_of < d.doc_id THEN e.dup_of
+                     WHEN c.cluster < d.doc_id THEN c.cluster
+                     ELSE d.doc_id END AS canonical,
+                d.source
+              FROM documents d
+              LEFT JOIN ex e ON d.doc_id = e.doc_id
+              LEFT JOIN cc c ON d.doc_id = c.doc_id)"""
+
+  // --------------------------------------------------------------- q128
+  /** Per-SOURCE duplication scorecard — the governance rollup of q123:
+    * for each ingest source, how much of it is exact-duplicate, how much
+    * near-duplicate, and the combined dup rate. This is the table that
+    * decides source-level crawl/ingest policy (a source running 30%
+    * duplicate is a recrawl bug, not data). One keyed aggregate over the
+    * verdict table joined to the doc→source map; source cardinality is a
+    * report dimension, so the rollup is broadcast-trivial at any scale.
+    */
+  val q128 = QuerySpec(
+    "q128_source_dup_scorecard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      dedupVerdict(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("verdict") === "exact", 1)).as("n_exact"),
+          count(when(col("verdict") === "near", 1)).as("n_near"),
+          ffloor(count(when(col("verdict") =!= "keep", 1)).cast("double") /
+            count(lit(1)), 4).as("dup_rate"))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE $dedupVerdictCtes
+            SELECT source, COUNT(*) AS n_docs,
+              COUNT(CASE WHEN verdict = 'exact' THEN 1 END) AS n_exact,
+              COUNT(CASE WHEN verdict = 'near' THEN 1 END) AS n_near,
+              CAST(FLOOR(CAST(COUNT(CASE WHEN verdict <> 'keep' THEN 1 END) AS DOUBLE)
+                / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS dup_rate
+            FROM verdicts GROUP BY source ORDER BY source""")
   )
 
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
-      q113, q123)
+      q113, q123, q128)
 }
