@@ -271,5 +271,36 @@ object Extras {
             ORDER BY o_orderkey""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q42, q43, q44, q45, q49, q50, q51, q52, q53, q54)
+  // --------------------------------------------------------------- q129
+  /** Salted skew join, oracled — [[SkewJoin.saltedEquiJoin]] must produce
+    * EXACTLY a plain equi-join's rows (salting is a physical rewrite, not
+    * a semantic one), so the revenue-by-priority rollup through the salted
+    * path is hash-checked against DuckDB's plain join. The salted plan
+    * splits each orderkey's lineitem rows across 8 salt partitions
+    * (hash of the unique linenumber-composite) and replicates the orders
+    * side 8× — the manual fallback when one key is so hot that even AQE's
+    * skew split leaves a straggler. Decimal-exact revenue sum.
+    */
+  val q129 = QuerySpec(
+    "q129_salted_skew_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedEquiJoin(li, ord, "l_orderkey",
+          leftUniqueCol = "l_linenumber", salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          graft.operators.Ops.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q42, q43, q44, q45, q49, q50, q51, q52, q53,
+    q54, q129)
 }
