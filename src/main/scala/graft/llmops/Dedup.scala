@@ -1073,7 +1073,57 @@ object Dedup {
             FROM verdicts GROUP BY source ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q130
+  /** Candidate-graph degree distribution — the health check on the
+    * near-dup edge list itself: how many docs have 1, 2, … candidate
+    * neighbours. A fat tail here means a hot-shingle cap failed (one
+    * boilerplate gram fanning out) BEFORE the pair join pays for it; the
+    * distribution is the evidence the caps work. Degree = outgoing edges
+    * in the symmetric list; two keyed aggregates (node degree, then
+    * degree histogram), both map-side combined.
+    */
+  val q130 = QuerySpec(
+    "q130_degree_distribution",
+    (s, d) =>
+      neardupEdges(Tables.documents(s, d))
+        .groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree"),
+    Some(s"""WITH $neardupEdgesCtes,
+            deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+            SELECT degree, COUNT(*) AS n_docs FROM deg
+            GROUP BY degree ORDER BY degree""")
+  )
+
+  // --------------------------------------------------------------- q131
+  /** Dup-cluster size distribution — the curation summary a dedup run
+    * reports: how many components of each size the corpus collapsed
+    * into (size 2 = simple pairs, big sizes = template families). Rides
+    * q101's fixpoint labels; the rollup is two keyed aggregates over the
+    * label table (component size, then size histogram) — O(edge-incident
+    * docs), map-side combined, nothing corpus-scale.
+    */
+  val q131 = QuerySpec(
+    "q131_cluster_size_distribution",
+    (s, d) =>
+      connectedComponents(neardupEdges(Tables.documents(s, d)))
+        .groupBy("cluster").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("csize"),
+    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
+            reach(id, lbl) AS (
+              SELECT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl AS lbl
+              FROM edges e JOIN reach r ON r.id = e.src),
+            cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+            cs AS (SELECT cluster, COUNT(*) AS csize FROM cc GROUP BY cluster)
+            SELECT csize, COUNT(*) AS n_clusters FROM cs
+            GROUP BY csize ORDER BY csize""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
-      q113, q123, q128)
+      q113, q123, q128, q130, q131)
 }
