@@ -7,6 +7,7 @@ object QueryRegistry {
       graft.operators.Advanced.all ++
       graft.operators.Extras.all ++
       graft.operators.Quantiles.all ++
+      graft.operators.Warehouse.all ++
       graft.llmops.Dedup.all ++
       graft.llmops.IncrementalDedup.all ++
       graft.llmops.ClusterStore.all ++

@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Ops._
+
+/** Star-schema warehouse staples — the multi-way dimensional join shapes
+  * (TPC-H Q5/Q3 class), percent-of-total reporting, SCD2 history builds,
+  * and windowed anomaly scoring that a lakehouse serving layer runs daily.
+  *
+  * Scale posture: every dimension (region/nation/customer/supplier) is
+  * broadcast — the only shuffles are the fact-fact join (lineitem⋈orders,
+  * keyed on orderkey) and the final small aggregate. The revenue expression
+  * is computed entirely in DECIMAL(18,4) so the per-row product
+  * `price·(1−discount)` is EXACT — `(18,4)×(19,4)` fits both engines'
+  * 38-digit decimals without scale truncation, which makes the aggregate
+  * bit-deterministic under any partitioning/ordering (the property every
+  * oracled sum here leans on; see Ops.dsum).
+  *
+  * The reference connector has no analytics surface (SURVEY.md §2.7);
+  * these queries are part of the engine's own inventory.
+  */
+object Warehouse {
+
+  /** Exact per-row revenue: price·(1−discount) in decimal arithmetic. */
+  private val D184 = DecimalType(18, 4)
+  private def revenue: Column =
+    col("l_extendedprice").cast(D184) * (lit(1).cast(D184) - col("l_discount").cast(D184))
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  /** Decimal-exact revenue sum, rounded to 2 decimals, as double. */
+  private def drevSum: Column = round(sum(revenue), 2).cast("double")
+  private val drevSumSql = s"CAST(ROUND(SUM($revenueSql), 2) AS DOUBLE)"
+
+  // --------------------------------------------------------------- q132
+  /** TPC-H Q5 shape: revenue per nation for one region and order-date
+    * year, through the full star — lineitem ⋈ orders ⋈ customer ⋈ nation
+    * ⋈ region, with the supplier leg pinned to the customer's nation
+    * (local supply). Plan: all four dimensions broadcast (they are KB–MB
+    * at any corpus scale); the only real shuffle is lineitem⋈orders on
+    * orderkey, and AQE coalesces the final 25-row aggregate. The
+    * o_orderdate range predicate pushes to the orders scan.
+    */
+  val q132 = QuerySpec(
+    "q132_star_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cust = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(drevSum.as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, $drevSumSql AS revenue, COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1998-01-01'
+            GROUP BY n_name ORDER BY n_name""")
+  )
+
+  // --------------------------------------------------------------- q133
+  /** TPC-H Q3 shape: top-10 unshipped orders by revenue for one market
+    * segment. The `orderBy(...).limit(10)` compiles to
+    * TakeOrderedAndProject — per-partition top-10 heaps merged on the
+    * driver, never a global sort (the q107/q16 top-k discipline). The
+    * date predicates push to both fact scans; customer is broadcast.
+    * Ties on the rounded revenue are broken by (o_orderdate, l_orderkey)
+    * so the emitted set is unique across engines.
+    */
+  val q133 = QuerySpec(
+    "q133_shipping_priority",
+    (s, d) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(drevSum.as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+              $drevSumSql AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate  > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10""")
+  )
+
+  // --------------------------------------------------------------- q134
+  /** Percent-of-total reporting: each nation's share of its region's
+    * revenue. Two stages: the star rollup aggregates to 25 rows FIRST,
+    * then the share window runs over that tiny aggregate — the window
+    * never sees fact-table rows, so partition-by-region is fine at any
+    * scale (contrast q59's stratum-window caveat). The region total is a
+    * decimal window sum over already-rounded doubles, so the share
+    * division has bit-identical operands in both engines.
+    */
+  val q134 = QuerySpec(
+    "q134_revenue_share",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      val byNation = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(drevSum.as("revenue"))
+      val w = Window.partitionBy("r_name")
+      byNation
+        .withColumn("region_total", dsumOver(col("revenue"), w))
+        .withColumn("share", ffloor(col("revenue") / col("region_total"), 6))
+        .select("r_name", "n_name", "revenue", "region_total", "share")
+        .orderBy("r_name", "n_name")
+    },
+    Some(s"""WITH bn AS (
+              SELECT r_name, n_name, $drevSumSql AS revenue
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name)
+            SELECT r_name, n_name, revenue,
+              CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,10)))
+                OVER (PARTITION BY r_name), 2) AS DOUBLE) AS region_total,
+              CAST(FLOOR(revenue / (CAST(ROUND(SUM(CAST(revenue AS DECIMAL(30,10)))
+                OVER (PARTITION BY r_name), 2) AS DOUBLE)) * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS share
+            FROM bn ORDER BY r_name, n_name""")
+  )
+
+  // --------------------------------------------------------------- q135
+  /** SCD2 history build from a change log: each user's event stream
+    * becomes validity intervals [valid_from, valid_to) with an is_current
+    * flag — the slowly-changing-dimension type-2 load every warehouse
+    * runs on ingest. One window shuffle keyed on user_id (the natural
+    * change-log key; bounded per-key rows), then pure projection. The
+    * user_id filter keeps the oracled output small; the plan is identical
+    * without it.
+    */
+  val q135 = QuerySpec(
+    "q135_scd2_history",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") % 50 === 0)
+        .select(
+          col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(w).as("valid_to"),
+          lead(col("ts"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"),
+          col("state"))
+    },
+    Some("""SELECT user_id, event_type AS state,
+              CAST(ts AS TIMESTAMP) AS valid_from,
+              LEAD(CAST(ts AS TIMESTAMP), 1) OVER w AS valid_to,
+              LEAD(CAST(ts AS TIMESTAMP), 1) OVER w IS NULL AS is_current
+            FROM events
+            WHERE user_id % 50 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            ORDER BY user_id, valid_from, state""")
+  )
+
+  // --------------------------------------------------------------- q138
+  /** Event-rate anomaly scoring: per event type, minute-bucket counts
+    * z-scored against the trailing 30 full buckets. The aggregate
+    * reduces the stream to (type, minute) rows BEFORE any window — the
+    * window operates on the bucket series (≤ minutes-in-retention rows
+    * per type), never raw events. All moments are exact integer sums
+    * over the frame (sum, sum of squares, n); the mean/variance/z chain
+    * is a fixed IEEE op sequence on those integers, so the truncated z
+    * is bit-deterministic. Variance is clamped at 0 (catastrophic
+    * cancellation can land at −ε) and a zero std yields NULL z via
+    * nullif, dropped by the |z| filter.
+    */
+  val q138 = QuerySpec(
+    "q138_event_rate_anomaly",
+    (s, d) => {
+      val perMin = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("minute")
+        .rowsBetween(-30, -1)
+      val mean = col("s").cast("double") / col("n")
+      val variance = greatest(
+        col("sq").cast("double") / col("n") - mean * mean, lit(0.0))
+      perMin
+        .withColumn("s", sum(col("cnt")).over(w))
+        .withColumn("sq", sum(col("cnt") * col("cnt")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") === 30)
+        .withColumn("z", ffloor(
+          (col("cnt") - mean) / nullif(sqrt(variance), lit(0.0)), 4))
+        .filter(abs(col("z")) >= 2.0)
+        .select("event_type", "minute", "cnt", "z")
+        .orderBy("event_type", "minute")
+    },
+    Some("""WITH pm AS (
+              SELECT event_type,
+                date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+                COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            fr AS (
+              SELECT event_type, minute, cnt,
+                SUM(cnt) OVER w AS s,
+                SUM(cnt * cnt) OVER w AS sq,
+                COUNT(*) OVER w AS n
+              FROM pm
+              WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                           ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+            z AS (
+              SELECT event_type, minute, cnt,
+                CAST(FLOOR((cnt - CAST(s AS DOUBLE) / n) /
+                  NULLIF(sqrt(GREATEST(CAST(sq AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)), 0.0)
+                  * 10000.0) AS DOUBLE) / 10000.0 AS z
+              FROM fr WHERE n = 30)
+            SELECT event_type, minute, cnt, z FROM z
+            WHERE abs(z) >= 2.0
+            ORDER BY event_type, minute""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138)
+}
