@@ -19,7 +19,8 @@ object QueryRegistry {
       graft.llmops.VideoMeta.all ++
       graft.llmops.CorpusPipeline.all ++
       graft.llmops.PretrainOps.all ++
-      graft.llmops.CurationOps.all
+      graft.llmops.CurationOps.all ++
+      graft.llmops.CorpusStats.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }

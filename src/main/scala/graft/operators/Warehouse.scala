@@ -256,5 +256,58 @@ object Warehouse {
             ORDER BY event_type, minute""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138)
+  // --------------------------------------------------------------- q143
+  /** Last-touch attribution: each purchase is attributed to the user's
+    * most recent click within the preceding 7 days — the canonical
+    * marketing-attribution join. Implemented as ONE pass over the
+    * per-user event stream: `last(click_ts, ignoreNulls)` over an
+    * unbounded-preceding frame carries the latest click forward, so no
+    * self-join and no per-purchase scan — the shuffle is the single
+    * user_id window (bounded per-key rows), the exact shape an as-of
+    * join compiles to when the right side is the same stream. Daily
+    * rollup of attach rate on top.
+    */
+  val q143 = QuerySpec(
+    "q143_last_touch_attribution",
+    (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sevenDaysUs = 7L * 86400L * 1000000L
+      Tables.events(s, d)
+        .withColumn("last_click",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attributed",
+          col("last_click").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("last_click")) <= sevenDaysUs)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count(when(col("attributed"), lit(1))).as("n_attributed"))
+        .withColumn("attach_rate",
+          ffloor(col("n_attributed").cast("double") / col("n_purchases"), 4))
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+              FROM events),
+            lc AS (
+              SELECT *, LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+              FROM ev),
+            pur AS (
+              SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                last_click IS NOT NULL AND
+                  epoch_us(ts) - epoch_us(last_click) <= CAST(604800000000 AS BIGINT) AS attributed
+              FROM lc WHERE event_type = 'purchase')
+            SELECT day, COUNT(*) AS n_purchases,
+              COUNT(CASE WHEN attributed THEN 1 END) AS n_attributed,
+              CAST(FLOOR(CAST(COUNT(CASE WHEN attributed THEN 1 END) AS DOUBLE)
+                / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS attach_rate
+            FROM pur GROUP BY day ORDER BY day""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143)
 }
