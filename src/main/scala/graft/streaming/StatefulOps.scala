@@ -212,6 +212,70 @@ object StatefulOps {
       }
   }
 
+  // ------------------------------------------- streaming rate anomaly
+  /** One closed minute bucket for a key: produced upstream by the NATIVE
+    * watermarked tumbling-window count (`groupBy(window(ts, "1 minute"),
+    * type)` in append mode — built-in state, RocksDB, watermark
+    * eviction); this operator only keeps the trailing history the
+    * built-in cannot express.
+    */
+  case class MinuteCount(event_type: String, minuteStartMs: Long, cnt: Long)
+  /** An anomalous bucket: its count and truncated z vs trailing history. */
+  case class RateAnomaly(event_type: String, minuteStartMs: Long, cnt: Long,
+                         z: Double)
+  /** Trailing per-key history: parallel ascending (minute, count) seqs. */
+  case class RateState(minutes: Seq[Long], counts: Seq[Long])
+
+  /** Streaming event-rate anomaly — q138's online twin: each closed
+    * minute bucket is z-scored against the key's trailing `histLen`
+    * buckets and emitted iff |z| ≥ `zThresh`. The z math is q138's exact
+    * chain (integer sums → fixed IEEE mean/var), with one streaming
+    * addition: the std has a floor of 1.0 (counts are integers — a
+    * flatline history has std 0, and a spike against it must emit a
+    * large finite z, not divide by zero).
+    *
+    * State: O(keys) × histLen longs — event types are a bounded
+    * dimension, so state is KBs regardless of stream volume; the heavy
+    * lifting (per-minute counting over raw events) happened in the
+    * native windowed aggregate upstream. Buckets at-or-before the
+    * newest already-scored minute mutate nothing (replay-idempotent);
+    * within a batch, buckets apply in minute order.
+    */
+  def streamingRateAnomaly(
+      buckets: Dataset[MinuteCount],
+      histLen: Int = 30,
+      minHist: Int = 5,
+      zThresh: Double = 3.0): Dataset[RateAnomaly] = {
+    import buckets.sparkSession.implicits._
+    buckets
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateAnomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[MinuteCount], state: GroupState[RateState]) =>
+          var cur = state.getOption.getOrElse(RateState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[RateAnomaly]()
+          batch.toSeq.sortBy(_.minuteStartMs).foreach { b =>
+            if (cur.minutes.isEmpty || b.minuteStartMs > cur.minutes.last) {
+              if (cur.counts.size >= minHist) {
+                val n = cur.counts.size
+                val s = cur.counts.sum
+                val sq = cur.counts.map(c => c * c).sum
+                val mean = s.toDouble / n
+                val variance = math.max(sq.toDouble / n - mean * mean, 0.0)
+                val std = math.max(math.sqrt(variance), 1.0)
+                val z = math.floor((b.cnt - mean) / std * 10000.0) / 10000.0
+                if (math.abs(z) >= zThresh)
+                  out += RateAnomaly(key, b.minuteStartMs, b.cnt, z)
+              }
+              cur = RateState((cur.minutes :+ b.minuteStartMs).takeRight(histLen),
+                (cur.counts :+ b.cnt).takeRight(histLen))
+            }
+          }
+          if (cur.minutes.nonEmpty) state.update(cur)
+          out.iterator
+      }
+  }
+
   // ----------------------------------------------- streaming sessionization
   /** STREAMING sessionization — q37's streaming twin, on Spark's NATIVE
     * `session_window` aggregate (not custom state: when a built-in covers

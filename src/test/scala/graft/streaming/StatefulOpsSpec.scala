@@ -197,4 +197,41 @@ class StatefulOpsSpec extends SparkTestBase {
       assert(hitsOf(5L) == Set(2L, 3L, 4L))
     } finally q.stop()
   }
+
+  test("streamingRateAnomaly flags a spike against trailing history, replay-idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[MinuteCount]
+    val q = streamingRateAnomaly(stream.toDS(), histLen = 30, minHist = 5,
+        zThresh = 3.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    def rows() = spark.table("anom").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    try {
+      val m = 60000L
+      // 6 steady minutes of 10/min — warmup, no anomalies
+      stream.addData((0 to 5).map(i => MinuteCount("click", i * m, 10L)): _*)
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      // minute 6 spikes to 100: mean 10, flatline std floored to 1 → z = 90
+      stream.addData(MinuteCount("click", 6 * m, 100L))
+      q.processAllAvailable()
+      assert(rows() == Seq((6 * m, 100L, 90.0)))
+      // replay of an already-scored bucket mutates nothing, emits nothing
+      stream.addData(MinuteCount("click", 6 * m, 100L))
+      q.processAllAvailable()
+      assert(rows().size == 1)
+      // next steady minute: the spike inflates mean/std but 10 is not 3σ out
+      // (hist [10×6,100]: mean≈22.86, std≈31.5 → z≈-0.4)
+      stream.addData(MinuteCount("click", 7 * m, 10L))
+      q.processAllAvailable()
+      assert(rows().size == 1)
+      // an independent key has its own history: no cross-key contamination
+      stream.addData((0 to 5).map(i => MinuteCount("view", i * m, 50L)): _*)
+      q.processAllAvailable()
+      assert(rows().size == 1)
+    } finally q.stop()
+  }
 }
