@@ -67,7 +67,17 @@ object ScaleSmoke {
       "q103_nb_quality_classifier", "q104_bpe_merges",
       "q105_curriculum_phases", "q106_heavy_hitters", "q107_bm25",
       "q108_incremental_cc", "q109_span_decontamination",
-      "q110_distribution_drift", "q111_longest_shared_span")
+      "q110_distribution_drift", "q111_longest_shared_span",
+      "q112_repetition_loops", "q113_containment_sketch",
+      "q116_contrastive_views", "q117_span_corruption",
+      "q119_cluster_store_update", "q121_embedding_dim_stats",
+      "q123_dedup_verdict", "q124_sliding_chunks", "q126_bigram_pmi",
+      "q127_length_deciles", "q128_source_dup_scorecard",
+      "q130_degree_distribution", "q131_cluster_size_distribution",
+      "q136_charclass_profile", "q137_token_entropy",
+      "q139_jaccard_candidate_audit", "q140_neyman_sample",
+      "q141_cosine_range_search", "q142_ingest_novelty",
+      "q144_nn_cosine_histogram", "q145_curation_funnel")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)
