@@ -309,5 +309,114 @@ object Warehouse {
             FROM pur GROUP BY day ORDER BY day""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143)
+  // --------------------------------------------------------------- q150
+  /** Recency-weighted scoring: per event type, total value and its
+    * exponentially time-decayed sum (30-day half-life scale, anchored at
+    * the corpus's own max timestamp so the query is re-runnable) — the
+    * "what has this source/type done for me LATELY" metric feeding
+    * freshness-aware mixing and trending dashboards. Determinism: the
+    * decay weight is truncated to integer micro-units PER ROW (exp()
+    * sits behind a floor, q93's contract), the value is exact cents, and
+    * their product is a LONG — the per-type sum is order-free integer
+    * arithmetic. Cents·micro products bound: |value| < 2^33 cents and
+    * weight ≤ 1e6 keep the per-row product under 2^53; the LONG sum
+    * holds ~2^63/(v·1e8) rows per type — at larger scales drop weight
+    * precision to 1e4 (documented, not silently lossy).
+    */
+  val q150 = QuerySpec(
+    "q150_time_decay_score",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max(unix_micros(col("ts"))).as("t_max"))
+      val scaleUs = lit(30.0 * 86400.0 * 1000000.0)
+      val wMicro = floor(
+        exp(-((col("t_max") - unix_micros(col("ts"))).cast("double") / scaleUs))
+          * lit(1e6)).cast("long")
+      val cents = floor(col("value") * lit(100.0)).cast("long")
+      ev.crossJoin(broadcast(anchor))
+        .select(col("event_type"), col("value"),
+          (cents * wMicro).as("contrib"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          ffloor(sum(col("contrib")).cast("double") / lit(1e6) / lit(100.0), 4)
+            .as("decayed_value"))
+        .orderBy("event_type")
+    },
+    Some("""WITH anchor AS (
+              SELECT MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS t_max FROM events),
+            w AS (
+              SELECT event_type, value,
+                CAST(FLOOR(value * 100.0) AS BIGINT) *
+                CAST(FLOOR(exp(-(CAST(t_max - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                  / (30.0 * 86400.0 * 1000000.0))) * 1000000.0) AS BIGINT) AS contrib
+              FROM events CROSS JOIN anchor)
+            SELECT event_type, COUNT(*) AS n_events,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_value,
+              CAST(FLOOR(CAST(SUM(contrib) AS DOUBLE) / 1000000.0 / 100.0
+                * 10000.0) AS DOUBLE) / 10000.0 AS decayed_value
+            FROM w GROUP BY event_type ORDER BY event_type""")
+  )
+
+  // --------------------------------------------------------------- q151
+  /** Referential-integrity audit: orphan counts across every fact→dim
+    * edge of the schema — the data-quality gate a lakehouse runs after
+    * each load (a non-zero row here means a broken ingest). Each edge is
+    * one left-anti join against its dimension's key set (dims broadcast;
+    * the fact scan reads ONLY the key column — column pruning makes this
+    * audit cheap even at 100 TB). Clean data returns all-zero orphan
+    * rows by design; WarehouseSpec plants orphans to prove detection.
+    */
+  val q151 = QuerySpec(
+    "q151_referential_audit",
+    (s, d) => {
+      def edge(name: String, fact: DataFrame, fk: String,
+               dim: DataFrame, pk: String): DataFrame = {
+        val keys = fact.select(col(fk))
+        keys.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(
+            keys.join(broadcast(dim.select(col(pk))), col(fk) === col(pk),
+                "left_anti")
+              .agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"),
+            ffloor(col("n_orphans").cast("double") / col("n_rows"), 6)
+              .as("orphan_rate"))
+      }
+      val li = Tables.lineitem(s, d)
+      edge("lineitem.orderkey", li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionAll(edge("lineitem.partkey", li, "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionAll(edge("lineitem.suppkey", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .unionAll(edge("orders.custkey", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy("edge")
+    },
+    Some("""WITH e1 AS (
+              SELECT 'lineitem.orderkey' AS edge, COUNT(*) AS n_rows,
+                COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_orderkey = l_orderkey) THEN 1 END) AS n_orphans
+              FROM lineitem),
+            e2 AS (
+              SELECT 'lineitem.partkey', COUNT(*),
+                COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM part
+                  WHERE p_partkey = l_partkey) THEN 1 END)
+              FROM lineitem),
+            e3 AS (
+              SELECT 'lineitem.suppkey', COUNT(*),
+                COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey) THEN 1 END)
+              FROM lineitem),
+            e4 AS (
+              SELECT 'orders.custkey', COUNT(*),
+                COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey) THEN 1 END)
+              FROM orders),
+            u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+                  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+            SELECT edge, n_rows, n_orphans,
+              CAST(FLOOR(CAST(n_orphans AS DOUBLE) / n_rows * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS orphan_rate
+            FROM u ORDER BY edge""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151)
 }
