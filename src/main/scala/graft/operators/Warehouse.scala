@@ -418,5 +418,102 @@ object Warehouse {
             FROM u ORDER BY edge""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151)
+  // --------------------------------------------------------------- q152
+  /** Deletion-propagation manifest (right-to-be-forgotten planning): for
+    * a deletion list of customer keys, count the rows each table must
+    * drop — including the TWO-HOP cascade lineitem←orders←customer — and
+    * the fraction of each table affected. The manifest is what a
+    * compliance pipeline reviews before rewriting files. Every hop is a
+    * LEFT-SEMI join (never materializing joined rows); the deletion set
+    * broadcasts (deletion lists are small relative to the lake by
+    * nature); fact scans read only their key columns.
+    */
+  val q152 = QuerySpec(
+    "q152_deletion_manifest",
+    (s, d) => {
+      val delCust = Tables.customer(s, d)
+        .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+      val delOrders = Tables.orders(s, d)
+        .join(broadcast(delCust), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+      def entry(name: String, full: DataFrame, hit: DataFrame): DataFrame =
+        full.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_delete")))
+          .select(lit(name).as("table_name"), col("n_rows"), col("n_delete"),
+            ffloor(col("n_delete").cast("double") / col("n_rows"), 6)
+              .as("delete_frac"))
+      entry("customer", Tables.customer(s, d),
+          Tables.customer(s, d).join(broadcast(delCust), Seq("c_custkey"), "left_semi"))
+        .unionAll(entry("orders", Tables.orders(s, d), delOrders))
+        .unionAll(entry("lineitem", Tables.lineitem(s, d),
+          Tables.lineitem(s, d).join(delOrders.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")))
+        .unionAll(entry("events", Tables.events(s, d),
+          Tables.events(s, d).join(broadcast(delCust),
+            col("user_id") === col("c_custkey"), "left_semi")))
+        .orderBy("table_name")
+    },
+    Some("""WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+            t AS (
+              SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+                COUNT(CASE WHEN EXISTS (SELECT 1 FROM del WHERE del.c_custkey = c.c_custkey)
+                  THEN 1 END) AS n_delete
+              FROM customer c
+              UNION ALL
+              SELECT 'orders', COUNT(*),
+                COUNT(CASE WHEN EXISTS (SELECT 1 FROM del WHERE del.c_custkey = o_custkey)
+                  THEN 1 END)
+              FROM orders
+              UNION ALL
+              SELECT 'lineitem', COUNT(*),
+                COUNT(CASE WHEN EXISTS (SELECT 1 FROM orders o JOIN del
+                    ON o.o_custkey = del.c_custkey
+                    WHERE o.o_orderkey = l_orderkey) THEN 1 END)
+              FROM lineitem
+              UNION ALL
+              SELECT 'events', COUNT(*),
+                COUNT(CASE WHEN EXISTS (SELECT 1 FROM del WHERE del.c_custkey = user_id)
+                  THEN 1 END)
+              FROM events)
+            SELECT table_name, n_rows, n_delete,
+              CAST(FLOOR(CAST(n_delete AS DOUBLE) / n_rows * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS delete_frac
+            FROM t ORDER BY table_name""")
+  )
+
+  // --------------------------------------------------------------- q153
+  /** Week-over-week change: per event type, weekly event counts and the
+    * percent change vs the previous week — the trend table behind every
+    * operations dashboard. Events reduce to (type, ISO week) counts
+    * first (map-side combined); the lag window runs over the tiny weekly
+    * series. First weeks emit NULL change (no fabricated zero).
+    */
+  val q153 = QuerySpec(
+    "q153_wow_change",
+    (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("week")
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev", lag(col("n"), 1).over(w))
+        .withColumn("wow_change",
+          ffloor((col("n") - col("prev")).cast("double") / col("prev"), 4))
+        .select("event_type", "week", "n", "wow_change")
+        .orderBy("event_type", "week")
+    },
+    Some("""WITH wk AS (
+              SELECT event_type,
+                CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week,
+                COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, week, n,
+              CAST(FLOOR(CAST(n - LAG(n, 1) OVER w AS DOUBLE)
+                / (LAG(n, 1) OVER w) * 10000.0) AS DOUBLE) / 10000.0 AS wow_change
+            FROM wk
+            WINDOW w AS (PARTITION BY event_type ORDER BY week)
+            ORDER BY event_type, week""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
+    q152, q153)
 }
