@@ -77,7 +77,9 @@ object ScaleSmoke {
       "q136_charclass_profile", "q137_token_entropy",
       "q139_jaccard_candidate_audit", "q140_neyman_sample",
       "q141_cosine_range_search", "q142_ingest_novelty",
-      "q144_nn_cosine_histogram", "q145_curation_funnel")
+      "q144_nn_cosine_histogram", "q145_curation_funnel",
+      "q146_weighted_sample", "q147_prefix_filter_join", "q148_bm25_store",
+      "q149_approx_quantile_audit")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

@@ -738,6 +738,110 @@ object CorpusStats {
     None
   )
 
+  // --------------------------------------------------------------- q154
+  /** Blocklist safety gate: per source, how many documents trip a term
+    * blocklist (≥3 hits flags the doc) and what fraction of all tokens
+    * are blocklisted — the first-line unsafe-content filter every corpus
+    * release runs (wordlist gating precedes any model-based safety
+    * scorer). Pure per-row array work (no explode — `filter` over the
+    * token array), one per-source aggregate.
+    */
+  val q154 = QuerySpec(
+    "q154_blocklist_gate",
+    (s, d) => {
+      val block = Seq("slow", "error", "big")
+      val ts = split(asciiLower(col("text")), " ")
+      val nTok = size(ts)
+      val hits = size(filter(ts, t => t.isin(block: _*)))
+      Tables.documents(s, d)
+        .select(col("source"), nTok.as("n_tok"), hits.as("hits"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("hits") >= 3, lit(1))).as("n_flagged"),
+          sum(col("hits")).cast("long").as("hit_tokens"),
+          sum(col("n_tok")).cast("long").as("total_tokens"))
+        .withColumn("flag_rate",
+          ffloor(col("n_flagged").cast("double") / col("n_docs"), 4))
+        .withColumn("hit_ratio",
+          ffloor(col("hit_tokens").cast("double") / col("total_tokens"), 6))
+        .orderBy("source")
+    },
+    Some(s"""WITH per AS (
+              SELECT source,
+                len(string_split(${asciiLowerSql("text")}, ' ')) AS n_tok,
+                len(list_filter(string_split(${asciiLowerSql("text")}, ' '),
+                  t -> t IN ('slow', 'error', 'big'))) AS hits
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+              COUNT(CASE WHEN hits >= 3 THEN 1 END) AS n_flagged,
+              CAST(SUM(hits) AS BIGINT) AS hit_tokens,
+              CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+              CAST(FLOOR(CAST(COUNT(CASE WHEN hits >= 3 THEN 1 END) AS DOUBLE)
+                / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS flag_rate,
+              CAST(FLOOR(CAST(SUM(hits) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS hit_ratio
+            FROM per GROUP BY source ORDER BY source""")
+  )
+
+  // --------------------------------------------------------------- q155
+  /** Percentile-normalization WITHOUT a global sort — the pattern that
+    * replaces `percent_rank() OVER ()` (a corpus-wide single-task window,
+    * forbidden at scale): exact decile BOUNDARIES come from the q118
+    * histogram-refine engine (narrow passes, driver gets 9 values), are
+    * broadcast as literals, and every row buckets itself with 9
+    * comparisons. Here the pattern normalizes document length into
+    * deciles and cross-tabs it against a quality signal (stopword
+    * ratio ≥ 0.4) — the "is low quality concentrated in short docs"
+    * diagnostic. The oracle recomputes the same rank-convention
+    * boundaries (k = ⌈p·n/100⌉, q118's integer form) via row_number.
+    */
+  val q155 = QuerySpec(
+    "q155_decile_normalize",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bounds = graft.operators.Quantiles.exactQuantiles(
+          docs, "n_chars", (10 to 90 by 10), refineThreshold = 4096)
+        .select("value").collect().map(_.getLong(0)).sorted
+      val decile = bounds.map(v => (col("n_chars") > v).cast("int"))
+        .reduce(_ + _) + lit(1)
+      val ts = split(asciiLower(col("text")), " ")
+      val stopR = size(filter(ts, t => t.isin("the", "a"))).cast("double") / size(ts)
+      docs
+        .select(decile.as("len_decile"),
+          (stopR >= 0.4).as("stoppy"), col("n_chars"))
+        .groupBy("len_decile")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("stoppy"), lit(1))).as("n_stoppy"),
+          ffloor(sum(col("n_chars")).cast("double") / count(lit(1)), 2)
+            .as("avg_chars"))
+        .withColumn("stoppy_rate",
+          ffloor(col("n_stoppy").cast("double") / col("n_docs"), 4))
+        .orderBy("len_decile")
+    },
+    Some(s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            ranked AS (
+              SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn
+              FROM documents),
+            bounds AS (
+              SELECT rn, n_chars AS b FROM ranked, n
+              WHERE rn IN (SELECT CAST((p * n + 99) // 100 AS BIGINT)
+                           FROM (SELECT unnest([10,20,30,40,50,60,70,80,90]) AS p), n)),
+            per AS (
+              SELECT d.n_chars,
+                1 + (SELECT COUNT(*) FROM bounds WHERE d.n_chars > b) AS len_decile,
+                CAST(len(list_filter(string_split(${asciiLowerSql("text")}, ' '),
+                    t -> t IN ('the', 'a'))) AS DOUBLE)
+                  / len(string_split(${asciiLowerSql("text")}, ' ')) >= 0.4 AS stoppy
+              FROM documents d)
+            SELECT len_decile, COUNT(*) AS n_docs,
+              COUNT(CASE WHEN stoppy THEN 1 END) AS n_stoppy,
+              CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) * 100.0) AS DOUBLE)
+                / 100.0 AS avg_chars,
+              CAST(FLOOR(CAST(COUNT(CASE WHEN stoppy THEN 1 END) AS DOUBLE)
+                / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS stoppy_rate
+            FROM per GROUP BY len_decile ORDER BY len_decile""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
-    q146, q147, q148, q149)
+    q146, q147, q148, q149, q154, q155)
 }
