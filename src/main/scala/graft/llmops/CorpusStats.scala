@@ -512,19 +512,29 @@ object CorpusStats {
   )
 
   // --------------------------------------------------------------- q147
-  /** Similarity join via PREFIX FILTERING (PPJoin's candidate rule): the
-    * scale path for exact Jaccard ≥ τ. Order every doc's (capped)
-    * shingles by global rarity (df asc, shingle asc); a doc with t
-    * shingles exposes only its first p = t − ⌈τ·t⌉ + 1 as join keys —
-    * any pair with J ≥ τ shares ≥ ⌈τ·t⌉ shingles, so by pigeonhole it
-    * MUST collide on a prefix token (no recall loss), while the join's
-    * candidate volume drops to the rare-token prefix instead of every
-    * shared shingle. Candidates are then verified exactly by one
-    * pair-keyed intersection count. Same output as q27 at τ=0.5 — the
-    * DuckDB oracle is the FULL shared-shingle algorithm, so the compare
-    * proves the lossless-prefix lemma on real data (and
-    * CorpusStatsSpec asserts prefix candidates ⊆ full candidates with
-    * equal final pairs).
+  /** Similarity join via PREFIX FILTERING (PPJoin's candidate rule).
+    * Order every doc's (capped) shingles by global rarity (df asc,
+    * shingle asc); a doc with t shingles exposes only its first
+    * p = t − ⌈τ·t⌉ + 1 as join keys — any pair with J ≥ τ shares
+    * ≥ ⌈τ·t⌉ shingles, so by pigeonhole it MUST collide on a prefix
+    * token (no recall loss). Candidates are verified by per-pair
+    * `array_intersect` over per-doc sorted shingle arrays (PPJoin's
+    * list verify — a pair×shingle re-join was measured 8× worse).
+    * Same output as q27 at τ=0.5 — the DuckDB oracle is the FULL
+    * shared-shingle algorithm, so the compare proves the lossless-prefix
+    * lemma on real data (CorpusStatsSpec additionally asserts prefix
+    * candidate volume < full volume and final-pair equality).
+    *
+    * MEASURED HONESTLY (STATUS.md round 5): on THIS corpus the plain
+    * shared-shingle join (q27) wins at both sf0.1 (1.4s vs 7s warm) and
+    * 10× (23s vs 98s) — the synthetic ~30-word vocabulary makes trigram
+    * df nearly uniform, so the rarity prefix prunes little while its
+    * df-join + per-doc rank window cost is paid in full. Prefix
+    * filtering earns its keep on real corpora with Zipfian vocabularies
+    * and longer documents (large t ⇒ τ·t prunes most of the posting
+    * list); q27 remains this engine's default, and this operator is the
+    * verified implementation to reach for when the data is in that
+    * regime — not a claimed win here.
     */
   val q147 = QuerySpec(
     "q147_prefix_filter_join",
@@ -548,16 +558,23 @@ object CorpusStats {
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      val inter = cand
-        .join(bg.select(col("doc_id").as("d1"), col("shingle").as("s1")), "d1")
-        .join(bg.select(col("doc_id").as("bd2"), col("shingle").as("s2")),
-          col("d2") === col("bd2") && col("s1") === col("s2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      // PPJoin-style verify: carry each doc's SORTED shingle array into the
+      // pair row and intersect in-expression (codegen'd array_intersect) —
+      // two keyed joins of the candidate set against the doc-bounded array
+      // table, NO per-shingle re-explode (a pair×shingle join re-shuffles
+      // candidates×avg-shingles rows — measured 8× the full join's cost at
+      // 10× duplication before this restructure).
+      val lists = bg.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("shingle"))).as("arr"),
+          count(lit(1)).as("nbg"))
+      val inter = size(array_intersect(col("arr1"), col("arr2")))
       val jac = ffloor(
-        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
-      inter
-        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
-        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        inter.cast("double") / (col("n1") + col("n2") - inter), 4)
+      cand
+        .join(lists.select(col("doc_id").as("d1"), col("arr").as("arr1"),
+          col("nbg").as("n1")), "d1")
+        .join(lists.select(col("doc_id").as("d2"), col("arr").as("arr2"),
+          col("nbg").as("n2")), "d2")
         .select(col("d1"), col("d2"), jac.as("jaccard"))
         .filter(col("jaccard") >= tau)
         .orderBy("d1", "d2")
