@@ -514,6 +514,98 @@ object Warehouse {
             ORDER BY event_type, week""")
   )
 
+  // --------------------------------------------------------------- q156
+  /** Per-type value trend: OLS slope/intercept of event value over time,
+    * from the five exact sufficient sums (n, Σx, Σy, Σxy, Σx²) — the
+    * closed form every metrics pipeline uses for "is this KPI drifting".
+    * x is integer epoch-days, y integer cents, so all five sums are
+    * exact longs in one map-side-combined aggregate; the slope algebra
+    * is then a fixed IEEE chain on those integers (ffloor-truncated),
+    * bit-identical cross-engine — the reason to spell the closed form
+    * instead of calling an engine's regr_slope (whose internal update
+    * order is implementation-defined).
+    */
+  val q156 = QuerySpec(
+    "q156_trend_regression",
+    (s, d) => {
+      val x = floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+        .cast("long")
+      val y = floor(col("value") * lit(100.0)).cast("long")
+      val m = Tables.events(s, d)
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      val nD = col("n").cast("double")
+      val slopeCents = (col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / nD) /
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / nD)
+      m.select(col("event_type"), col("n"),
+          ffloor(slopeCents / lit(100.0), 6).as("slope_per_day"),
+          ffloor((col("sy").cast("double") / nD -
+            slopeCents * (col("sx").cast("double") / nD)) / lit(100.0), 4)
+            .as("intercept"))
+        .orderBy("event_type")
+    },
+    Some("""WITH m AS (
+              SELECT event_type, COUNT(*) AS n,
+                SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM (SELECT event_type,
+                      CAST(FLOOR(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                        / 86400000000.0) AS BIGINT) AS x,
+                      CAST(FLOOR(value * 100.0) AS BIGINT) AS y
+                    FROM events)
+              GROUP BY event_type)
+            SELECT event_type, n,
+              CAST(FLOOR(
+                ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                / 100.0 * 1000000.0) AS DOUBLE) / 1000000.0 AS slope_per_day,
+              CAST(FLOOR(
+                (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                / 100.0 * 10000.0) AS DOUBLE) / 10000.0 AS intercept
+            FROM m ORDER BY event_type""")
+  )
+
+  // --------------------------------------------------------------- q157
+  /** Cumulative distinct active users by day — the "total users ever"
+    * growth curve. Running COUNT(DISTINCT) is an anti-pattern (holds the
+    * full distinct set per frame); the scale-correct form reduces each
+    * user to ONE row at their FIRST day (keyed min aggregate), counts
+    * first-appearances per day, and prefix-sums the tiny daily series —
+    * the window sees days, never users.
+    */
+  val q157 = QuerySpec(
+    "q157_cumulative_actives",
+    (s, d) => {
+      val firstDay = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("first_day"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstDay.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn("cumulative_users", sum(col("new_users")).over(w))
+        .orderBy("day")
+    },
+    Some("""WITH fd AS (
+              SELECT user_id,
+                MIN(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS first_day
+              FROM events GROUP BY user_id),
+            daily AS (
+              SELECT first_day AS day, COUNT(*) AS new_users
+              FROM fd GROUP BY 1)
+            SELECT day, new_users,
+              SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+            FROM daily ORDER BY day""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
-    q152, q153)
+    q152, q153, q156, q157)
 }

@@ -212,6 +212,24 @@ object StatefulOps {
       }
   }
 
+  // ------------------------------------------- streaming exact dedup
+  /** Streaming exact dedup on the NATIVE `dropDuplicatesWithinWatermark`
+    * — q21's online form, built-in-first (the same reasoning as
+    * [[streamingSessionize]]): the built-in gets watermark-scoped state
+    * eviction and the RocksDB provider for free, where a hand-rolled
+    * flatMapGroupsWithState would re-implement exactly that. State holds
+    * one entry per distinct key seen within the watermark horizon —
+    * bounded by distinct-keys-per-horizon, not stream length. Events
+    * whose (user_id, event_type, value) already appeared within the
+    * horizon are dropped; the first occurrence passes through.
+    */
+  def streamingExactDedup(
+      events: DataFrame,
+      late: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
   // ------------------------------------------- streaming rate anomaly
   /** One closed minute bucket for a key: produced upstream by the NATIVE
     * watermarked tumbling-window count (`groupBy(window(ts, "1 minute"),

@@ -198,6 +198,34 @@ class StatefulOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingExactDedup drops within-watermark duplicates, keeps first occurrence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Double, Long)]
+    val events = stream.toDS()
+      .toDF("user_id", "event_type", "value", "us")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(us)"))
+    val q = streamingExactDedup(events)
+      .select("user_id", "event_type", "value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      val t0 = 1700000000000000L
+      // batch 1: a duplicate inside one batch → one survivor
+      stream.addData((1L, "click", 1.0, t0), (1L, "click", 1.0, t0 + 1000))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() == 1)
+      // batch 2: same key again (within horizon) → dropped; new key passes
+      stream.addData((1L, "click", 1.0, t0 + 2000), (2L, "view", 5.0, t0 + 3000))
+      q.processAllAvailable()
+      assert(spark.table("sdedup").count() == 2)
+      assert(spark.table("sdedup").select("user_id").as[Long].collect().toSet
+        == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streamingRateAnomaly flags a spike against trailing history, replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
