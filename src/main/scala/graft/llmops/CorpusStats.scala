@@ -859,6 +859,108 @@ object CorpusStats {
             FROM per GROUP BY len_decile ORDER BY len_decile""")
   )
 
+  // --------------------------------------------------------------- q158
+  /** Deduplicated token inventory: per source, the raw token count vs
+    * the EFFECTIVE count after exact dedup (tokens attributed only to
+    * each fingerprint's first occurrence) — the number a token-budget
+    * planner (q86) should actually be fed; raw counts overstate a
+    * dup-heavy source's contribution. One fingerprint window
+    * (dup-cluster-bounded) + one per-source aggregate.
+    */
+  val q158 = QuerySpec(
+    "q158_dedup_token_budget",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val nTok = size(split(col("text_norm"), " "))
+      normalize(Tables.documents(s, d))
+        .withColumn("fp", md5(col("text_norm")))
+        .withColumn("canon", col("doc_id") ===
+          min(col("doc_id")).over(w))
+        .select(col("source"), nTok.as("n_tok"), col("canon"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("raw_tokens"),
+          sum(when(col("canon"), col("n_tok")).otherwise(lit(0)))
+            .cast("long").as("effective_tokens"))
+        .withColumn("dup_token_frac",
+          ffloor((col("raw_tokens") - col("effective_tokens")).cast("double") /
+            col("raw_tokens"), 4))
+        .orderBy("source")
+    },
+    Some(s"""WITH per AS (
+              SELECT source, doc_id,
+                regexp_replace(${asciiLowerSql("text")}, '$WhitespaceClass', ' ', 'g') AS tn
+              FROM documents),
+            fl AS (
+              SELECT source, len(string_split(tn, ' ')) AS n_tok,
+                doc_id = MIN(doc_id) OVER (PARTITION BY md5(tn)) AS canon
+              FROM per)
+            SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+              CAST(SUM(CASE WHEN canon THEN n_tok ELSE 0 END) AS BIGINT)
+                AS effective_tokens,
+              CAST(FLOOR(CAST(SUM(n_tok) - SUM(CASE WHEN canon THEN n_tok ELSE 0 END)
+                  AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) * 10000.0) AS DOUBLE)
+                / 10000.0 AS dup_token_frac
+            FROM fl GROUP BY source ORDER BY source""")
+  )
+
+  // --------------------------------------------------------------- q159
+  /** Decontaminated eval split: draw a ~20% test split by salted hash
+    * (q79's leakage-free membership), then EXCLUDE from it any document
+    * sharing an 8-gram with any train document — the standard "eval set
+    * must not overlap train" guarantee (q58's decontamination applied
+    * between a corpus's own splits). The gram overlap is one
+    * distinct-gram equi-join (train side deduped per gram before the
+    * shuffle); per-source loss accounting comes out the other end.
+    */
+  val q159 = QuerySpec(
+    "q159_decontaminated_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val isTest = hashFrac(col("doc_id"), "evalsplit") < "33333333" // ~20%
+      val test = docs.filter(isTest)
+      val train = docs.filter(!isTest)
+      val testGrams = Dedup.shingles(test, 8)
+      val trainGrams = Dedup.shingles(train, 8).select("shingle").distinct()
+      val leaky = testGrams.join(trainGrams, "shingle")
+        .select("doc_id").distinct()
+      test.join(leaky.withColumn("leak", lit(true)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_test"),
+          count(when(col("leak"), lit(1))).as("n_leaky"))
+        .withColumn("n_clean", col("n_test") - col("n_leaky"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tagged AS (
+              SELECT doc_id, source,
+                string_split(${asciiLowerSql("text")}, ' ') AS ts,
+                substr(md5(CAST(doc_id AS VARCHAR) || ':evalsplit'), 1, 8)
+                  < '33333333' AS is_test
+              FROM documents),
+            tg AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 6),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                      || '_' || ts[i+4] || '_' || ts[i+5] || '_' || ts[i+6] || '_' || ts[i+7])) AS g
+                FROM tagged WHERE is_test AND len(ts) >= 8)),
+            trg AS (
+              SELECT DISTINCT g FROM (
+                SELECT unnest(list_transform(range(1, len(ts) - 6),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                      || '_' || ts[i+4] || '_' || ts[i+5] || '_' || ts[i+6] || '_' || ts[i+7])) AS g
+                FROM tagged WHERE NOT is_test AND len(ts) >= 8)),
+            leaky AS (SELECT DISTINCT doc_id FROM tg WHERE g IN (SELECT g FROM trg))
+            SELECT source, COUNT(*) AS n_test,
+              COUNT(CASE WHEN EXISTS (SELECT 1 FROM leaky WHERE leaky.doc_id = t.doc_id)
+                THEN 1 END) AS n_leaky,
+              COUNT(*) - COUNT(CASE WHEN EXISTS (SELECT 1 FROM leaky
+                WHERE leaky.doc_id = t.doc_id) THEN 1 END) AS n_clean
+            FROM tagged t WHERE is_test
+            GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
-    q146, q147, q148, q149, q154, q155)
+    q146, q147, q148, q149, q154, q155, q158, q159)
 }
