@@ -79,7 +79,8 @@ object ScaleSmoke {
       "q141_cosine_range_search", "q142_ingest_novelty",
       "q144_nn_cosine_histogram", "q145_curation_funnel",
       "q146_weighted_sample", "q147_prefix_filter_join", "q148_bm25_store",
-      "q149_approx_quantile_audit")
+      "q154_blocklist_gate", "q155_decile_normalize",
+      "q158_dedup_token_budget", "q159_decontaminated_split")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)
