@@ -527,7 +527,8 @@ object CorpusStats {
     *
     * MEASURED HONESTLY (STATUS.md round 5): on THIS corpus the plain
     * shared-shingle join (q27) wins at both sf0.1 (1.4s vs 7s warm) and
-    * 10× (23s vs 98s) — the synthetic ~30-word vocabulary makes trigram
+    * 10× (23s vs 80s; was 98s with a row_number prefix window, 450+s
+    * with a pair×shingle verify re-join — both replaced) — the synthetic ~30-word vocabulary makes trigram
     * df nearly uniform, so the rarity prefix prunes little while its
     * df-join + per-doc rank window cost is paid in full. Prefix
     * filtering earns its keep on real corpora with Zipfian vocabularies
@@ -544,29 +545,35 @@ object CorpusStats {
         Dedup.shingles(Tables.documents(s, d), 3), Dedup.MaxShingleDocFreq,
         col("shingle")))
       val df = bg.groupBy("shingle").agg(count(lit(1)).as("df"))
-      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
-      val prefix = bg.join(df, "shingle").join(sizes, "doc_id")
-        .withColumn("rk", row_number().over(w))
-        // p = t - ceil(tau*t) + 1; for tau=0.5, ceil(t/2) = (t+1) div 2
-        .filter(col("rk") <=
-          col("nbg") - ((col("nbg") + lit(1)) / lit(2)).cast("long") + lit(1))
-        .select("doc_id", "shingle")
+      // ONE per-doc aggregate yields both the rarity-ordered prefix (array
+      // slice — replaces a 4.7M-row row_number window, which was the
+      // dominant cost of the first cut) and the shingle array the verify
+      // intersects. Struct sort_array orders by (df, shingle) — the global
+      // total order the prefix lemma needs.
+      val lists = bg.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
+          .as("sdf"), count(lit(1)).cast("int").as("nbg"))
+        .select(col("doc_id"),
+          transform(col("sdf"), s => s.getField("shingle")).as("arr"),
+          col("nbg"),
+          // p = t - ceil(tau*t) + 1; for tau=0.5, ceil(t/2) = (t+1) div 2
+          (col("nbg") - floor((col("nbg") + lit(1)) / lit(2)).cast("int")
+            + lit(1)).as("p"))
+      val prefix = lists
+        .select(col("doc_id"),
+          explode(slice(col("arr"), lit(1), col("p"))).as("shingle"))
       val cand = prefix.as("a")
         .join(prefix.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      // PPJoin-style verify: carry each doc's SORTED shingle array into the
-      // pair row and intersect in-expression (codegen'd array_intersect) —
-      // two keyed joins of the candidate set against the doc-bounded array
+      // PPJoin-style verify: carry each doc's shingle array into the pair
+      // row and intersect in-expression (codegen'd array_intersect) — two
+      // keyed joins of the candidate set against the doc-bounded array
       // table, NO per-shingle re-explode (a pair×shingle join re-shuffles
       // candidates×avg-shingles rows — measured 8× the full join's cost at
       // 10× duplication before this restructure).
-      val lists = bg.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("shingle"))).as("arr"),
-          count(lit(1)).as("nbg"))
       val inter = size(array_intersect(col("arr1"), col("arr2")))
       val jac = ffloor(
         inter.cast("double") / (col("n1") + col("n2") - inter), 4)
