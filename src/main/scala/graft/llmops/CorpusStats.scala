@@ -968,6 +968,60 @@ object CorpusStats {
             GROUP BY source ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q160
+  /** Source signature terms: top-5 tokens per source by TF-IDF — the
+    * "what is this source actually about" profile (and the features a
+    * source classifier starts from). IDF follows q55's micro-nat
+    * contract (ln behind an integer floor), the score is an exact
+    * long product, and the per-source top-5 is a rank window over the
+    * (source, term) aggregate — partitions are source-vocab-bounded,
+    * never corpus-bounded.
+    */
+  val q160 = QuerySpec(
+    "q160_source_signature_terms",
+    (s, d) => {
+      val tf = normalize(Tables.documents(s, d))
+        .select(col("source"), explode(split(col("text_norm"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val sdf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nSrc = tf.select("source").distinct()
+        .agg(count(lit(1)).as("n_src"))
+      val idfMicro = floor(log((col("n_src").cast("double") + lit(1.0)) /
+        (col("df").cast("double") + lit(1.0))) * lit(1e6)).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("score_micro").desc, col("tok"))
+      tf.join(sdf, "tok").crossJoin(broadcast(nSrc))
+        .select(col("source"), col("tok"),
+          (col("tf") * idfMicro).as("score_micro"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("tok"), col("score_micro"))
+        .orderBy("source", "rk")
+    },
+    Some(s"""WITH tf AS (
+              SELECT source, t.tok, COUNT(*) AS tf
+              FROM documents,
+                UNNEST(string_split(regexp_replace(${asciiLowerSql("text")},
+                  '$WhitespaceClass', ' ', 'g'), ' ')) AS t(tok)
+              WHERE length(t.tok) > 0
+              GROUP BY 1, 2),
+            sdf AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+            ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM tf),
+            scored AS (
+              SELECT source, tok,
+                tf * CAST(FLOOR(ln((CAST(n_src AS DOUBLE) + 1.0)
+                  / (CAST(df AS DOUBLE) + 1.0)) * 1000000.0) AS BIGINT)
+                  AS score_micro
+              FROM tf JOIN sdf USING (tok) CROSS JOIN ns)
+            SELECT source, rk, tok, score_micro FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY score_micro DESC, tok) AS rk
+              FROM scored)
+            WHERE rk <= 5 ORDER BY source, rk""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
-    q146, q147, q148, q149, q154, q155, q158, q159)
+    q146, q147, q148, q149, q154, q155, q158, q159, q160)
 }

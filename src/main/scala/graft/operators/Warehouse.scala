@@ -606,6 +606,60 @@ object Warehouse {
             FROM daily ORDER BY day""")
   )
 
+  // --------------------------------------------------------------- q161
+  /** Benford first-digit audit on order totals — the classic
+    * fabricated-data detector (organically-generated monetary amounts
+    * follow log10(1+1/d); synthetic or tampered ones usually don't).
+    * Output per leading digit: observed count, observed frequency, the
+    * Benford expectation, and the absolute deviation — the inputs to
+    * whichever test statistic the auditor prefers. The leading digit is
+    * pure integer/string expression work; one 9-row aggregate.
+    * Expectation frequencies are micro-truncated CONSTANTS (computed
+    * identically from log10 in both engines), so the row stays
+    * hash-comparable.
+    */
+  val q161 = QuerySpec(
+    "q161_benford_audit",
+    (s, d) => {
+      val firstDigit = substring(abs(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int")
+      val n = Window.partitionBy()
+      val expMicro = floor(log10(lit(1.0) + lit(1.0) / col("digit")) * lit(1e6))
+      Tables.orders(s, d)
+        // < 1e7 keeps double→string in plain (non-scientific) notation in
+      // BOTH engines; Spark renders 1e7+ as "1.0E7"
+      .filter(abs(col("o_totalprice")) >= 1.0 && abs(col("o_totalprice")) < 1e7)
+        .select(firstDigit.as("digit"))
+        .filter(col("digit").between(1, 9))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+        .withColumn("total", sum(col("n_orders")).over(n))
+        .select(col("digit"), col("n_orders"),
+          ffloor(col("n_orders").cast("double") / col("total"), 6).as("obs_freq"),
+          (expMicro / lit(1e6)).as("benford_freq"))
+        .withColumn("abs_dev",
+          ffloor(abs(col("obs_freq") - col("benford_freq")), 6))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (
+              SELECT CAST(substr(CAST(abs(o_totalprice) AS VARCHAR), 1, 1) AS INT)
+                AS digit
+              FROM orders WHERE abs(o_totalprice) >= 1.0 AND abs(o_totalprice) < 10000000.0),
+            c AS (SELECT digit, COUNT(*) AS n_orders FROM d
+                  WHERE digit BETWEEN 1 AND 9 GROUP BY digit),
+            t AS (SELECT digit, n_orders, SUM(n_orders) OVER () AS total FROM c),
+            f AS (
+              SELECT digit, n_orders,
+                CAST(FLOOR(CAST(n_orders AS DOUBLE) / total * 1000000.0) AS DOUBLE)
+                  / 1000000.0 AS obs_freq,
+                CAST(FLOOR(log10(1.0 + 1.0 / digit) * 1000000.0) AS DOUBLE)
+                  / 1000000.0 AS benford_freq
+              FROM t)
+            SELECT digit, n_orders, obs_freq, benford_freq,
+              CAST(FLOOR(abs(obs_freq - benford_freq) * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS abs_dev
+            FROM f ORDER BY digit""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
-    q152, q153, q156, q157)
+    q152, q153, q156, q157, q161)
 }
