@@ -1022,6 +1022,56 @@ object CorpusStats {
             WHERE rk <= 5 ORDER BY source, rk""")
   )
 
+  // --------------------------------------------------------------- q162
+  /** PageRank-lite centrality over the near-dup candidate graph (5 fixed
+    * power iterations, damping 0.85) — "which document is the HUB of its
+    * duplication neighborhood" (a centrality-aware alternative to q72's
+    * longest-wins canonical pick: the most-connected member is often the
+    * original, mirrors link to it). All arithmetic is integer micro-units
+    * with explicit `div` at every step — per-edge contribution
+    * r div deg, update 0.15 + 0.85·Σ as (Σ·85) div 100 — so five rounds
+    * of long math are bit-identical cross-engine and the DuckDB oracle is
+    * the same five rounds unrolled over q101's edge CTE. Per round: one
+    * keyed join of the endpoint-rank table + one map-side-combined sum —
+    * q101's fixpoint shape with a fixed round count.
+    */
+  val q162 = QuerySpec(
+    "q162_pagerank_lite",
+    (s, d) => {
+      val edges = Dedup.neardupEdges(Tables.documents(s, d))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      var ranks = edges.select(col("src").as("id")).distinct()
+        .withColumn("r", lit(1000000L))
+      for (_ <- 1 to 5) {
+        ranks = edges.join(deg, "src").join(ranks, col("src") === col("id"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(cs * 85) div 100")).as("r"))
+      }
+      ranks.select(col("id").as("doc_id"), col("r").as("rank_micro"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+              SELECT e.dst AS id,
+                150000 + (SUM(p.r // d.deg) * 85) // 100 AS r
+              FROM edges e
+              JOIN deg d ON e.src = d.src
+              JOIN r${i - 1} p ON p.id = e.src
+              GROUP BY e.dst)"""
+      }.mkString(",\n            ")
+      s"""WITH ${Dedup.neardupEdgesCtes},
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+            r0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS r
+                   FROM edges),
+            $rounds
+            SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_micro
+            FROM r5 ORDER BY doc_id"""
+    }
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
-    q146, q147, q148, q149, q154, q155, q158, q159, q160)
+    q146, q147, q148, q149, q154, q155, q158, q159, q160, q162)
 }

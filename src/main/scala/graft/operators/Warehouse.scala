@@ -660,6 +660,131 @@ object Warehouse {
             FROM f ORDER BY digit""")
   )
 
+  // --------------------------------------------------------------- q163
+  /** Lag-k autocorrelation of daily event counts (k = 1 and 7) — the
+    * seasonality detector: strong lag-7 means weekly rhythm, strong
+    * lag-1 means momentum/trend. Daily counts first (tiny series), then
+    * a self-join at each lag on integer epoch-days, then Pearson r from
+    * six exact long sums with one fixed-IEEE formula (q156's closed-form
+    * discipline). No window functions at all — the lag join IS the
+    * pairing.
+    */
+  val q163 = QuerySpec(
+    "q163_autocorrelation",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      def corrAtLag(k: Int): DataFrame = {
+        val a = daily.select(col("event_type"), col("day"), col("n").as("x"))
+        val b = daily.select(col("event_type").as("et2"),
+          col("day").as("day2"), col("n").as("y"))
+        val m = a.join(b, col("event_type") === col("et2") &&
+            col("day2") === col("day") + k)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("np"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val nD = col("np").cast("double")
+        val num = col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / nD
+        val den = sqrt(greatest(col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / nD, lit(0.0))) *
+          sqrt(greatest(col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double") / nD, lit(0.0)))
+        m.select(col("event_type"), lit(k).as("lag"), col("np").as("n_pairs"),
+          ffloor(num / nullif(den, lit(0.0)), 6).as("autocorr"))
+      }
+      corrAtLag(1).unionAll(corrAtLag(7)).orderBy("event_type", "lag")
+    },
+    Some {
+      def sql(k: Int) =
+        s"""SELECT a.event_type, $k AS lag, COUNT(*) AS n_pairs,
+              CAST(FLOOR(
+                (CAST(SUM(a.n * b.n) AS DOUBLE)
+                 - CAST(SUM(a.n) AS DOUBLE) * CAST(SUM(b.n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                / NULLIF(
+                    sqrt(GREATEST(CAST(SUM(a.n * a.n) AS DOUBLE)
+                      - CAST(SUM(a.n) AS DOUBLE) * CAST(SUM(a.n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0.0))
+                    * sqrt(GREATEST(CAST(SUM(b.n * b.n) AS DOUBLE)
+                      - CAST(SUM(b.n) AS DOUBLE) * CAST(SUM(b.n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 0.0)),
+                    0.0)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS autocorr
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.day = a.day + $k
+            GROUP BY a.event_type"""
+      s"""WITH daily AS (
+              SELECT event_type,
+                CAST(FLOOR(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                  / 86400000000.0) AS BIGINT) AS day,
+                COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT * FROM (${sql(1)} UNION ALL ${sql(7)})
+            ORDER BY event_type, lag"""
+    }
+  )
+
+  // --------------------------------------------------------------- q164
+  /** CUSUM changepoint scan: per event type, the day where the cumulative
+    * deviation of daily counts from the series mean peaks — the standard
+    * "when did the level shift" detector. Exactness trick: instead of
+    * cumsum(x_i − mean) in doubles, track C_t = n·prefix_t − t·S (all
+    * longs, EXACT — multiply through by n to avoid the fractional mean),
+    * whose argmax is the same day. The prefix window runs over the tiny
+    * daily series; the argmax is one max-of-struct aggregate (|C| desc,
+    * earliest day ties).
+    */
+  val q164 = QuerySpec(
+    "q164_cusum_changepoint",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("nd"))
+      daily.join(broadcast(tot), "event_type")
+        .withColumn("t", count(lit(1)).over(w))
+        .withColumn("prefix", sum(col("x")).over(w))
+        .withColumn("c", col("nd") * col("prefix") - col("t") * col("s"))
+        .groupBy("event_type")
+        .agg(max(struct(abs(col("c")).as("mag"), (-col("day")).as("neg_day"),
+          col("c").as("cval"))).as("__best"), first(col("nd")).as("n_days"))
+        .select(col("event_type"), col("n_days"),
+          (-col("__best.neg_day")).as("change_day"),
+          col("__best.cval").as("cusum_scaled"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                CAST(FLOOR(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                  / 86400000000.0) AS BIGINT) AS day,
+                COUNT(*) AS x
+              FROM events GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
+                      COUNT(*) AS nd FROM daily GROUP BY 1),
+            pre AS (
+              SELECT d.event_type, day, nd,
+                nd * SUM(x) OVER w - (COUNT(*) OVER w) * s AS c
+              FROM daily d JOIN tot USING (event_type)
+              WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            best AS (
+              SELECT event_type, nd AS n_days, day AS change_day, c AS cusum_scaled,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY abs(c) DESC, day ASC) AS rk
+              FROM pre)
+            SELECT event_type, n_days, change_day, cusum_scaled
+            FROM best WHERE rk = 1 ORDER BY event_type""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
-    q152, q153, q156, q157, q161)
+    q152, q153, q156, q157, q161, q163, q164)
 }
