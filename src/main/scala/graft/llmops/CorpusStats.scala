@@ -1072,6 +1072,100 @@ object CorpusStats {
     }
   )
 
+  // --------------------------------------------------------------- q165
+  /** Reciprocal-rank fusion of two lexical rankings — the standard
+    * hybrid-search combiner (fuse BM25 with anything; here BM25's
+    * saturation-weighted ranking vs raw tf·idf, which order documents
+    * DIFFERENTLY). RRF score = Σ 1/(60+rank) over the rankings,
+    * computed as floor(1e9/(60+rank)) longs so the fused ordering is
+    * integer-exact. Both rankings operate on the query-matched subset
+    * only (docs containing a query term — query-bounded, not
+    * corpus-bounded, so the rank windows are safe at scale), and the
+    * fused top-10 is one more TakeOrdered.
+    */
+  val q165 = QuerySpec(
+    "q165_rank_fusion",
+    (s, d) => {
+      val terms = Seq("spark", "join", "merge")
+      val docs = Tables.documents(s, d)
+      val tf = PretrainOps.termFreq(docs).filter(col("term").isin(terms: _*))
+      val lens = PretrainOps.termFreq(docs)
+        .groupBy("doc_id").agg(sum("tf").cast("long").as("len"))
+      val nAvg = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+        (sum("len").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idfMicro = floor(log(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e6)).cast("long")
+      val base = tf.join(broadcast(df), "term").join(lens, "doc_id")
+        .crossJoin(broadcast(nAvg))
+        .select(col("doc_id"), col("term"), col("tf"), col("len"), col("avgdl"),
+          idfMicro.as("idf_micro"))
+      val sat = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * (col("len").cast("double") / col("avgdl"))))
+      val bm25 = base
+        .select(col("doc_id"),
+          floor(col("idf_micro").cast("double") * sat).cast("long").as("pm"))
+        .groupBy("doc_id").agg(sum("pm").cast("long").as("s"))
+      val tfidf = base
+        .select(col("doc_id"), (col("tf") * col("idf_micro")).as("pm"))
+        .groupBy("doc_id").agg(sum("pm").cast("long").as("s"))
+      def ranked(r: DataFrame): DataFrame = r.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("s").desc, col("doc_id"))))
+        .select(col("doc_id"), expr("1000000000 div (60 + rk)").as("rrf"))
+      ranked(bm25).unionAll(ranked(tfidf))
+        .groupBy("doc_id").agg(sum(col("rrf")).cast("long").as("rrf_score"),
+          count(lit(1)).as("n_rankings"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS term
+              FROM documents),
+            tfall AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+                      WHERE term <> '' GROUP BY 1, 2),
+            tf AS (SELECT * FROM tfall WHERE term IN ('spark', 'join', 'merge')),
+            lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tfall GROUP BY 1),
+            navg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                     FROM lens),
+            qdf AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            base AS (
+              SELECT tf.doc_id, tf.term, tf.tf, len, avgdl,
+                CAST(FLOOR(ln(
+                  (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                    / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT)
+                  AS idf_micro
+              FROM tf JOIN qdf USING (term) JOIN lens ON tf.doc_id = lens.doc_id
+              CROSS JOIN navg),
+            bm25 AS (
+              SELECT doc_id, CAST(SUM(CAST(FLOOR(
+                CAST(idf_micro AS DOUBLE)
+                * ((CAST(tf AS DOUBLE) * 2.2)
+                   / (CAST(tf AS DOUBLE) + 1.2
+                      * (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE) / avgdl))))
+                ) AS BIGINT)) AS BIGINT) AS s
+              FROM base GROUP BY doc_id),
+            tfidf AS (
+              SELECT doc_id, CAST(SUM(tf * idf_micro) AS BIGINT) AS s
+              FROM base GROUP BY doc_id),
+            ra AS (SELECT doc_id,
+                     1000000000 // (60 + ROW_NUMBER() OVER (ORDER BY s DESC, doc_id))
+                       AS rrf
+                   FROM bm25),
+            rb AS (SELECT doc_id,
+                     1000000000 // (60 + ROW_NUMBER() OVER (ORDER BY s DESC, doc_id))
+                       AS rrf
+                   FROM tfidf),
+            u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+            SELECT doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_score,
+              COUNT(*) AS n_rankings
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 10""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
-    q146, q147, q148, q149, q154, q155, q158, q159, q160, q162)
+    q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165)
 }
