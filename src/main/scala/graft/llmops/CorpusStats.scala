@@ -1166,6 +1166,116 @@ object CorpusStats {
             ORDER BY rrf_score DESC, doc_id LIMIT 10""")
   )
 
+  // --------------------------------------------------------------- q166
+  /** Exact two-sample Kolmogorov–Smirnov distance between the first two
+    * sources' document-length distributions — the "are these sources
+    * drawn from the same distribution" test (complements q110's PSI,
+    * which needs binning; KS is binning-free). Exactness: ECDFs are
+    * compared on the VALUE domain via cumulative counts, and the sup is
+    * taken over |cum_a·n_b − cum_b·n_a| — pure long arithmetic, the
+    * fractional ECDFs multiplied away (q164's trick). The cumulative
+    * window runs over distinct values of the pooled pair (bounded by the
+    * value domain, not corpus size).
+    */
+  val q166 = QuerySpec(
+    "q166_ks_distance",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+      val byVal = docs.groupBy(col("n_chars").as("v"))
+        .agg(count(when(col("source") === "src0", lit(1))).as("ca"),
+          count(when(col("source") === "src1", lit(1))).as("cb"))
+      val tot = docs.agg(
+        count(when(col("source") === "src0", lit(1))).as("na"),
+        count(when(col("source") === "src1", lit(1))).as("nb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      byVal.crossJoin(broadcast(tot))
+        .withColumn("cuma", sum(col("ca")).over(w))
+        .withColumn("cumb", sum(col("cb")).over(w))
+        .withColumn("dev", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .agg(max(col("dev")).as("max_dev"), first(col("na")).as("na"),
+          first(col("nb")).as("nb"))
+        .select(col("na"), col("nb"),
+          ffloor(col("max_dev").cast("double") /
+            (col("na") * col("nb")).cast("double"), 6).as("ks_distance"))
+    },
+    Some("""WITH docs AS (
+              SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')),
+            by_val AS (
+              SELECT n_chars AS v,
+                COUNT(CASE WHEN source = 'src0' THEN 1 END) AS ca,
+                COUNT(CASE WHEN source = 'src1' THEN 1 END) AS cb
+              FROM docs GROUP BY 1),
+            tot AS (
+              SELECT COUNT(CASE WHEN source = 'src0' THEN 1 END) AS na,
+                COUNT(CASE WHEN source = 'src1' THEN 1 END) AS nb
+              FROM docs),
+            cum AS (
+              SELECT v, na, nb,
+                SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+              FROM by_val CROSS JOIN tot
+              WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+              CAST(FLOOR(CAST(MAX(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS ks_distance
+            FROM cum GROUP BY na, nb""")
+  )
+
+  // --------------------------------------------------------------- q167
+  /** Gini coefficient of token-frequency concentration per source — the
+    * lexical-diversity inequality measure (near 0 = uniform vocabulary
+    * use; near 1 = a few tokens dominate, i.e. template spam; pairs with
+    * q137's entropy as the second diagnostic axis). For sorted counts
+    * x_1≤…≤x_n: G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n. The rank window
+    * partitions by source and orders the source's VOCABULARY (vocab-
+    * bounded, never corpus-bounded); Σ i·x_i and Σx are exact longs and
+    * the final formula is one fixed-IEEE expression over them.
+    */
+  val q167 = QuerySpec(
+    "q167_token_gini",
+    (s, d) => {
+      val cnts = normalize(Tables.documents(s, d))
+        .select(col("source"), explode(split(col("text_norm"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("cnt"), col("tok"))
+      cnts.withColumn("i", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("cnt")).cast("long").as("total"),
+          sum(col("i") * col("cnt")).cast("long").as("iwx"))
+        .select(col("source"), col("n_vocab"), col("total"),
+          ffloor(
+            (lit(2.0) * col("iwx").cast("double")) /
+              (col("n_vocab").cast("double") * col("total").cast("double")) -
+              (col("n_vocab") + lit(1)).cast("double") / col("n_vocab").cast("double"),
+            6).as("gini"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (
+              SELECT source, t.tok FROM documents,
+                UNNEST(string_split(regexp_replace(${asciiLowerSql("text")},
+                  '$WhitespaceClass', ' ', 'g'), ' ')) AS t(tok)
+              WHERE length(t.tok) > 0),
+            cnts AS (SELECT source, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+            ranked AS (
+              SELECT source, cnt,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt, tok) AS i
+              FROM cnts)
+            SELECT source, COUNT(*) AS n_vocab,
+              CAST(SUM(cnt) AS BIGINT) AS total,
+              CAST(FLOOR(
+                ((2.0 * CAST(SUM(i * cnt) AS DOUBLE))
+                  / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+                 - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS gini
+            FROM ranked GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
-    q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165)
+    q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
+    q167)
 }
