@@ -80,7 +80,9 @@ object ScaleSmoke {
       "q144_nn_cosine_histogram", "q145_curation_funnel",
       "q146_weighted_sample", "q147_prefix_filter_join", "q148_bm25_store",
       "q154_blocklist_gate", "q155_decile_normalize",
-      "q158_dedup_token_budget", "q159_decontaminated_split")
+      "q158_dedup_token_budget", "q159_decontaminated_split",
+      "q160_source_signature_terms", "q162_pagerank_lite",
+      "q165_rank_fusion", "q166_ks_distance", "q167_token_gini")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)
