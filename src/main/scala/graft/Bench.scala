@@ -56,6 +56,16 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line(short = false) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // Append-only history so round-over-round per-query diffs never depend
+    // on driver log tail length (BENCH_rN's stdout JSON is tail-truncated
+    // past ~2000 chars): each run adds one full-name line stamped with
+    // wall-clock epoch seconds.
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "/tmp/graft-bench-history.jsonl")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(hist),
+      (s"""{"ts":${System.currentTimeMillis / 1000},""" +
+        line(short = false).drop(1) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Throwable => System.err.println(s"[bench] history write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

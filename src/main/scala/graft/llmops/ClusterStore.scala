@@ -165,6 +165,48 @@ object ClusterStore {
     * gram df cap and collapses any label drift from cap-crossing grams). */
   def compact(docs: DataFrame, dir: String): Unit = build(docs, dir)
 
+  /** CONTINUOUS ingest twin — [[update]] wired into `foreachBatch`, the
+    * same batch-grain place the sink layer and
+    * [[CurationOps.DecontamStore.decontaminateBatch]] do their work
+    * (shingle assembly needs a doc-local window, unsupported on an
+    * unbounded stream; the label commit is store-grain, not row-grain).
+    * Each micro-batch runs ONE contract–solve–expand increment and lands
+    * atomically via the tmp-rename swap, so a stream of N batches commits
+    * exactly the state the N-step batch chain commits — streaming vs batch
+    * labels are definitionally identical, and ClusterStoreSpec asserts the
+    * stronger form: store == cold full recompute after EVERY epoch.
+    *
+    * COMPACTION CADENCE, argued: between compactions the gram table grows
+    * by O(batch grams) per epoch append-only and UN-recapped, with two
+    * bounded drifts — (a) scan cost: increments read `grams.parquet`
+    * through a shingle semi-join, so cost grows linearly in appended
+    * grams; (b) cap drift: a gram crossing [[MaxDf]] between compactions
+    * keeps edges it created while below the cap — EXTRA connectivity only
+    * (possible over-merge, never a missed duplicate), removed at the next
+    * [[compact]]. A rebuild costs one full-corpus gram pass ≈ C·|corpus|;
+    * an increment costs ≈ C·|batch| + ε·|appended|. Compacting every
+    * `corpus/batch` epochs (i.e. once per ~doubling of the landed set)
+    * keeps amortized maintenance within a constant factor of the increment
+    * cost — the classic LSM merge argument. `compactEvery` defaults to 0
+    * (off) because the LANDED CORPUS lives with the caller's sink, not in
+    * this store; pass the reader and a cadence to enable it.
+    *
+    * Returns the writer unstarted — caller sets trigger/checkpoint (the
+    * offsets WAL makes replayed epochs re-run the same increment; [[update]]
+    * recommits idempotently since [[updatedLabels]] is a pure function of
+    * store ∪ batch and the gram append is duplicate-insensitive for
+    * connectivity — dup gram rows only raise df toward the cap).
+    */
+  def continuous(stream: DataFrame, dir: String,
+                 landedCorpus: Option[() => DataFrame] = None,
+                 compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      update(batch.sparkSession, dir, batch)
+      if (compactEvery > 0 && (epoch + 1) % compactEvery == 0)
+        landedCorpus.foreach(read => compact(read(), dir))
+    }
+
   // -------------------------------------------------------------- q119
   /** One store build per (JVM, sf-dir): q119 measures the INCREMENT, not
     * the build — bench's min-of-3 sees build-free iterations 2..n, which is

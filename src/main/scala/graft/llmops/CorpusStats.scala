@@ -139,8 +139,11 @@ object CorpusStats {
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
-        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        // sizes is corpus-cardinality (one row per doc) — must NOT be
+        // broadcast at 100 TB; the candidate side is the small one, so let
+        // these be keyed shuffles (AQE will pick the join side at runtime).
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.5)
       val nTruth = fp.groupBy("fp").agg(count(lit(1)).as("m"))
@@ -215,6 +218,13 @@ object CorpusStats {
       val docs = Tables.documents(s, d)
       val budgetFrac = 0.3
       val nc = col("n_chars").cast("double")
+      // s2 exactness bound (q150's discipline): the per-row square is exact
+      // while n_chars < 2^26.5 ≈ 9.4e7 (square < 2^53, double-representable
+      // before the long cast), and the long sum holds while
+      // Σ n_chars² < 2^63 — i.e. ≥ 1e3 rows of ~9.4e7 chars or ~1e9 rows of
+      // ~3e6 chars. Documents beyond ~94 MB of text violate the schema's own
+      // invariants long before this; past the bound Spark wraps where DuckDB
+      // rounds, so widen to sum(decimal(38,0)) if the corpus ever gets there.
       val mom = docs.groupBy("source").agg(
         count(lit(1)).as("nh"),
         sum(col("n_chars")).cast("long").as("s1"),
@@ -233,8 +243,13 @@ object CorpusStats {
           least(lit(1.0),
             lit(budgetFrac) * col("ntot") * (col("w") / col("wt")) / col("nh"))
             .as("rate"))
-      val cutoff = lpad(lower(hex(floor(col("rate") * lit(4294967296.0))
-        .cast("long"))), 8, "0")
+      // Saturated strata (least(1.0,...) clamps to exactly 1.0) must keep
+      // ALL rows: hex(2^32) is 9 chars and lpad-TRUNCATES to '10000000',
+      // silently sampling ~6.25% instead of 100%. 'g' sorts after every hex
+      // digit → keep-all, matching rateCutoffHex's documented contract.
+      val cutoff = when(col("rate") >= 1.0, lit("g"))
+        .otherwise(lpad(lower(hex(floor(col("rate") * lit(4294967296.0))
+          .cast("long"))), 8, "0"))
       docs.join(broadcast(rated), "source")
         .filter(hashFrac(col("doc_id"), "neyman") < cutoff)
         .groupBy("source")
@@ -269,7 +284,8 @@ object CorpusStats {
               CAST(FLOOR(ANY_VALUE(rate) * 1000000.0) AS DOUBLE) / 1000000.0 AS rate6
             FROM documents d JOIN rated r ON d.source = r.source
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':neyman'), 1, 8)
-                  < lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296.0) AS BIGINT))), 8, '0')
+                  < CASE WHEN rate >= 1.0 THEN 'g'
+                    ELSE lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296.0) AS BIGINT))), 8, '0') END
             GROUP BY d.source ORDER BY d.source""")
   )
 

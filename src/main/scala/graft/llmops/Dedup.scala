@@ -946,7 +946,8 @@ object Dedup {
     * truncation case is the HEAD-FINGERPRINT increment's job
     * (IncrementalDedup q73, prefixTokens) — the exact q102 remains the
     * oracle twin on gate data. Hash-seeded → rows-only; the spec checks
-    * the estimates against exact q102 on asymmetric near-dup fixtures.
+    * the estimates against exact q102 on asymmetric near-dup fixtures,
+    * and [[q168]] oracle-gates the ±0.2 accuracy contract every round.
     */
   val q113 = QuerySpec(
     "q113_containment_sketch",
@@ -967,6 +968,87 @@ object Dedup {
         .orderBy("d1", "d2")
     },
     None
+  )
+
+  // --------------------------------------------------------------- q168
+  /** Oracled invariant audit for q113 (round-5 verdict item 4). q113's own
+    * rows can never be hash-compared: its candidate PAIR SET comes from
+    * xxhash64-seeded MinHash band collisions, which no ANSI SQL can
+    * reproduce — that is the documented reason q113 stays rows-only. What
+    * IS cross-engine checkable is (a) the exact containment universe both
+    * engines compute identically (q102's capped-trigram join) and (b) the
+    * sketch's accuracy CONTRACT as a boolean: every LSH candidate's
+    * estimated containment lies within ±0.2 of its exact value (the bound
+    * DedupGraphSpec asserts on fixtures). Spark computes est AND exact and
+    * evaluates the check in-query; the oracle states the expected
+    * invariant (TRUE) plus the independently-computed exact-pair count —
+    * so sketch drift, a broken estimator identity, or a candidate with no
+    * real overlap all turn this row red at the driver gate.
+    */
+  val q168 = QuerySpec(
+    "q168_containment_sketch_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // Exact side: q102's plan verbatim (capped universe; the cap is
+      // non-binding at gate scale so DuckDB's QUALIFY-capped SQL matches).
+      val bg = graft.core.Materialize(
+        capKeyFreq(shingles(docs, 3), MaxShingleDocFreq, col("shingle")))
+      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+      val exact = bg.as("a")
+        .join(bg.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"),
+          ffloor(col("inter").cast("double") / col("s1.nbg"), 4).as("c12x"),
+          ffloor(col("inter").cast("double") / col("s2.nbg"), 4).as("c21x"))
+      val nExact = exact
+        .filter(greatest(col("c12x"), col("c21x")) >= 0.5)
+        .agg(count(lit(1)).as("n_exact_pairs"))
+      // Sketch side: audit exactly what q113 ships (same registry entry),
+      // left-joined so a candidate with ZERO real overlap still gets
+      // checked against exact = 0.
+      val audit = q113.run(s, d)
+        .join(exact, Seq("d1", "d2"), "left")
+        .select(greatest(
+          abs(col("est_c_d1_in_d2") - coalesce(col("c12x"), lit(0.0))),
+          abs(col("est_c_d2_in_d1") - coalesce(col("c21x"), lit(0.0)))).as("err"))
+        .agg((count(lit(1)) > 0).as("sketch_checked"),
+          (max(col("err")) <= 0.2).as("sketch_within_bound"))
+      audit.crossJoin(nExact)
+        .select(col("n_exact_pairs"), col("sketch_checked"),
+          col("sketch_within_bound"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            trigrams_all AS (
+              SELECT DISTINCT doc_id, bg FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
+                FROM toks)),
+            trigrams AS (
+              SELECT doc_id, bg FROM trigrams_all
+              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= $MaxShingleDocFreq),
+            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+              FROM trigrams a JOIN trigrams b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT d1, d2,
+                CAST(FLOOR(CAST(inter AS DOUBLE) / s1.nbg * 10000.0) AS DOUBLE) / 10000.0 AS c12x,
+                CAST(FLOOR(CAST(inter AS DOUBLE) / s2.nbg * 10000.0) AS DOUBLE) / 10000.0 AS c21x
+              FROM pairs
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id)
+            SELECT (SELECT COUNT(*) FROM scored WHERE GREATEST(c12x, c21x) >= 0.5)
+                     AS n_exact_pairs,
+                   true AS sketch_checked, true AS sketch_within_bound""")
   )
 
   // --------------------------------------------------------------- q123
@@ -1125,5 +1207,5 @@ object Dedup {
 
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
-      q113, q123, q128, q130, q131)
+      q113, q123, q128, q130, q131, q168)
 }

@@ -184,8 +184,13 @@ object Warehouse {
           col("ts").as("valid_from"),
           lead(col("ts"), 1).over(w).as("valid_to"),
           lead(col("ts"), 1).over(w).isNull.as("is_current"))
+        // valid_to as the final key makes the sort UNIQUE (two events with
+        // equal (user_id, ts, event_type) still differ in their lead), so
+        // row order — and the order-sensitive hash gate — is engine-stable.
+        // NULLS FIRST is Spark's ASC default but NOT DuckDB's — both spelled
+        // explicitly so the open-ended current row sorts identically.
         .orderBy(col("user_id"), col("valid_from"),
-          col("state"))
+          col("state"), col("valid_to").asc_nulls_first)
     },
     Some("""SELECT user_id, event_type AS state,
               CAST(ts AS TIMESTAMP) AS valid_from,
@@ -194,7 +199,7 @@ object Warehouse {
             FROM events
             WHERE user_id % 50 = 0
             WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
-            ORDER BY user_id, valid_from, state""")
+            ORDER BY user_id, valid_from, state, valid_to NULLS FIRST""")
   )
 
   // --------------------------------------------------------------- q138
@@ -601,8 +606,9 @@ object Warehouse {
               SELECT first_day AS day, COUNT(*) AS new_users
               FROM fd GROUP BY 1)
             SELECT day, new_users,
-              SUM(new_users) OVER (ORDER BY day
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative_users
+              CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cumulative_users
             FROM daily ORDER BY day""")
   )
 
@@ -772,7 +778,7 @@ object Warehouse {
                       COUNT(*) AS nd FROM daily GROUP BY 1),
             pre AS (
               SELECT d.event_type, day, nd,
-                nd * SUM(x) OVER w - (COUNT(*) OVER w) * s AS c
+                CAST(nd * SUM(x) OVER w - (COUNT(*) OVER w) * s AS BIGINT) AS c
               FROM daily d JOIN tot USING (event_type)
               WINDOW w AS (PARTITION BY d.event_type ORDER BY day
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),

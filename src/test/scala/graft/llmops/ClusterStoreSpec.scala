@@ -43,6 +43,32 @@ class ClusterStoreSpec extends SparkTestBase {
     assert(got(spark.read.parquet(s"$dir/labels.parquet")) == cold(docs))
   }
 
+  test("streaming twin: 3 micro-batches, store == cold recompute per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val ckpt = java.nio.file.Files.createTempDirectory("clusterstore-ckpt-")
+    // (doc_id, text) is the store's full input contract; stream that shape.
+    val slim = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    def part(i: Int) = slim.filter(_._1 % 4 == i)
+    ClusterStore.build(part(0).toDF("doc_id", "text"), dir)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = ClusterStore.continuous(
+        stream.toDF().toDF("doc_id", "text"), dir)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      (1 to 3).foreach { i =>
+        stream.addData(part(i))
+        q.processAllAvailable()
+        val landedSoFar = slim.filter(_._1 % 4 <= i).toDF("doc_id", "text")
+        assert(got(spark.read.parquet(s"$dir/labels.parquet")) ==
+          cold(landedSoFar), s"epoch $i diverged from cold recompute")
+      }
+    } finally q.stop()
+  }
+
   test("empty batch is a no-op on the labels") {
     val dir = tmp()
     val store = docs.filter(col("doc_id") % 5 =!= 0)

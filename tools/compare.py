@@ -5,13 +5,54 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 
 Reads each <outDir>/<name>/ parquet (Spark result), runs the matching SQL
 from <outDir>/oracle_sql.json in DuckDB over the sfDir tables, and compares
-schema (column names), row count, and cell values exactly (column order
-ignored; row order respected).
+schema (column names), row count, ARROW TYPES, and cell values exactly
+(column order ignored; row order respected).
+
+Type check rationale (round-5 verdict item 2): the driver's hash is
+type-sensitive — DuckDB window SUM(BIGINT) returns HUGEINT
+(decimal128(38,0)) which hash-fails against Spark's int64 even when every
+value is identical (q157/q164, round 5). Python `Decimal(500) == 500` is
+True, so a value-only compare is blind to that class. We therefore fail on
+any arrow type difference except representation-only pairs the driver's
+value hash cannot distinguish (string vs large_string).
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import math
+
+
+def _canon_type(t: pa.DataType) -> str:
+    """Canonical type string; collapse exactly the variants the driver's
+    hash is empirically blind to (round-5 evidence: int32-vs-int64 and
+    timestamp-unit diffs all hash-GREEN; decimal128-vs-int64 hash-RED), so
+    this gate fails precisely what the driver fails."""
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_integer(t):
+        return "int"  # width/signedness collapse; decimal128 does NOT land here
+    if pa.types.is_timestamp(t):
+        return f"timestamp[tz={t.tz}]"  # unit collapses, tz does not
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{_canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(f"{t.field(i).name}: {_canon_type(t.field(i).type)}"
+                          for i in range(t.num_fields))
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def type_mismatches(spark_tbl, duck, cols):
+    out = []
+    for c in cols:
+        st = _canon_type(spark_tbl.schema.field(c).type)
+        dt = _canon_type(duck.schema.field(c).type)
+        if st != dt:
+            out.append((c, st, dt))
+    return out
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -38,6 +79,12 @@ for name in sorted(oracle):
         print(f"FAIL {name}: cols spark={scols} duck={dcols}"); fail += 1; continue
     if spark_tbl.num_rows != duck.num_rows:
         print(f"FAIL {name}: rows spark={spark_tbl.num_rows} duck={duck.num_rows}")
+        fail += 1; continue
+    tmis = type_mismatches(spark_tbl, duck, scols)
+    if tmis:
+        c, st, dt = tmis[0]
+        print(f"FAIL {name}: type mismatch col={c} spark={st} duck={dt}"
+              + (f" (+{len(tmis)-1} more)" if len(tmis) > 1 else ""))
         fail += 1; continue
     bad = None
     sdata = {c: spark_tbl.column(c).to_pylist() for c in scols}
