@@ -82,7 +82,9 @@ object ScaleSmoke {
       "q154_blocklist_gate", "q155_decile_normalize",
       "q158_dedup_token_budget", "q159_decontaminated_split",
       "q160_source_signature_terms", "q162_pagerank_lite",
-      "q165_rank_fusion", "q166_ks_distance", "q167_token_gini")
+      "q165_rank_fusion", "q166_ks_distance", "q167_token_gini",
+      "q168_containment_sketch_audit", "q170_dp_release", "q171_cdc_chunks",
+      "q172_triangle_count", "q173_kmeans_assign", "q175_lsh_recall_audit")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

@@ -1291,7 +1291,54 @@ object CorpusStats {
             FROM ranked GROUP BY source ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q170
+  /** Differentially-private corpus-stat release: per-source document
+    * counts with Laplace(Δf/ε) noise, ε = 1, sensitivity 1 (one document
+    * moves one count by one) — the mechanism a data consortium uses to
+    * publish corpus composition without revealing any single document's
+    * membership. Noise is DETERMINISTIC inverse-CDF (q117's discipline —
+    * no RNG state, reproducible across engines and retries): u comes from
+    * the salted md5 of the source key mapped to (0,1) strictly interior
+    * (the +0.5/2³² midpoint offset can never hit u = 1 → ln(0)), then
+    * noise = −sign(u−½)·ln(1−2|u−½|). The release is one G-row aggregate
+    * plus per-row expressions; the true count rides along as the audit
+    * column a real release would drop. NOTE: deterministic per-key noise
+    * is the TESTABLE skeleton — a production release draws u fresh per
+    * publication or privacy composes across releases; the scaladoc is the
+    * contract, the inverse-CDF map is the mechanism.
+    */
+  val q170 = QuerySpec(
+    "q170_dp_release",
+    (s, d) => {
+      val u32 = conv(hashFrac(col("source"), "dp"), 16, 10).cast("double")
+      val u = (u32 + lit(0.5)) / lit(4294967296.0)
+      val v = u - lit(0.5)
+      val noise = -signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+      Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          ffloor(col("n_docs").cast("double") + noise, 4).as("noisy_n_docs"),
+          lit(1.0).as("epsilon"))
+        .orderBy("source")
+    },
+    Some("""WITH c AS (
+              SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+            u AS (
+              SELECT source, n_docs,
+                (list_reduce(list_transform(range(1, 9),
+                    i -> CAST(strpos('0123456789abcdef',
+                      substr(md5(source || ':dp'), i, 1)) - 1 AS DOUBLE)),
+                  (a, b) -> a * 16.0 + b) + 0.5) / 4294967296.0 - 0.5 AS v
+              FROM c)
+            SELECT source, n_docs,
+              CAST(FLOOR((CAST(n_docs AS DOUBLE)
+                + (-sign(v) * ln(1.0 - 2.0 * abs(v)))) * 10000.0) AS DOUBLE)
+                / 10000.0 AS noisy_n_docs,
+              CAST(1.0 AS DOUBLE) AS epsilon
+            FROM u ORDER BY source""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
     q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167)
+    q167, q170)
 }

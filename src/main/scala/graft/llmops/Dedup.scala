@@ -1205,7 +1205,124 @@ object Dedup {
             GROUP BY csize ORDER BY csize""")
   )
 
+  // --------------------------------------------------------------- q172
+  /** Triangle census of the near-dup graph: triangle count, wedge count,
+    * and the global clustering coefficient 3·Δ/wedges — the structural
+    * audit that tells a TEMPLATE FAMILY (docs pairwise similar → dense
+    * triangles, coefficient → 1) apart from a duplication CHAIN
+    * (A~B~C~… truncation ladders — many wedges, no triangles,
+    * coefficient → 0), which decides whether cluster-collapse (q72) or
+    * pairwise-drop is the right dedup action. Enumeration is the
+    * standard oriented-edge join: each triangle a<b<c counted exactly
+    * once via two keyed equi-joins on the HALF edge set; per-node work is
+    * bounded by the gram df cap upstream (a node's degree ≤ Σ per-gram
+    * pairings ≤ grams·(MaxDf−1)), so the join never goes quadratic in the
+    * corpus. Wedges are one keyed degree aggregate, exact longs
+    * throughout.
+    */
+  val q172 = QuerySpec(
+    "q172_triangle_count",
+    (s, d) => {
+      val edges = neardupEdges(Tables.documents(s, d))
+      val half = edges.filter(col("src") < col("dst"))
+      val tri = half.as("e1")
+        .join(half.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(half.as("e3"),
+          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val agg = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr("dg * (dg - 1) div 2")).cast("long").as("n_wedges"))
+      val he = half.agg(count(lit(1)).as("n_edges"))
+      agg.crossJoin(he).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          ffloor(lit(3.0) * col("n_triangles") /
+            nullif(col("n_wedges").cast("double"), lit(0.0)), 6).as("global_cc"))
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src),
+            na AS (SELECT COUNT(*) AS n_nodes,
+                     CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+                   FROM deg),
+            he AS (SELECT COUNT(*) AS n_edges FROM half),
+            tri AS (SELECT COUNT(*) AS n_triangles
+                    FROM half e1
+                    JOIN half e2 ON e1.dst = e2.src
+                    JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+              CAST(FLOOR(3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS global_cc
+            FROM na, he, tri""")
+  )
+
+  // --------------------------------------------------------------- q175
+  /** Oracled RECALL audit for the MinHash-LSH pipeline — [[q168]]'s
+    * sibling, closing the sketch-audit pair: q168 gates the containment
+    * ESTIMATE's accuracy; this gates q30's candidate RECALL against the
+    * exact high-similarity truth. Ground truth is q27's capped-trigram
+    * exact Jaccard at J ≥ 0.8, where the 16-band×4-row s-curve puts the
+    * per-pair miss probability at (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴ — and with the
+    * fixed seed the outcome is deterministic for given data, so
+    * `recall_ok = TRUE` is a stable oracle expectation (verified at both
+    * gate SFs and on fuzz corpora). DuckDB independently recomputes the
+    * exact pair count; a missing candidate, a broken band hash, or a
+    * signature regression flips the boolean red at the driver gate. The
+    * anti-join is exact-pairs ⟕ candidates — both tiny derived tables,
+    * never corpus-sized.
+    */
+  val q175 = QuerySpec(
+    "q175_lsh_recall_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bg = graft.core.Materialize(
+        capKeyFreq(shingles(docs, 3), MaxShingleDocFreq, col("shingle")))
+      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+      val jac = ffloor(
+        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
+      val exactHigh = bg.as("a")
+        .join(bg.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
+        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+      val cand = q30.run(s, d).select(col("d1"), col("d2"))
+      val missed = exactHigh.join(cand, Seq("d1", "d2"), "left_anti")
+      exactHigh.agg(count(lit(1)).as("n_exact_pairs_08"))
+        .crossJoin(missed.agg((count(lit(1)) === 0).as("recall_ok")))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            trigrams_all AS (
+              SELECT DISTINCT doc_id, bg FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
+                FROM toks)),
+            trigrams AS (
+              SELECT doc_id, bg FROM trigrams_all
+              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= $MaxShingleDocFreq),
+            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+              FROM trigrams a JOIN trigrams b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            hi AS (
+              SELECT d1, d2 FROM pairs
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE CAST(FLOOR(CAST(inter AS DOUBLE)
+                / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.8)
+            SELECT (SELECT COUNT(*) FROM hi) AS n_exact_pairs_08,
+                   true AS recall_ok""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
-      q113, q123, q128, q130, q131, q168)
+      q113, q123, q128, q130, q131, q168, q172, q175)
 }

@@ -992,7 +992,93 @@ object PretrainOps {
             FROM c ORDER BY doc_id, chunk_idx""")
   )
 
+  // --------------------------------------------------------------- q171
+  /** CONTENT-DEFINED chunking + chunk-level dedup scorecard — the
+    * FastCDC/rsync boundary discipline q48/q124's fixed-size chunkers
+    * lack: a boundary is declared AFTER any token whose md5 starts with
+    * '0' (rate 1/16 → mean chunk ≈ 16 tokens), so inserting one token
+    * near a document's head shifts ONE chunk's boundary instead of every
+    * downstream chunk — the property that makes chunk-hash dedup robust
+    * to prepended boilerplate, which is how storage dedup and
+    * training-data suffix dedup actually run. Chunk ids are a prefix sum
+    * of boundary flags over the DOC-LOCAL position window (the
+    * shinglesWithPos shuffle shape — keyed by doc_id, bounded per key);
+    * chunk bytes are certified by md5 over the position-ordered token run
+    * (sort_array over (pos, tok) structs — collect_list alone is
+    * order-nondeterministic), and the rollup is one per-source aggregate:
+    * chunk volume, distinct chunk hashes, the dup ratio that chunk-level
+    * dedup would reclaim, and mean chunk length.
+    */
+  /** The CDC chunk table (doc_id, source, chunk, n_tok, cmd5) — q171's
+    * core, exposed so the shift-robustness property (prepending tokens
+    * perturbs exactly one chunk hash) is directly testable. */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(asciiLower(col("text")), " ")).as(Seq("pos", "tok")))
+    val flag = when(substring(md5(col("tok")), 1, 1) === "0", 1L).otherwise(0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk", coalesce(sum(flag).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_tok"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("cmd5"))
+  }
+
+  val q171 = QuerySpec(
+    "q171_cdc_chunks",
+    (s, d) => {
+      cdcChunks(Tables.documents(s, d)).groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("cmd5")).as("n_distinct_chunks"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+          ffloor(lit(1.0) - col("n_distinct_chunks").cast("double") /
+            col("n_chunks"), 4).as("dup_chunk_ratio"),
+          ffloor(col("n_tokens").cast("double") / col("n_chunks"), 2)
+            .as("mean_chunk_tokens"))
+        .orderBy("source")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, source,
+                string_split(${asciiLowerSql("text")}, ' ') AS ts
+              FROM documents),
+            tp AS (
+              SELECT doc_id, source, i - 1 AS pos, ts[i] AS tok
+              FROM (SELECT doc_id, source, ts,
+                      unnest(range(1, len(ts) + 1)) AS i FROM toks)),
+            flagged AS (
+              SELECT doc_id, source, pos, tok,
+                CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS f
+              FROM tp),
+            cid AS (
+              SELECT doc_id, source, pos, tok,
+                COALESCE(CAST(SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  0) AS chunk
+              FROM flagged),
+            chunks AS (
+              SELECT doc_id, source, chunk, COUNT(*) AS n_tok,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS cmd5
+              FROM cid GROUP BY doc_id, source, chunk),
+            roll AS (
+              SELECT source, COUNT(*) AS n_chunks,
+                COUNT(DISTINCT cmd5) AS n_distinct_chunks,
+                CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              FROM chunks GROUP BY source)
+            SELECT source, n_chunks, n_distinct_chunks,
+              CAST(FLOOR((1.0 - CAST(n_distinct_chunks AS DOUBLE) / n_chunks)
+                * 10000.0) AS DOUBLE) / 10000.0 AS dup_chunk_ratio,
+              CAST(FLOOR(CAST(n_tokens AS DOUBLE) / n_chunks * 100.0) AS DOUBLE)
+                / 100.0 AS mean_chunk_tokens
+            FROM roll ORDER BY source""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116, q117,
-      q124)
+      q124, q171)
 }

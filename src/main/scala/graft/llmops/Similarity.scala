@@ -525,5 +525,68 @@ object Similarity {
             FROM x GROUP BY dim ORDER BY dim""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82, q121)
+  // --------------------------------------------------------------- q173
+  /** Deterministic k-means E-STEP (Lloyd assignment) — the transparent
+    * core of IVF index training (q38 consumes exactly this step's
+    * output): every vector goes to its nearest of k=4 centroids by
+    * squared L2, computed as ‖v‖² + ‖c‖² − 2⟨v,c⟩ from the same strict-
+    * fold dot product q29 oracles. Centroid SEEDS are the four lowest
+    * vec_ids — deterministic by construction (production uses k-means‖;
+    * the E-step is the part that touches the corpus and must scale: a
+    * per-row map over BROADCAST centroids, no shuffle until the k-row
+    * rollup). Distances are micro-floored to exact longs BEFORE argmin
+    * (ties break to the lowest centroid id via lexicographic min-struct)
+    * and inertia is an exact long sum of those micro-units — no double
+    * accumulation anywhere, so the assignment and the objective are
+    * hash-stable cross-engine.
+    */
+  val q173 = QuerySpec(
+    "q173_kmeans_assign",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nv"))
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nv").as("nc"))
+      val dist2 = col("nv") + col("nc") -
+        lit(2.0) * dot(col("embedding"), col("ce"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          col("cid"), floor(dist2 * lit(1000000.0)).cast("long").as("dmicro"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dmicro"), col("cid"))).as("__best"))
+        .select(col("vec_id"), col("__best.cid").as("cid"),
+          col("__best.dmicro").as("dmicro"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(col("dmicro")).cast("long").as("inertia_micro"))
+        .orderBy("cid")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, embedding,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nv
+              FROM embeddings),
+            c AS (SELECT vec_id AS cid, embedding AS ce, nv AS nc
+                  FROM e WHERE vec_id < 4),
+            pairs AS (
+              SELECT vec_id, cid,
+                CAST(FLOOR((nv + nc
+                  - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))),
+                      (x, y) -> x + y)) * 1000000.0) AS BIGINT) AS dmicro
+              FROM e, c),
+            best AS (
+              SELECT vec_id, cid, dmicro FROM pairs
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dmicro, cid) = 1)
+            SELECT cid, COUNT(*) AS n_assigned,
+              CAST(SUM(dmicro) AS BIGINT) AS inertia_micro
+            FROM best GROUP BY cid ORDER BY cid""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82, q121, q173)
 }

@@ -791,6 +791,105 @@ object Warehouse {
             FROM best WHERE rk = 1 ORDER BY event_type""")
   )
 
+  // --------------------------------------------------------------- q169
+  /** Theil–Sen robust trend: per event type, the MEDIAN of all pairwise
+    * daily-count slopes — the estimator that shrugs off the outlier days
+    * that wreck q156's OLS (29.3% breakdown point vs 0%). The pair join is
+    * strictly over the DERIVED day series (d days → d·(d−1)/2 pairs, ~500
+    * for a month — trivially bounded; at 100 TB the series length depends
+    * on retention, not corpus size). Slopes are exact-int differences
+    * IEEE-divided, and the median is Spark `percentile` ≡ DuckDB
+    * `quantile_cont` (q43's established cross-engine pairing), truncated
+    * to micro.
+    */
+  val q169 = QuerySpec(
+    "q169_theil_sen",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.select(col("event_type"), col("day"), col("n").as("x"))
+      val b = daily.select(col("event_type").as("et2"),
+        col("day").as("day2"), col("n").as("y"))
+      a.join(b, col("event_type") === col("et2") && col("day") < col("day2"))
+        .select(col("event_type"),
+          ((col("y") - col("x")).cast("double") /
+            (col("day2") - col("day")).cast("double")).as("slope"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          ffloor(expr("percentile(slope, 0.5)"), 6).as("sen_slope"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                CAST(FLOOR(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                  / 86400000000.0) AS BIGINT) AS day,
+                COUNT(*) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT a.event_type, COUNT(*) AS n_pairs,
+              CAST(FLOOR(quantile_cont(
+                CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE), 0.5)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS sen_slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY a.event_type ORDER BY a.event_type""")
+  )
+
+  // --------------------------------------------------------------- q174
+  /** MAD robust outlier days: the modified z-score 0.6745·(x−med)/MAD
+    * (Iglewicz–Hoaglin) over per-type daily counts — the robust companion
+    * to q138's mean/σ z-score, immune to the outliers it is hunting
+    * (median and MAD have 50% breakdown vs 0% for mean/σ). Both medians
+    * are `percentile` ≡ `quantile_cont` over the TINY derived day series;
+    * the two medians broadcast back as one-row-per-type tables. MAD = 0
+    * (≥ half the days identical) yields NULL z via nullif → those days
+    * can never be flagged, the estimator's documented behavior.
+    */
+  val q174 = QuerySpec(
+    "q174_mad_outliers",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")).cast("double") / lit(86400000000.0))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy("event_type")
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val withMed = daily.join(broadcast(med), "event_type")
+      val mad = withMed
+        .select(col("event_type"), abs(col("n").cast("double") - col("med")).as("adev"))
+        .groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      val z = lit(0.6745) * (col("n").cast("double") - col("med")) /
+        nullif(col("mad"), lit(0.0))
+      withMed.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day"), col("n"), ffloor(z, 6).as("mod_z"))
+        .filter(abs(col("mod_z")) >= 2.0)
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                CAST(FLOOR(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+                  / 86400000000.0) AS BIGINT) AS day,
+                COUNT(*) AS n
+              FROM events GROUP BY 1, 2),
+            med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+                    FROM daily GROUP BY 1),
+            mad AS (
+              SELECT d.event_type,
+                quantile_cont(abs(CAST(n AS DOUBLE) - med), 0.5) AS mad
+              FROM daily d JOIN med USING (event_type) GROUP BY 1),
+            z AS (
+              SELECT d.event_type, day, n,
+                CAST(FLOOR(0.6745 * (CAST(n AS DOUBLE) - med)
+                  / NULLIF(mad, 0.0) * 1000000.0) AS DOUBLE) / 1000000.0 AS mod_z
+              FROM daily d JOIN med USING (event_type) JOIN mad USING (event_type))
+            SELECT event_type, day, n, mod_z FROM z
+            WHERE abs(mod_z) >= 2.0 ORDER BY event_type, day""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
-    q152, q153, q156, q157, q161, q163, q164)
+    q152, q153, q156, q157, q161, q163, q164, q169, q174)
 }

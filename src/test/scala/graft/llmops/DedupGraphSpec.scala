@@ -189,4 +189,47 @@ class DedupGraphSpec extends SparkTestBase {
     assert((r1.getString(1), r1.getString(2), r1.getLong(3), r1.getLong(4)) ==
       ("x", "y", 3L, 3L), s"round 1: $r1")
   }
+
+  test("q172: a shared-gram 3-clique scores coefficient 1, a chain scores 0") {
+    // clique: three docs all containing ONE common 5-gram (df=3 ≤ 50)
+    val g = "s1 s2 s3 s4 s5"
+    val clique = docsDir(Seq(
+      row(1, g + " u1 u2 u3 u4 u5"),
+      row(2, g + " v1 v2 v3 v4 v5"),
+      row(3, g + " w1 w2 w3 w4 w5")))
+    val c = Dedup.q172.run(spark, clique).collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      (3L, 3L, 3L, 1L), s"clique census: $c") // nodes, edges, wedges, tris
+    assert(c.getDouble(4) == 1.0)
+
+    // path 0-1-2 (chain fixture): one wedge at the middle, no triangle
+    val path = docsDir(chain(3))
+    val p = Dedup.q172.run(spark, path).collect().head
+    assert((p.getLong(1), p.getLong(2), p.getLong(3)) == (2L, 1L, 0L),
+      s"path census: $p")
+    assert(p.getDouble(4) == 0.0)
+  }
+
+  test("q175: LSH recall audit finds the high-Jaccard pair") {
+    // docs 1 and 2 share a 57-token core and differ in a 3-token tail:
+    // trigram J = 55/61 ~ 0.9016 >= 0.8; doc 3 is disjoint noise that
+    // must not enter the exact set
+    val core = (1 to 57).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(Seq(
+      row(1, core + " e1 e2 e3"),
+      row(2, core + " f1 f2 f3"),
+      row(3, (1 to 40).map(i => s"z$i").mkString(" "))))
+    val r = Dedup.q175.run(spark, dir).collect().head
+    assert(r.getLong(0) == 1L, s"exactly the planted pair: $r")
+    assert(r.getBoolean(1), "the identical pair must be in q30's candidates")
+  }
+
+  test("q168: sketch containment audit holds on the asymmetric fixture") {
+    val core = (1 to 60).map(i => s"c$i").mkString(" ")
+    val tail = (1 to 27).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq(row(1, core), row(2, core + " " + tail)))
+    val r = Dedup.q168.run(spark, dir).collect().head
+    assert(r.getBoolean(1), "the LSH pair must be checked")
+    assert(r.getBoolean(2), "estimates must stay within +/-0.2 of exact")
+  }
 }

@@ -171,4 +171,39 @@ class PretrainOpsSpec extends SparkTestBase {
     assert(out(10) == ((1L, 600L, 2L, 424L))) // 2*512 - 600
     assert(out.values.map(_._1).sum == 3L)
   }
+
+  test("q171: CDC boundaries survive a prepended token (<=1 chunk hash differs)") {
+    // doc 2 = one junk token + doc 1's exact text. Content-defined
+    // boundaries depend only on token hashes, so every chunk AFTER the
+    // first boundary is byte-identical between the two docs — the
+    // property fixed-size chunking (q48/q124) structurally lacks.
+    val text = (1 to 300).map(i => s"tk$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, text, "en", "s", text.length.toLong),
+      (2L, "zzz " + text, "en", "s", text.length.toLong + 4)))
+    val chunks = PretrainOps.cdcChunks(
+        graft.Tables.documents(spark, dir))
+      .select(col("doc_id"), col("cmd5")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    val a = chunks(1L); val b = chunks(2L)
+    assert(a.size > 5, s"need several boundaries in 300 tokens, got ${a.size}")
+    // multiset difference in each direction is at most the head chunk
+    def msetDiff(x: Seq[String], y: Seq[String]): Int = {
+      val yc = scala.collection.mutable.Map(
+        y.groupBy(identity).view.mapValues(_.size).toSeq: _*)
+      x.count { h =>
+        val left = yc.getOrElse(h, 0)
+        if (left > 0) { yc(h) = left - 1; false } else true
+      }
+    }
+    assert(msetDiff(a, b) <= 1, "prepend must perturb at most the head chunk")
+    assert(msetDiff(b, a) <= 1)
+
+    // contrast: the fixed-size chunker shifts EVERY boundary — q124 md5s
+    // on the same pair share (almost) nothing
+    val fixedA = PretrainOps.q124.run(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(4)).toSeq).toMap
+    assert(msetDiff(fixedA(1L), fixedA(2L)) >= fixedA(1L).size - 1,
+      "fixed-size chunking should lose alignment after a prepend")
+  }
 }

@@ -60,4 +60,42 @@ class WarehouseSpec extends SparkTestBase {
     assert(out.last == 1000000L)               // weight 1.0 at the anchor
     assert(out.head == math.floor(math.exp(-1.0) * 1e6).toLong) // e^-1
   }
+
+  /** 10 calm days alternating 10/11 events plus one 100-event spike at
+    * day 7 — crafted so median=10.5, MAD=0.5: the spike's modified z is
+    * ~120 while every calm day sits at ~0.67, and most pairwise slopes
+    * cancel. Separates the ROBUST estimators from their classical twins
+    * (OLS/mean-σ would both be dragged by the spike).
+    */
+  private def spikeEventsDir(): String = {
+    import spark.implicits._
+    val base = 1700000000000L
+    val counts = Seq(10, 11, 10, 11, 10, 11, 10, 100, 11, 10)
+    val rows = for {
+      (c, day) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield (day.toLong * 1000 + i, new java.sql.Timestamp(base + day * 86400000L),
+      i.toLong % 7, "t", 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spike").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q169 Theil-Sen slope shrugs off a 10x spike day") {
+    val dir = spikeEventsDir()
+    val r = Warehouse.q169.run(spark, dir).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 45L) // C(10,2) pairs
+    val slope = r.head.getDouble(2)
+    assert(math.abs(slope) <= 0.2,
+      s"median slope must ignore the spike, got $slope")
+  }
+
+  test("q174 MAD flags exactly the spike day") {
+    val dir = spikeEventsDir()
+    val flagged = Warehouse.q174.run(spark, dir).collect()
+    assert(flagged.length == 1, s"only the spike: ${flagged.toSeq}")
+    assert(flagged.head.getLong(2) == 100L) // the 100-event day
+    assert(flagged.head.getDouble(3) > 100.0) // z ~ 0.6745*89.5/0.5
+  }
 }
