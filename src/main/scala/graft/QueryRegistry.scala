@@ -11,6 +11,7 @@ object QueryRegistry {
       graft.llmops.Dedup.all ++
       graft.llmops.IncrementalDedup.all ++
       graft.llmops.ClusterStore.all ++
+      graft.llmops.CardinalityStore.all ++
       graft.llmops.TextAnalysis.all ++
       graft.llmops.Similarity.all ++
       graft.llmops.ProductQuant.all ++

@@ -490,6 +490,87 @@ object Advanced {
             ORDER BY ks.event_type, pct""")
   )
 
+  // --------------------------------------------------------------- q176
+  /** Peak session CONCURRENCY per day — the capacity-planning staple
+    * ("how many users were on at once"), and this engine's demonstration
+    * of the DISTRIBUTED PREFIX SUM: a naive sweep line is one GLOBAL
+    * ordered running sum over every session endpoint — the textbook
+    * unscalable window. The scalable form is the classic two-pass scan
+    * algorithm:
+    *   1. endpoints (+1 at session start, −1 at end, end-exclusive: at a
+    *      tied instant the −1 sorts first) partition by DAY; each
+    *      partition computes its LOCAL running sum and local max — keyed
+    *      shuffle, bounded per key by that day's endpoint count;
+    *   2. per-day TOTALS (a d-row series) prefix-sum into the
+    *      carried-in offset each day starts at — the only "global"
+    *      window, over days, not endpoints;
+    *   3. day max = offset + local max. Exactly the global sweep's
+    *      answer at every endpoint instant, with no global sort.
+    * Semantics note: the reported max samples the running count AT
+    * ENDPOINT INSTANTS of that day (the global sweep's per-day max);
+    * days with zero endpoints carry silent concurrency and emit no row.
+    * Sessions are q37's native session_window(4h); the oracle rebuilds
+    * them via gaps-and-islands and runs the straight global sweep — the
+    * two-pass decomposition must match it bit-for-bit. The (t, delta,
+    * user_id) sort key is a UNIQUE total order (a user's sessions are
+    * ≥ gap apart), so ties cannot flake the hash.
+    */
+  val q176 = QuerySpec(
+    "q176_peak_concurrency",
+    (s, d) => {
+      val sess = Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("session_window.start")).as("s_us"),
+          unix_micros(col("session_window.end")).as("e_us"), col("user_id"))
+      val pts = sess.select(col("s_us").as("t"), lit(1L).as("delta"), col("user_id"))
+        .unionAll(sess.select(col("e_us").as("t"), lit(-1L).as("delta"),
+          col("user_id")))
+        .withColumn("day", expr("t div 86400000000"))
+      val wLocal = Window.partitionBy("day")
+        .orderBy(col("t"), col("delta"), col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val perDay = pts.withColumn("run", sum(col("delta")).over(wLocal))
+        .groupBy("day")
+        .agg(max(col("run")).as("local_max"),
+          sum(col("delta")).as("day_total"),
+          count(when(col("delta") === 1L, lit(1))).as("n_session_starts"))
+      val wDays = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perDay
+        .withColumn("offset", coalesce(sum(col("day_total")).over(wDays), lit(0L)))
+        .select(col("day"), (col("offset") + col("local_max")).as("max_concurrency"),
+          col("n_session_starts"))
+        .orderBy("day")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            g AS (SELECT user_id, ts,
+                    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                         WHEN ts >= LAG(ts) OVER w + INTERVAL 4 HOUR THEN 1
+                         ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            i AS (SELECT user_id, ts,
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+                  FROM g),
+            sess AS (
+              SELECT user_id, epoch_us(MIN(ts)) AS s_us,
+                epoch_us(MAX(ts) + INTERVAL 4 HOUR) AS e_us
+              FROM i GROUP BY user_id, sid),
+            pts AS (
+              SELECT s_us AS t, 1 AS delta, user_id FROM sess
+              UNION ALL
+              SELECT e_us AS t, -1 AS delta, user_id FROM sess),
+            sweep AS (
+              SELECT t // 86400000000 AS day, delta,
+                CAST(SUM(delta) OVER (ORDER BY t, delta, user_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rs
+              FROM pts)
+            SELECT day, MAX(rs) AS max_concurrency,
+              COUNT(CASE WHEN delta = 1 THEN 1 END) AS n_session_starts
+            FROM sweep GROUP BY day ORDER BY day""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81, q114,
-    q115, q122, q125)
+    q115, q122, q125, q176)
 }
