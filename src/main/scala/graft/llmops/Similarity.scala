@@ -588,5 +588,121 @@ object Similarity {
             FROM best GROUP BY cid ORDER BY cid""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82, q121, q173)
+  /** DuckDB strict-left-fold dot product (the q29 oracle idiom), shared by
+    * the embedding oracles below. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       list_transform(range(1, len($a) + 1),
+       i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"""
+
+  /** Micro-floored squared L2 between an `e`-row aliased `v` and a center
+    * row aliased `c` — q173's exact-integer distance, as oracle SQL. */
+  private val dmSql: String =
+    s"""CAST(FLOOR((v.nv + c.nc - 2.0 * ${dotSql("v.embedding", "c.ce")})
+       * 1000000.0) AS BIGINT)"""
+
+  // --------------------------------------------------------------- q178
+  /** Greedy k-CENTER (farthest-point) CORESET selection — the diverse-
+    * subset primitive behind coreset data selection for training: pick
+    * the vector farthest from every center chosen so far, k times. The
+    * greedy is a 2-approximation of the optimal k-center cover (Gonzalez
+    * 1985), and its selection trace is fully deterministic here because
+    * every comparison happens on micro-floored integer distances
+    * (q173's contract) with vec_id tie-breaks.
+    *
+    * Scale shape — the part that matters at 10⁹ vectors: each of the k
+    * rounds is ONE narrow corpus pass (broadcast of the single new
+    * center, per-row `least` against the carried min-distance) followed
+    * by a 1-row TakeOrdered argmax; nothing ever shuffles the corpus,
+    * and driver state is k ids (the q118 boundary-collect budget). The
+    * final reported assignment reuses q173's broadcast E-step over the
+    * selected k centers.
+    */
+  val q178 = QuerySpec(
+    "q178_kcenter_coreset",
+    (s, d) => {
+      val k = 4
+      val e = graft.core.Materialize(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          dot(col("embedding"), col("embedding")).as("nv")))
+      def dmicroTo(cid: Long): DataFrame = {
+        val c = e.filter(col("vec_id") === cid)
+          .select(col("embedding").as("ce"), col("nv").as("nc"))
+        e.crossJoin(broadcast(c))
+          .select(col("vec_id"),
+            floor((col("nv") + col("nc") -
+              lit(2.0) * dot(col("embedding"), col("ce"))) * lit(1000000.0))
+              .cast("long").as("dm"))
+      }
+      val first = e.agg(min(col("vec_id"))).head.getLong(0)
+      var centers = Seq(first)
+      var mind = dmicroTo(first)
+      while (centers.size < k) {
+        // argmax of the carried min-distance; ties to the lowest vec_id
+        val next = mind.orderBy(col("dm").desc, col("vec_id")).limit(1)
+          .head.getLong(0)
+        centers = centers :+ next
+        mind = mind.as("m").join(dmicroTo(next).select(
+            col("vec_id"), col("dm").as("dn")), "vec_id")
+          .select(col("vec_id"), least(col("dm"), col("dn")).as("dm"))
+      }
+      import s.implicits._
+      val rounds = centers.zipWithIndex
+        .map { case (cid, i) => (i + 1, cid) }.toDF("sel_round", "cid")
+      val cents = e.filter(col("vec_id").isin(centers: _*))
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nv").as("nc"))
+        .join(rounds, "cid")
+      val dist2 = col("nv") + col("nc") -
+        lit(2.0) * dot(col("embedding"), col("ce"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("sel_round"), col("cid"),
+          floor(dist2 * lit(1000000.0)).cast("long").as("dm"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dm"), col("cid"), col("sel_round"))).as("__best"))
+        .select(col("__best.sel_round").as("sel_round"),
+          col("__best.cid").as("cid"), col("__best.dm").as("dm"))
+        .groupBy("sel_round", "cid")
+        .agg(count(lit(1)).as("n_assigned"),
+          max(col("dm")).cast("long").as("radius_micro"))
+        .orderBy("sel_round")
+    },
+    Some(s"""WITH e AS (
+              SELECT vec_id, embedding,
+                ${dotSql("embedding", "embedding")} AS nv
+              FROM embeddings),
+            c1 AS (SELECT vec_id AS cid, embedding AS ce, nv AS nc FROM e
+                   WHERE vec_id = (SELECT MIN(vec_id) FROM e)),
+            m1 AS (SELECT v.vec_id, $dmSql AS dm FROM e v, c1 c),
+            c2 AS (SELECT vec_id AS cid, embedding AS ce, nv AS nc FROM e
+                   WHERE vec_id = (SELECT vec_id FROM m1
+                                   ORDER BY dm DESC, vec_id LIMIT 1)),
+            m2 AS (SELECT m1.vec_id, LEAST(m1.dm, n.dm) AS dm FROM m1 JOIN
+                   (SELECT v.vec_id, $dmSql AS dm FROM e v, c2 c) n
+                   ON m1.vec_id = n.vec_id),
+            c3 AS (SELECT vec_id AS cid, embedding AS ce, nv AS nc FROM e
+                   WHERE vec_id = (SELECT vec_id FROM m2
+                                   ORDER BY dm DESC, vec_id LIMIT 1)),
+            m3 AS (SELECT m2.vec_id, LEAST(m2.dm, n.dm) AS dm FROM m2 JOIN
+                   (SELECT v.vec_id, $dmSql AS dm FROM e v, c3 c) n
+                   ON m2.vec_id = n.vec_id),
+            c4 AS (SELECT vec_id AS cid, embedding AS ce, nv AS nc FROM e
+                   WHERE vec_id = (SELECT vec_id FROM m3
+                                   ORDER BY dm DESC, vec_id LIMIT 1)),
+            centers AS (
+              SELECT 1 AS sel_round, cid, ce, nc FROM c1 UNION ALL
+              SELECT 2, cid, ce, nc FROM c2 UNION ALL
+              SELECT 3, cid, ce, nc FROM c3 UNION ALL
+              SELECT 4, cid, ce, nc FROM c4),
+            ad AS (SELECT v.vec_id, c.sel_round, c.cid, $dmSql AS dm
+                   FROM e v, centers c),
+            best AS (SELECT vec_id, sel_round, cid, dm FROM ad
+                     QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY dm, cid) = 1)
+            SELECT sel_round, cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+              CAST(MAX(dm) AS BIGINT) AS radius_micro
+            FROM best GROUP BY 1, 2 ORDER BY sel_round""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82, q121, q173, q178)
 }

@@ -890,6 +890,114 @@ object Warehouse {
             WHERE abs(mod_z) >= 2.0 ORDER BY event_type, day""")
   )
 
+  // --------------------------------------------------------------- q182
+  /** Sequential-pattern mining: the top event-type TRIGRAM sequences by
+    * user support — "what do users actually do in order", the
+    * PrefixSpan-class question every product-analytics warehouse asks.
+    * The full PrefixSpan lattice is unnecessary for fixed length-3
+    * patterns: two `lead`s over the per-user time window enumerate every
+    * consecutive trigram in ONE pass, and support is a keyed aggregate
+    * on the pattern string. Scale shape: the only corpus-wide shuffle is
+    * the user_id window (bounded per key by a user's event count — the
+    * same exchange q122's transition matrix rides), then the pattern
+    * aggregate is at most |types|³ groups with map-side partials.
+    * n_users is distinct-by-construction: the (pattern, user_id) dedup
+    * happens inside the same aggregate. Final top-10 is a
+    * TakeOrderedAndProject with a UNIQUE sort key (support desc, then
+    * pattern — patterns are distinct group keys).
+    */
+  val q182 = QuerySpec(
+    "q182_sequence_mining",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("e1"), col("e2"), col("e3")).as("pattern"))
+        .groupBy("pattern")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_users").desc, col("n_occurrences").desc, col("pattern"))
+        .limit(10)
+    },
+    Some("""WITH seq AS (
+              SELECT user_id, event_type AS e1,
+                LEAD(event_type, 1) OVER w AS e2,
+                LEAD(event_type, 2) OVER w AS e3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+            tri AS (
+              SELECT user_id, e1 || '>' || e2 || '>' || e3 AS pattern
+              FROM seq WHERE e3 IS NOT NULL)
+            SELECT pattern,
+              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+              CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM tri GROUP BY pattern
+            ORDER BY n_users DESC, n_occurrences DESC, pattern
+            LIMIT 10""")
+  )
+
+  // --------------------------------------------------------------- q183
+  /** Day-of-week seasonality index per event type: (mean events on this
+    * weekday) / (mean events per day overall) — the seasonal factor a
+    * capacity planner or anomaly detector divides out before trending.
+    * Weekday is ENGINE-NEUTRAL integer arithmetic on epoch days
+    * (`day % 7`; day 0 = 1970-01-01 = a Thursday) — never `dayofweek()`,
+    * whose origin differs across engines. The corpus reduces to the
+    * (type, day) daily series FIRST (one keyed aggregate — the q138/q169
+    * discipline), so the seasonal rollup and the per-type totals both run
+    * over d-row series, never raw events. The index is one fixed-IEEE
+    * division of exact long products: (sd·nt) and (nd·st) are < 2^53 for
+    * any realistic retention, so the doubles are exact before the single
+    * divide.
+    */
+  val q183 = QuerySpec(
+    "q183_weekly_seasonality",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum(col("cnt")).cast("long").as("st"),
+          count(lit(1)).cast("long").as("nt"))
+      daily
+        .groupBy(col("event_type"), (col("day") % 7).as("dow"))
+        .agg(sum(col("cnt")).cast("long").as("n_events"),
+          count(lit(1)).cast("long").as("n_days"))
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"), col("n_events"),
+          ffloor((col("n_events").cast("double") * col("nt").cast("double")) /
+            (col("n_days").cast("double") * col("st").cast("double")), 4)
+            .as("seasonal_idx"))
+        .orderBy("event_type", "dow")
+    },
+    Some("""WITH daily AS (
+              SELECT event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            tot AS (
+              SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS st,
+                CAST(COUNT(*) AS BIGINT) AS nt
+              FROM daily GROUP BY event_type),
+            dows AS (
+              SELECT event_type, day % 7 AS dow,
+                CAST(SUM(cnt) AS BIGINT) AS n_events,
+                CAST(COUNT(*) AS BIGINT) AS n_days
+              FROM daily GROUP BY 1, 2)
+            SELECT d.event_type, dow, n_days, n_events,
+              CAST(FLOOR((CAST(n_events AS DOUBLE) * CAST(nt AS DOUBLE)) /
+                (CAST(n_days AS DOUBLE) * CAST(st AS DOUBLE)) * 10000.0)
+                AS DOUBLE) / 10000.0 AS seasonal_idx
+            FROM dows d JOIN tot t ON d.event_type = t.event_type
+            ORDER BY d.event_type, dow""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
-    q152, q153, q156, q157, q161, q163, q164, q169, q174)
+    q152, q153, q156, q157, q161, q163, q164, q169, q174, q182, q183)
 }
