@@ -952,6 +952,80 @@ object CurationOps {
     }
   }
 
+  // --------------------------------------------------------------- q180
+  /** CALIBRATION curve for the q103 quality classifier — the reliability
+    * diagram every production filter needs before its scores become
+    * sampling weights: bucket the length-normalized log-odds into fixed-
+    * width score bins and compare each bin's OBSERVED positive rate
+    * (share of src0 docs among the labeled src0∪src1 universe) against
+    * the bin's position. A well-calibrated classifier is monotone here;
+    * a broken smoothing constant or a vocab drift shows up as a flat or
+    * inverted curve long before downstream quality moves.
+    *
+    * Scale shape: the model build is q103's (vocab-bounded, broadcast);
+    * scoring touches only the LABELED slice; the curve is a ≤ |bins|-row
+    * aggregate. Determinism: scores are q103's micro-nat integers ffloor'd
+    * at 4 digits, and the bin id is floor(score·100) on that already-
+    * truncated double — the same IEEE value in both engines — so bin
+    * membership cannot straddle engines.
+    */
+  val q180 = QuerySpec(
+    "q180_nb_calibration",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val (model, _) = nbModel(docs, "src0", "src1")
+      val labeled = docs.filter(col("source").isin("src0", "src1"))
+      nbScore(labeled, model, lit(0L))
+        .join(labeled.select(col("doc_id"),
+          (col("source") === "src0").as("is_pos")), "doc_id")
+        .withColumn("bucket", floor(col("nb_logodds") * lit(100.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_pos"), 1)).as("n_pos"))
+        .select(col("bucket"), col("n_docs"), col("n_pos"),
+          ffloor(col("n_pos").cast("double") / col("n_docs"), 4)
+            .as("obs_pos_rate"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, source, unnest(string_split(${asciiLowerSql("text")}, ' ')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+                   WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+            cp AS (SELECT tok, COUNT(*) AS cp FROM toks WHERE source = 'src0' GROUP BY tok),
+            cn AS (SELECT tok, COUNT(*) AS cn FROM toks WHERE source = 'src1' GROUP BY tok),
+            sizes AS (SELECT
+                CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v,
+                CAST(COUNT(CASE WHEN source = 'src0' THEN 1 END) AS DOUBLE) AS np,
+                CAST(COUNT(CASE WHEN source = 'src1' THEN 1 END) AS DOUBLE) AS nn
+              FROM toks),
+            model AS (
+              SELECT t.tok,
+                CAST(FLOOR(ln(
+                  ((CAST(COALESCE(cp.cp, 0) AS DOUBLE) + 1.0) * (s.nn + s.v)) /
+                  ((CAST(COALESCE(cn.cn, 0) AS DOUBLE) + 1.0) * (s.np + s.v))
+                ) * 1000000.0) AS BIGINT) AS llr_micro
+              FROM (SELECT DISTINCT tok FROM toks) t
+              LEFT JOIN cp ON t.tok = cp.tok
+              LEFT JOIN cn ON t.tok = cn.tok
+              CROSS JOIN sizes s),
+            scores AS (
+              SELECT doc_id,
+                CAST(FLOOR(CAST(SUM(tf * llr_micro) AS DOUBLE) / 1000000.0
+                  / CAST(SUM(tf) AS DOUBLE) * 10000.0) AS DOUBLE) / 10000.0
+                  AS nb_logodds
+              FROM tf JOIN model USING (tok) GROUP BY doc_id),
+            lab AS (
+              SELECT s.doc_id, s.nb_logodds, d.source = 'src0' AS is_pos
+              FROM scores s JOIN documents d USING (doc_id))
+            SELECT CAST(FLOOR(nb_logodds * 100.0) AS BIGINT) AS bucket,
+              COUNT(*) AS n_docs,
+              CAST(COUNT(CASE WHEN is_pos THEN 1 END) AS BIGINT) AS n_pos,
+              CAST(FLOOR(CAST(COUNT(CASE WHEN is_pos THEN 1 END) AS DOUBLE)
+                / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS obs_pos_rate
+            FROM lab GROUP BY 1 ORDER BY bucket""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109, q110)
+    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109, q110, q180)
 }

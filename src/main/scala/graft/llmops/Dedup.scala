@@ -1322,7 +1322,89 @@ object Dedup {
                    true AS recall_ok""")
   )
 
+  // --------------------------------------------------------------- q181
+  /** REPEATED-SPAN manifest — exact-substring dedup at span granularity
+    * (the Lee et al. "Deduplicating Training Data Makes Language Models
+    * Better" operator): every 8-gram occurrence that is not the corpus-
+    * FIRST occurrence of that 8-gram marks its token span as memorized
+    * text, and overlapping marks merge into maximal per-doc spans — the
+    * removal manifest a span-level deduper would cut.
+    *
+    * Scale shape: the 8-gram stream shuffles ONCE keyed on the gram for a
+    * min-struct first-occurrence aggregate — map-side combinable, so (un
+    * like pair joins) high-df grams need NO cap; singleton grams (the
+    * overwhelming majority of a real corpus by Zipf) are pruned by
+    * `n_occ > 1` BEFORE the join back, so the repeat join touches only
+    * the duplicated tail. Span merge is gaps-and-islands over the
+    * doc-local position window (q171's exchange, bounded per key by doc
+    * length). First-occurrence order is (doc_id, pos) — total and
+    * engine-neutral — and every later stage is integer arithmetic, so
+    * the manifest is hash-exact.
+    */
+  val q181 = QuerySpec(
+    "q181_repeated_span_manifest",
+    (s, d) => {
+      val sh = shinglesWithPos(Tables.documents(s, d), 8)
+      val firsts = sh.groupBy("shingle")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") > 1)
+        .select(col("shingle"), col("first.doc_id").as("fdoc"),
+          col("first.pos").as("fpos"))
+      val rep = sh.join(firsts, "shingle")
+        .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+        .select("doc_id", "pos")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val newIsland = when(lag(col("pos"), 1).over(w).isNull
+        .or(col("pos") > lag(col("pos"), 1).over(w) + lit(7)), 1L).otherwise(0L)
+      rep
+        .withColumn("island", sum(newIsland).over(wRun))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(7)).as("e"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).cast("long").as("n_repeated_tokens"),
+          max(col("e") - col("s") + 1).cast("long").as("longest_span"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
+              FROM documents),
+            tp AS (
+              SELECT doc_id, i - 1 AS pos,
+                ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' || ts[i+3]
+                  || '_' || ts[i+4] || '_' || ts[i+5] || '_' || ts[i+6]
+                  || '_' || ts[i+7] AS g
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS i
+                    FROM toks)),
+            rep AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+                  COUNT(*) OVER (PARTITION BY g) AS n_occ
+                FROM tp)
+              WHERE n_occ > 1 AND rn > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                CASE WHEN LAG(pos) OVER w IS NULL
+                       OR pos > LAG(pos) OVER w + 7 THEN 1 ELSE 0 END AS nw
+              FROM rep WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl2 AS (
+              SELECT doc_id, pos,
+                SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl),
+            spans AS (
+              SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 7 AS e
+              FROM isl2 GROUP BY 1, 2)
+            SELECT doc_id, COUNT(*) AS n_spans,
+              CAST(SUM(e - s + 1) AS BIGINT) AS n_repeated_tokens,
+              CAST(MAX(e - s + 1) AS BIGINT) AS longest_span
+            FROM spans GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
-      q113, q123, q128, q130, q131, q168, q172, q175)
+      q113, q123, q128, q130, q131, q168, q172, q175, q181)
 }
