@@ -1338,7 +1338,162 @@ object CorpusStats {
             FROM u ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q179
+  /** Positional PHRASE search — exact consecutive-token phrase matching,
+    * the inverted-index capability BM25 (q107/q148) cannot express: bag-
+    * of-words scoring finds documents containing {slow, hash, batch};
+    * only positional postings find "slow hash batch" in that order. The
+    * plan is the one-shuffle positional-postings join: each occurrence of
+    * a phrase word emits (doc_id, anchor = pos − word's phrase offset),
+    * and a position where ALL |phrase| distinct offsets land on the same
+    * anchor is a match — ONE explode pass, one keyed aggregate on
+    * (doc_id, anchor), no pairwise self-join and no fan-out (phrase
+    * words must be distinct; repeated-word phrases would emit one
+    * anchor row per matching offset).
+    *
+    * Scale shape: the token filter keeps only the ≤3 phrase words' rows
+    * (the postings a real index would fetch), so the shuffle carries the
+    * phrase words' posting volume, not the corpus. Everything after the
+    * explode is integer arithmetic — hash-exact.
+    */
+  val q179 = QuerySpec(
+    "q179_phrase_search",
+    (s, d) => {
+      val phrase = Seq("slow", "hash", "batch") // distinct words, see Scaladoc
+      val off = phrase.zipWithIndex.tail.foldLeft(
+        when(col("tok") === phrase.head, 0)) {
+        case (acc, (wd, i)) => acc.when(col("tok") === wd, i)
+      }
+      Dedup.tokensWithPos(Tables.documents(s, d))
+        .filter(col("tok").isin(phrase: _*))
+        .select(col("doc_id"), (col("pos") - off).as("anchor"), off.as("idx"))
+        .groupBy("doc_id", "anchor")
+        .agg(countDistinct(col("idx")).as("k"))
+        .filter(col("k") === phrase.size)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("anchor")).cast("long").as("first_pos"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
+              FROM documents),
+            tp AS (
+              SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i
+                    FROM toks)),
+            hits AS (
+              SELECT doc_id,
+                pos - CASE tok WHEN 'slow' THEN 0 WHEN 'hash' THEN 1
+                      ELSE 2 END AS anchor,
+                CASE tok WHEN 'slow' THEN 0 WHEN 'hash' THEN 1
+                      ELSE 2 END AS idx
+              FROM tp WHERE tok IN ('slow', 'hash', 'batch')),
+            m AS (
+              SELECT doc_id, anchor FROM hits
+              GROUP BY doc_id, anchor HAVING COUNT(DISTINCT idx) = 3)
+            SELECT doc_id, COUNT(*) AS n_matches,
+              CAST(MIN(anchor) AS BIGINT) AS first_pos
+            FROM m GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q184
+  /** Candidate-threshold ROC SWEEP — q139's single-threshold audit swept
+    * across τ ∈ {0.3, 0.5, 0.7} to expose the precision/recall TRADE-OFF
+    * curve a dedup operator tunes against before a multi-PB run. The
+    * pair set is computed ONCE (q27's capped shared-shingle join, q139's
+    * fingerprint ground truth joined on); the sweep itself is
+    * conditional aggregation into one row UNPIVOTED by `stack` — three
+    * thresholds cost one pair-table pass, not three.
+    */
+  val q184 = QuerySpec(
+    "q184_candidate_threshold_sweep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = normalize(docs).select(col("doc_id"), md5(col("text_norm")).as("fp"))
+      val bg = graft.core.Materialize(graft.operators.Ops.capKeyFreq(
+        Dedup.shingles(docs, 3), Dedup.MaxShingleDocFreq, col("shingle")))
+      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+      val jac = ffloor(
+        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
+      val scored = bg.as("a")
+        .join(bg.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), jac.as("jaccard"))
+        .join(fp.select(col("doc_id").as("d1"), col("fp").as("f1")), "d1")
+        .join(fp.select(col("doc_id").as("d2"), col("fp").as("f2")), "d2")
+        .select(col("jaccard"), (col("f1") === col("f2")).as("is_dup"))
+      val nTruth = fp.groupBy("fp").agg(count(lit(1)).as("m"))
+        .agg(sum(col("m") * (col("m") - 1) / 2).cast("long").as("n_truth"))
+      val sweep = scored.agg(
+        count(when(col("jaccard") >= 0.3, 1)).as("c3"),
+        count(when(col("jaccard") >= 0.3 && col("is_dup"), 1)).as("h3"),
+        count(when(col("jaccard") >= 0.5, 1)).as("c5"),
+        count(when(col("jaccard") >= 0.5 && col("is_dup"), 1)).as("h5"),
+        count(when(col("jaccard") >= 0.7, 1)).as("c7"),
+        count(when(col("jaccard") >= 0.7 && col("is_dup"), 1)).as("h7"))
+        .select(expr(
+          "stack(3, 0.3D, c3, h3, 0.5D, c5, h5, 0.7D, c7, h7) AS (thr, n_cand, n_hit)"))
+      sweep.crossJoin(nTruth)
+        .select(col("thr"), col("n_cand"), col("n_truth"), col("n_hit"),
+          ffloor(col("n_hit").cast("double") / nullif(col("n_cand"), lit(0L)), 6)
+            .as("precision"),
+          ffloor(col("n_hit").cast("double") / nullif(col("n_truth"), lit(0L)), 6)
+            .as("recall"))
+        .orderBy("thr")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            trigrams_all AS (
+              SELECT DISTINCT doc_id, bg FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
+                FROM toks)),
+            trigrams AS (
+              SELECT doc_id, bg FROM trigrams_all
+              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= 1000),
+            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
+            fp AS (
+              SELECT doc_id, md5(regexp_replace(${asciiLowerSql("text")},
+                '$WhitespaceClass', ' ', 'g')) AS fp
+              FROM documents),
+            scored AS (
+              SELECT CAST(FLOOR(CAST(inter AS DOUBLE)
+                  / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0
+                  AS jaccard,
+                fa.fp = fb.fp AS is_dup
+              FROM (
+                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+                FROM trigrams a JOIN trigrams b
+                  ON a.bg = b.bg AND a.doc_id < b.doc_id
+                GROUP BY 1, 2) p
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              JOIN fp fa ON d1 = fa.doc_id
+              JOIN fp fb ON d2 = fb.doc_id),
+            truth AS (
+              SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS n_truth
+              FROM (SELECT COUNT(*) AS m FROM fp GROUP BY fp)),
+            sweep AS (
+              SELECT t.thr,
+                COUNT(CASE WHEN jaccard >= t.thr THEN 1 END) AS n_cand,
+                COUNT(CASE WHEN jaccard >= t.thr AND is_dup THEN 1 END) AS n_hit
+              FROM scored, (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                (CAST(0.7 AS DOUBLE))) t(thr)
+              GROUP BY t.thr)
+            SELECT thr, n_cand, n_truth, n_hit,
+              CAST(FLOOR(CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) * 1000000.0) AS DOUBLE) / 1000000.0 AS precision,
+              CAST(FLOOR(CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) * 1000000.0) AS DOUBLE) / 1000000.0 AS recall
+            FROM sweep, truth ORDER BY thr""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
     q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167, q170)
+    q167, q170, q179, q184)
 }
