@@ -78,6 +78,21 @@ object CardinalityStore {
       .select(col("event_type"),
         hll_sketch_estimate(col("sketch")).as("est_users"))
 
+  /** STREAMING twin: merge every micro-batch into the persisted store via
+    * `foreachBatch` — each increment is [[update]]'s O(batch) aggregate +
+    * K-row register union, and because HLL union is idempotent a replayed
+    * micro-batch after a failure lands the store in the identical state
+    * (at-least-once delivery suffices; no txn log needed). The dashboard
+    * keeps reading [[estimates]] — O(K) — while the stream runs. State
+    * lives in the STORE, not the streaming state store: the query itself
+    * is stateless, so there is nothing to watermark or evict.
+    */
+  def stream(events: DataFrame, dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) update(batch.sparkSession, dir, batch)
+      }
+
   // -------------------------------------------------------------- q177
   /** One store build per (JVM, sf-dir) — q119's amortization idiom: the
     * bench measures the INCREMENT + estimate read, the cost a pipeline

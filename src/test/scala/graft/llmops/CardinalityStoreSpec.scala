@@ -49,6 +49,32 @@ class CardinalityStoreSpec extends SparkTestBase {
     }
   }
 
+  test("streaming twin: foreachBatch increments land the batch-API store state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    CardinalityStore.build(events.filter(col("user_id") % 5 =!= 0), dir)
+    val rows = events.filter(col("user_id") % 5 === 0)
+      .select("event_type", "user_id").as[(String, Long)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q = CardinalityStore.stream(
+      stream.toDS().toDF("event_type", "user_id"), dir).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = ests(dir)
+    assert(streamed.keySet == exact.keySet)
+    streamed.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) / exact(k) <= 0.05,
+        s"$k: streamed est $est vs exact ${exact(k)}")
+    }
+  }
+
   test("a batch with an unseen key creates that key's sketch") {
     import spark.implicits._
     val dir = tmp()
