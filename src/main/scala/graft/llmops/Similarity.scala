@@ -704,5 +704,70 @@ object Similarity {
             FROM best GROUP BY 1, 2 ORDER BY sel_round""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82, q121, q173, q178)
+  // --------------------------------------------------------------- q185
+  /** CENTROID-DRIFT matrix between label groups — "how separated are my
+    * embedding clusters / how far has a source's embedding distribution
+    * moved": pairwise cosine between per-label MEAN vectors. The exact-
+    * arithmetic trick that makes a mean-vector cosine hash-comparable:
+    * cosine is scale-invariant, so the mean never needs computing —
+    * cos(mean_a, mean_b) = cos(sum_a, sum_b), and the SUM vectors are
+    * exact integers once components are micro-floored (the q173
+    * contract). Dot/norms over the sum vectors are then exact
+    * DECIMAL(38,0)/HUGEINT products of longs — order-independent, so the
+    * one corpus-wide aggregate commutes freely — with a single
+    * double conversion + ffloor at the very end.
+    *
+    * Scale shape: ONE posexplode pass over the corpus → (label, dim)
+    * keyed aggregate (|labels|·dim groups, map-side combinable); the
+    * pairwise join runs on the |labels|·dim summary — corpus-independent.
+    */
+  val q185 = QuerySpec(
+    "q185_centroid_drift",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val comps = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("label", "dim")
+        .agg(sum(floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
+          .as("sv"), count(lit(1)).as("n"))
+      val a = comps.select(col("label").as("l1"), col("dim"),
+        col("sv").as("sa"), col("n").as("n1"))
+      val b = comps.select(col("label").as("l2"), col("dim"),
+        col("sv").as("sb"), col("n").as("n2"))
+      val dec = DecimalType(38, 0)
+      a.join(b, Seq("dim")).filter(col("l1") < col("l2"))
+        .groupBy("l1", "l2")
+        .agg(
+          sum(col("sa").cast(dec) * col("sb").cast(dec)).as("dot"),
+          sum(col("sa").cast(dec) * col("sa").cast(dec)).as("na"),
+          sum(col("sb").cast(dec) * col("sb").cast(dec)).as("nb"))
+        .select(col("l1"), col("l2"),
+          graft.operators.Ops.ffloor(col("dot").cast("double") /
+            nullif(sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")),
+              lit(0.0)), 6).as("centroid_cos"))
+        .orderBy("l1", "l2")
+    },
+    Some("""WITH comps AS (
+              SELECT label, i - 1 AS dim,
+                CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT)) AS BIGINT) AS sv
+              FROM (SELECT label, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS i
+                    FROM embeddings)
+              GROUP BY label, i),
+            pairs AS (
+              SELECT a.label AS l1, b.label AS l2,
+                SUM(CAST(a.sv AS HUGEINT) * b.sv) AS dot,
+                SUM(CAST(a.sv AS HUGEINT) * a.sv) AS na,
+                SUM(CAST(b.sv AS HUGEINT) * b.sv) AS nb
+              FROM comps a JOIN comps b ON a.dim = b.dim AND a.label < b.label
+              GROUP BY 1, 2)
+            SELECT l1, l2,
+              CAST(FLOOR(CAST(dot AS DOUBLE) /
+                NULLIF(SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)), 0.0)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS centroid_cos
+            FROM pairs ORDER BY l1, l2""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185)
 }
