@@ -1493,68 +1493,7 @@ object CorpusStats {
             FROM sweep, truth ORDER BY thr""")
   )
 
-  // --------------------------------------------------------------- q186
-  /** PMI COLLOCATION mining — the top word pairs by pointwise mutual
-    * information ln(c12·N / (c1·c2)) among adjacent-token bigrams with
-    * support ≥ 5: the classic phrase/collocation detector (and the
-    * statistic behind word2vec's SGNS objective). Counts come from q93's
-    * bigram machinery: one token pass, a vocab²-bounded bigram aggregate,
-    * a vocab-bounded unigram aggregate, and a 1-row total — the corpus
-    * never shuffles on anything wider than (w1, w2). PMI is micro-floored
-    * to integer micro-nats on exact long counts (q84's contract) BEFORE
-    * ranking, and the final top-20 is a TakeOrderedAndProject on the
-    * UNIQUE key (pmi desc, w1, w2).
-    *
-    * N convention: unigram counts c1/c2 are counted over the same bigram
-    * population (left + right slots each contribute; doc-final/initial
-    * tokens are counted once) — the standard bigram-table marginals, so
-    * Σ_w c(w) = 2N and PMI is internally consistent.
-    */
-  val q186 = QuerySpec(
-    "q186_pmi_collocations",
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("pos")
-      val pairs = Dedup.tokensWithPos(Tables.documents(s, d))
-        .select(col("tok").as("w1"), lead(col("tok"), 1).over(w).as("w2"))
-        .filter(col("w2").isNotNull)
-      val big = graft.core.Materialize(
-        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
-      val left = big.groupBy("w1").agg(sum(col("c12")).as("cl"))
-      val right = big.groupBy("w2").agg(sum(col("c12")).as("cr"))
-      val tot = big.agg(sum(col("c12")).cast("double").as("n"))
-      big.filter(col("c12") >= 5)
-        .join(left, "w1").join(right, "w2")
-        .crossJoin(broadcast(tot))
-        .select(col("w1"), col("w2"), col("c12"),
-          floor(log((col("c12").cast("double") * col("n")) /
-            (col("cl").cast("double") * col("cr").cast("double"))) * lit(1000000.0))
-            .cast("long").as("pmi_micro"))
-        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
-        .limit(20)
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
-              FROM documents),
-            pairs AS (
-              SELECT ts[i] AS w1, ts[i+1] AS w2
-              FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
-                    FROM toks)),
-            big AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
-            lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS cl FROM big GROUP BY w1),
-            rgt AS (SELECT w2, CAST(SUM(c12) AS BIGINT) AS cr FROM big GROUP BY w2),
-            tot AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM big)
-            SELECT w1, w2, c12,
-              CAST(FLOOR(ln((CAST(c12 AS DOUBLE) * n) /
-                (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))) * 1000000.0)
-                AS BIGINT) AS pmi_micro
-            FROM big JOIN lft USING (w1) JOIN rgt USING (w2), tot
-            WHERE c12 >= 5
-            ORDER BY pmi_micro DESC, w1, w2
-            LIMIT 20""")
-  )
-
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
     q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167, q170, q179, q184, q186)
+    q167, q170, q179, q184)
 }

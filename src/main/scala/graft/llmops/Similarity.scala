@@ -725,11 +725,13 @@ object Similarity {
     "q185_centroid_drift",
     (s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val comps = Tables.embeddings(s, d)
+      // materialized: the |labels|·dim summary feeds BOTH self-join sides —
+      // without it the corpus pass (posexplode + aggregate) runs twice
+      val comps = graft.core.Materialize(Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy("label", "dim")
         .agg(sum(floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
-          .as("sv"), count(lit(1)).as("n"))
+          .as("sv"), count(lit(1)).as("n")))
       val a = comps.select(col("label").as("l1"), col("dim"),
         col("sv").as("sa"), col("n").as("n1"))
       val b = comps.select(col("label").as("l2"), col("dim"),
