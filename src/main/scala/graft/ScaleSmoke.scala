@@ -84,7 +84,14 @@ object ScaleSmoke {
       "q160_source_signature_terms", "q162_pagerank_lite",
       "q165_rank_fusion", "q166_ks_distance", "q167_token_gini",
       "q168_containment_sketch_audit", "q170_dp_release", "q171_cdc_chunks",
-      "q172_triangle_count", "q173_kmeans_assign", "q175_lsh_recall_audit")
+      "q172_triangle_count", "q173_kmeans_assign", "q175_lsh_recall_audit",
+      "q178_kcenter_coreset", "q179_phrase_search", "q180_nb_calibration",
+      "q181_repeated_span_manifest", "q184_candidate_threshold_sweep",
+      "q185_centroid_drift", "q186_editdist_verify",
+      "q187_kcore_decomposition", "q188_stitch_overlap",
+      "q189_random_projection", "q191_kanon_release",
+      "q192_power_iteration", "q193_sparse_cosine_join",
+      "q194_anisotropy_audit")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

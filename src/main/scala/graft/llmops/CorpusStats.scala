@@ -1424,6 +1424,11 @@ object CorpusStats {
         .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), jac.as("jaccard"))
+        // the sweep's SMALLEST τ bounds what the fp joins must touch: the
+        // sub-0.3 tail of the raw pair table (the overwhelming majority on
+        // a shared-vocab corpus) is dead weight for every curve point, so
+        // prune it BEFORE shuffling pairs into the two fingerprint joins
+        .filter(col("jaccard") >= 0.3)
         .join(fp.select(col("doc_id").as("d1"), col("fp").as("f1")), "d1")
         .join(fp.select(col("doc_id").as("d2"), col("fp").as("f2")), "d2")
         .select(col("jaccard"), (col("f1") === col("f2")).as("is_dup"))
@@ -1476,7 +1481,10 @@ object CorpusStats {
               JOIN sizes s1 ON d1 = s1.doc_id
               JOIN sizes s2 ON d2 = s2.doc_id
               JOIN fp fa ON d1 = fa.doc_id
-              JOIN fp fb ON d2 = fb.doc_id),
+              JOIN fp fb ON d2 = fb.doc_id
+              WHERE CAST(FLOOR(CAST(inter AS DOUBLE)
+                  / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0
+                  >= 0.3),
             truth AS (
               SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS n_truth
               FROM (SELECT COUNT(*) AS m FROM fp GROUP BY fp)),
@@ -1493,7 +1501,135 @@ object CorpusStats {
             FROM sweep, truth ORDER BY thr""")
   )
 
+  // --------------------------------------------------------------- q191
+  /** K-ANONYMOUS corpus-composition release — q170's sibling for the
+    * other standard disclosure-control mechanism: publish (source, lang)
+    * cell statistics only where the cell holds ≥ k = 10 documents, and
+    * MERGE all smaller cells into one `__other__` bucket instead of
+    * dropping them (the bucket keeps release totals reconciling with the
+    * corpus — the property auditors check). The suppressed-cell count
+    * rides along so consumers know how much structure the threshold hid;
+    * the `__other__` row is emitted only when something was suppressed.
+    *
+    * Scale shape: one corpus-keyed aggregate to |sources|×|langs| cells,
+    * then a cells-only split/re-aggregate (corpus-independent). Exact
+    * longs throughout — no doubles to diverge.
+    */
+  val q191 = QuerySpec(
+    "q191_kanon_release",
+    (s, d) => {
+      val cells = graft.core.Materialize(
+        Tables.documents(s, d)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("n_chars")))
+      val released = cells.filter(col("n_docs") >= 10)
+        .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+          lit(0L).as("n_merged_cells"))
+      val other = cells.filter(col("n_docs") < 10)
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          count(lit(1)).as("n_merged_cells"))
+        .filter(col("n_merged_cells") > 0)
+        .select(lit("__other__").as("source"), lit("__other__").as("lang"),
+          col("n_docs"), col("n_chars"), col("n_merged_cells"))
+      released.unionByName(other).orderBy("source", "lang")
+    },
+    Some("""WITH cells AS (
+              SELECT source, lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars
+              FROM documents GROUP BY 1, 2),
+            released AS (
+              SELECT source, lang, n_docs, n_chars,
+                CAST(0 AS BIGINT) AS n_merged_cells
+              FROM cells WHERE n_docs >= 10),
+            other AS (
+              SELECT '__other__' AS source, '__other__' AS lang,
+                CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                COUNT(*) AS n_merged_cells
+              FROM cells WHERE n_docs < 10
+              HAVING COUNT(*) > 0)
+            SELECT * FROM released UNION ALL SELECT * FROM other
+            ORDER BY source, lang""")
+  )
+
+  // --------------------------------------------------------------- q193
+  /** TF-WEIGHTED COSINE similarity join over 5-gram term vectors — the
+    * weighted sibling of q27's set-Jaccard: set measures treat a gram
+    * repeated 40× in a template the same as one occurrence, so template
+    * families with repeated boilerplate segments and genuinely-similar
+    * prose score alike; the tf-weighted inner product separates them.
+    * Same inverted-index shape as every candidate op here: pairs exist
+    * ONLY via the shared-gram equi-join (df-capped [2,50] — one
+    * boilerplate gram can never fan out), the dot product is the
+    * gram-keyed pair aggregate, and norms join back per doc. Exact
+    * integer tf products; the single sqrt(na·nb) + divide is the one
+    * IEEE sequence, identical in both engines, then ffloor'd.
+    * Norms are over the SAME capped universe as the dot product (q27's
+    * reduced-universe discipline) so the measure is a true cosine there.
+    */
+  val q193 = QuerySpec(
+    "q193_sparse_cosine_join",
+    (s, d) => {
+      val tf = Dedup.shingles(Tables.documents(s, d), 5, dedup = false)
+        .groupBy("doc_id", "shingle").agg(count(lit(1)).as("tf"))
+      val keep = tf.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 50)).select("shingle")
+      val kept = graft.core.Materialize(tf.join(keep, "shingle"))
+      val norms = kept.groupBy("doc_id")
+        .agg(sum(col("tf") * col("tf")).as("nrm"))
+      kept.as("a")
+        .join(kept.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+        .join(norms.select(col("doc_id").as("d1"), col("nrm").as("n1")), "d1")
+        .join(norms.select(col("doc_id").as("d2"), col("nrm").as("n2")), "d2")
+        .select(col("d1"), col("d2"), col("dot"),
+          ffloor(col("dot").cast("double") /
+            sqrt(col("n1").cast("double") * col("n2").cast("double")), 4)
+            .as("cosine"))
+        .filter(col("cosine") >= 0.6)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
+              FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
+            grams AS (
+              SELECT doc_id,
+                unnest(list_transform(range(1, len(ts) - 3),
+                  i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_'
+                    || ts[i+3] || '_' || ts[i+4])) AS g
+              FROM toks),
+            tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+            keep AS (SELECT g FROM tf GROUP BY g
+                     HAVING COUNT(*) BETWEEN 2 AND 50),
+            kept AS (SELECT t.doc_id, t.g, t.tf FROM tf t JOIN keep USING (g)),
+            norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
+                      FROM kept GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2,
+                CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+              FROM kept a JOIN kept b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT d1, d2, dot,
+              CAST(FLOOR(CAST(dot AS DOUBLE) /
+                sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE))
+                * 10000.0) AS DOUBLE) / 10000.0 AS cosine
+            FROM pairs
+            JOIN norms n1 ON d1 = n1.doc_id
+            JOIN norms n2 ON d2 = n2.doc_id
+            WHERE CAST(FLOOR(CAST(dot AS DOUBLE) /
+                sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE))
+                * 10000.0) AS DOUBLE) / 10000.0 >= 0.6
+            ORDER BY d1, d2""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
     q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167, q170, q179, q184)
+    q167, q170, q179, q184, q191, q193)
 }

@@ -1404,7 +1404,195 @@ object Dedup {
             FROM spans GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  // --------------------------------------------------------------- q186
+  /** Character-level EDIT-DISTANCE VERIFY of the near-dup candidates —
+    * the production verify stage that runs after shingle/LSH candidate
+    * generation and before cluster collapse: token-gram candidates can
+    * pair docs that share phrases yet differ everywhere else, and
+    * Levenshtein over a fixed normalized prefix is the cheap
+    * character-level confirmation that they really are edit variants.
+    *
+    * Scale shape: the pair set is the df-capped gram join ([[neardupEdges]]
+    * `half` — never all-pairs), texts arrive by TWO keyed joins of that
+    * small pair set against the corpus, and the Levenshtein itself is
+    * O(P²) per pair with P = 120 a CONSTANT — so verify cost is linear in
+    * candidates regardless of document length (full-text edit distance
+    * is not a scale-safe primitive; prefix verify is the standard
+    * production trade). All-ASCII normalized text keeps both engines'
+    * code-point distance identical; `prefix_sim` is ffloor'd IEEE.
+    */
+  val q186 = QuerySpec(
+    "q186_editdist_verify",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val half = neardupEdges(docs).filter(col("src") < col("dst"))
+      val pref = CorpusPipeline.normalize(docs)
+        .select(col("doc_id"), substring(col("text_norm"), 1, 120).as("p"))
+      half
+        .join(pref.select(col("doc_id").as("src"), col("p").as("p1")), "src")
+        .join(pref.select(col("doc_id").as("dst"), col("p").as("p2")), "dst")
+        .select(col("src").as("d1"), col("dst").as("d2"),
+          levenshtein(col("p1"), col("p2")).cast("long").as("edist"),
+          greatest(length(col("p1")), length(col("p2"))).as("ml"))
+        .filter(col("edist") <= 30)
+        .select(col("d1"), col("d2"), col("edist"),
+          ffloor(lit(1.0) - col("edist").cast("double") /
+            nullif(col("ml"), lit(0)).cast("double"), 4).as("prefix_sim"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            norm AS (
+              SELECT doc_id,
+                substr(regexp_replace(${asciiLowerSql("text")},
+                  '${CorpusPipeline.WhitespaceClass}', ' ', 'g'), 1, 120) AS p
+              FROM documents)
+            SELECT d1, d2, edist,
+              CAST(FLOOR((1.0 - CAST(edist AS DOUBLE) /
+                CAST(NULLIF(ml, 0) AS DOUBLE)) * 10000.0) AS DOUBLE)
+                / 10000.0 AS prefix_sim
+            FROM (
+              SELECT h.src AS d1, h.dst AS d2,
+                CAST(levenshtein(a.p, b.p) AS BIGINT) AS edist,
+                GREATEST(len(a.p), len(b.p)) AS ml
+              FROM half h
+              JOIN norm a ON h.src = a.doc_id
+              JOIN norm b ON h.dst = b.doc_id)
+            WHERE edist <= 30
+            ORDER BY d1, d2""")
+  )
+
+  // --------------------------------------------------------------- q187
+  /** K-CORE PEELING of the near-dup graph (k = 2, three unrolled peel
+    * rounds): repeatedly delete vertices with fewer than 2 surviving
+    * neighbours and report the graph size after each peel. The trajectory
+    * is the structural dedup audit q172's one-shot census can't give:
+    * duplication CHAINS (A~B~C ladders) dissolve entirely under 2-core
+    * peeling while TEMPLATE FAMILIES (dense cores) survive unchanged, so
+    * "how much graph is left after round 3" measures how much of the
+    * candidate volume is core template mass vs incidental chain overlap —
+    * which decides whether cluster-collapse or pairwise-drop is the right
+    * dedup action, and at what cost.
+    *
+    * Bounded-K is the same deliberate contract as [[q69]]: both engines
+    * compute exactly three peels (the oracle unrolls them), the label
+    * table is only ever the edge-endpoint set, and each round is one
+    * keyed degree aggregate + two semi-join restrictions — K shuffles of
+    * the edge set, nothing corpus-scale. Production runs the identical
+    * loop to a fixpoint; on shallow dedup graphs three peels converge.
+    */
+  val q187 = QuerySpec(
+    "q187_kcore_decomposition",
+    (s, d) => {
+      def stat(round: Int, edges: DataFrame): DataFrame =
+        edges.agg(
+            countDistinct(col("src")).as("n_nodes"),
+            count(when(col("src") < col("dst"), 1)).as("n_edges"))
+          .select(lit(round.toLong).as("peel_round"), col("n_nodes"),
+            col("n_edges"))
+      var cur = neardupEdges(Tables.documents(s, d))
+      var out = stat(0, cur)
+      for (r <- 1 to 3) {
+        val keep = graft.core.Materialize(
+          cur.groupBy("src").agg(count(lit(1)).as("dg"))
+            .filter(col("dg") >= 2).select(col("src").as("id")))
+        cur = graft.core.Materialize(cur
+          .join(keep.select(col("id").as("src")), "src")
+          .join(keep.select(col("id").as("dst")), "dst")
+          .select("src", "dst"))
+        out = out.union(stat(r, cur))
+      }
+      out.orderBy("peel_round")
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            k1 AS (SELECT src AS id FROM edges GROUP BY src
+                   HAVING COUNT(*) >= 2),
+            e1 AS (SELECT e.src, e.dst FROM edges e
+                   JOIN k1 a ON e.src = a.id JOIN k1 b ON e.dst = b.id),
+            k2 AS (SELECT src AS id FROM e1 GROUP BY src
+                   HAVING COUNT(*) >= 2),
+            e2 AS (SELECT e.src, e.dst FROM e1 e
+                   JOIN k2 a ON e.src = a.id JOIN k2 b ON e.dst = b.id),
+            k3 AS (SELECT src AS id FROM e2 GROUP BY src
+                   HAVING COUNT(*) >= 2),
+            e3 AS (SELECT e.src, e.dst FROM e2 e
+                   JOIN k3 a ON e.src = a.id JOIN k3 b ON e.dst = b.id)
+            SELECT CAST(0 AS BIGINT) AS peel_round,
+              COUNT(DISTINCT src) AS n_nodes,
+              COUNT(*) FILTER (WHERE src < dst) AS n_edges FROM edges
+            UNION ALL SELECT 1, COUNT(DISTINCT src),
+              COUNT(*) FILTER (WHERE src < dst) FROM e1
+            UNION ALL SELECT 2, COUNT(DISTINCT src),
+              COUNT(*) FILTER (WHERE src < dst) FROM e2
+            UNION ALL SELECT 3, COUNT(DISTINCT src),
+              COUNT(*) FILTER (WHERE src < dst) FROM e3
+            ORDER BY peel_round""")
+  )
+
+  // --------------------------------------------------------------- q188
+  /** SUFFIX→PREFIX STITCH detection: document pairs where the last
+    * k-gram of one doc equals the first k-gram of another — the signature
+    * of a single source document split across ingest records (pagination,
+    * chunked crawls, continuation messages). The right curation action
+    * for these is STITCHING, not dropping, which is why they need their
+    * own manifest: Jaccard/LSH near-dup ops ([[q27]]/[[q30]]) score
+    * continuation halves as DISSIMILAR (tiny overlap), and the span ops
+    * (q111/q181) only see grams repeated verbatim, so boundary joins are
+    * exactly the dup mass every other detector misses.
+    *
+    * Scale shape: each doc contributes ONE row per side (its first gram,
+    * its last gram) — the join input is O(corpus docs), not O(grams) —
+    * and the gram-keyed equi-join is df-capped at 50 per side so a
+    * boilerplate opening ("subject re re re …") can never fan out
+    * quadratically. Everything shuffles on the gram key once. k is the
+    * precision knob: production splits carry long verbatim boundaries
+    * (k ≥ 8); the ~30-word synthetic vocabulary needs k = 3 for any
+    * boundary coincidence to exist at all, which also exercises the
+    * FALSE-POSITIVE regime the df cap and downstream verify are for.
+    */
+  val q188 = QuerySpec(
+    "q188_stitch_overlap",
+    (s, d) => {
+      val sh = shinglesWithPos(Tables.documents(s, d), 3)
+      val firsts = graft.operators.Ops.capKeyFreq(
+        sh.filter(col("pos") === 0).select(col("doc_id"), col("shingle")),
+        50, col("shingle"))
+      val lasts = graft.operators.Ops.capKeyFreq(
+        sh.groupBy("doc_id")
+          .agg(max(struct(col("pos"), col("shingle"))).as("l"))
+          .select(col("doc_id"), col("l.pos").as("tail_pos"),
+            col("l.shingle").as("shingle")),
+        50, col("shingle"))
+      lasts
+        .join(firsts.select(col("doc_id").as("head_doc"), col("shingle")),
+          "shingle")
+        .filter(col("doc_id") =!= col("head_doc"))
+        .select(col("doc_id").as("tail_doc"), col("head_doc"),
+          col("shingle").as("stitch_gram"),
+          col("tail_pos").cast("long").as("tail_pos"))
+        .orderBy("tail_doc", "head_doc")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
+              FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            firsts_all AS (
+              SELECT doc_id, ts[1] || '_' || ts[2] || '_' || ts[3] AS g
+              FROM toks),
+            lasts_all AS (
+              SELECT doc_id, ts[-3] || '_' || ts[-2] || '_' || ts[-1] AS g,
+                len(ts) - 3 AS tail_pos
+              FROM toks),
+            firsts AS (SELECT doc_id, g FROM firsts_all
+                       QUALIFY COUNT(*) OVER (PARTITION BY g) <= 50),
+            lasts AS (SELECT doc_id, g, tail_pos FROM lasts_all
+                      QUALIFY COUNT(*) OVER (PARTITION BY g) <= 50)
+            SELECT l.doc_id AS tail_doc, f.doc_id AS head_doc,
+              l.g AS stitch_gram, CAST(l.tail_pos AS BIGINT) AS tail_pos
+            FROM lasts l JOIN firsts f ON l.g = f.g AND l.doc_id <> f.doc_id
+            ORDER BY tail_doc, head_doc""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
-      q113, q123, q128, q130, q131, q168, q172, q175, q181)
+      q113, q123, q128, q130, q131, q168, q172, q175, q181, q186, q187, q188)
 }

@@ -771,5 +771,228 @@ object Similarity {
             FROM pairs ORDER BY l1, l2""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185)
+  // --------------------------------------------------------------- q189
+  /** Johnson–Lindenstrauss RANDOM-SIGN PROJECTION: compress every
+    * embedding to k = 8 coordinates, each the signed sum Σᵢ xᵢ·s(i,j)
+    * with s ∈ {+1,−1} — the dimensionality-reduction step a billion-
+    * vector pipeline runs BEFORE banding/bucketing (8 coordinates make
+    * LSH bands and coarse filters dramatically cheaper, and the JL lemma
+    * bounds the pairwise-distance distortion). The sign matrix is
+    * HASH-derived (md5 parity of "i_j"), not sampled: increments,
+    * re-runs, and the DuckDB oracle all regenerate the identical matrix,
+    * which is what makes a sketch joinable across ingest epochs.
+    *
+    * Scale shape: one posexplode pass over the corpus joined to the
+    * BROADCAST dim×k sign table (512 rows — built from one bounded 1-row
+    * dimensionality lookup), then a (vec_id, j) keyed aggregate with
+    * map-side partials. Components are micro-floored longs (q173's
+    * contract), signs are ±1 longs, so the projection is EXACT integer
+    * arithmetic end-to-end — hash-comparable with no epsilon.
+    */
+  val q189 = QuerySpec(
+    "q189_random_projection",
+    (s, d) => {
+      val k = 8
+      val e = Tables.embeddings(s, d)
+      // bounded driver lookup: the corpus' (constant) dimensionality
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      import s.implicits._
+      val signs = (0 until dim).flatMap(i => (0 until k).map(j => (i, j)))
+        .toDF("i", "j")
+        .select(col("i"), col("j"),
+          (lit(1L) - lit(2L) *
+            (conv(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 1),
+              16, 10).cast("long") % 2)).as("sg"))
+      e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"),
+          floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xm"))
+        .join(broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(sum(col("xm") * col("sg")).as("proj_micro"))
+        .select(col("vec_id"), col("j").cast("long").as("out_dim"),
+          col("proj_micro"))
+        .orderBy("vec_id", "out_dim")
+    },
+    Some("""WITH comps AS (
+              SELECT vec_id, unnest(range(len(embedding))) AS i,
+                CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xm
+              FROM embeddings),
+            dims AS (SELECT DISTINCT i FROM comps),
+            ks AS (SELECT unnest(range(8)) AS j),
+            signs AS (
+              SELECT i, j,
+                1 - 2 * ((strpos('0123456789abcdef',
+                  substr(md5(CAST(i AS VARCHAR) || '_' ||
+                    CAST(j AS VARCHAR)), 1, 1)) - 1) % 2) AS sg
+              FROM dims, ks)
+            SELECT c.vec_id, CAST(s.j AS BIGINT) AS out_dim,
+              CAST(SUM(c.xm * s.sg) AS BIGINT) AS proj_micro
+            FROM comps c JOIN signs s ON c.i = s.i
+            GROUP BY 1, 2 ORDER BY vec_id, out_dim""")
+  )
+
+  // --------------------------------------------------------------- q192
+  /** POWER ITERATION for the dominant eigenvector of the corpus Gram
+    * matrix XᵀX — the "principal direction" primitive behind embedding
+    * whitening, drift monitoring, and spectral diagnostics, computed
+    * WITHOUT MLlib and without a d×d covariance materialization: each
+    * iteration is y = Xv (corpus pass, keyed by vec_id) then z = Xᵀy
+    * (corpus pass, keyed by dim) — the d-dimensional state never exceeds
+    * |dims| rows and v is always the BROADCAST side.
+    *
+    * The novelty that makes it hash-oracle-able: the whole iteration is
+    * EXACT integer arithmetic. Components are micro-floored longs, y
+    * stays in long (|y| ≤ d·10¹²), z is summed in DECIMAL(38,0)/HUGEINT,
+    * and renormalization uses the MAX-norm with sign·(|z|·10⁶ div
+    * max|z|) — abs() makes floor-division and truncation agree, so both
+    * engines round identically with NO floating point anywhere. Max-norm
+    * rescaling preserves direction exactly like L2 would, and the
+    * per-iteration trace (v₁, v₂) is emitted so convergence is visible.
+    */
+  /** (vec_id, j, xm): micro-floored exploded components — the shared
+    * input of the exact power-iteration family (q192/q194).
+    */
+  private def powerComps(e: DataFrame): DataFrame =
+    graft.core.Materialize(e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .select(col("vec_id"), col("j"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xm")))
+
+  /** One exact power-iteration step (see [[q192]] for the arithmetic
+    * contract): y = Xv (long), z = Xᵀy (DECIMAL 38,0), max-norm integer
+    * renormalization. Returns the d-row (j, vm) vector, Materialized.
+    */
+  private def powerIterate(comps: DataFrame, v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val y = comps.join(broadcast(v), "j")
+      .groupBy("vec_id").agg(sum(col("xm") * col("vm")).as("y"))
+    val z = comps.join(y, "vec_id")
+      .groupBy("j")
+      .agg(sum(col("xm").cast(dec) * col("y").cast(dec)).as("z"))
+    val m = z.agg(max(abs(col("z"))).as("m"))
+    graft.core.Materialize(z.crossJoin(m).select(col("j"),
+      (when(col("z") < 0, lit(-1L)).otherwise(lit(1L)) *
+        expr("(abs(z) * CAST(1000000 AS DECIMAL(38,0))) div " +
+          "nullif(m, CAST(0 AS DECIMAL(38,0)))")).as("vm")))
+  }
+
+  /** Dominant-direction vector after two exact iterations from v₀ = 1. */
+  private def powerV2(comps: DataFrame): DataFrame = {
+    val v0 = comps.select("j").distinct()
+      .select(col("j"), lit(1000000L).as("vm"))
+    powerIterate(comps, powerIterate(comps, v0))
+  }
+
+  /** The oracle-side spelling of [[powerComps]]+[[powerV2]]: CTEs ending
+    * in v2(j, vm). Shared by q192/q194.
+    */
+  private val powerCtes: String =
+    """comps AS (
+              SELECT vec_id, unnest(range(len(embedding))) AS j,
+                CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xm
+              FROM embeddings),
+            v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS vm
+                   FROM comps),
+            y1 AS (SELECT c.vec_id, CAST(SUM(c.xm * v.vm) AS BIGINT) AS y
+                   FROM comps c JOIN v0 v USING (j) GROUP BY 1),
+            z1 AS (SELECT c.j, SUM(CAST(c.xm AS HUGEINT) * y.y) AS z
+                   FROM comps c JOIN y1 y USING (vec_id) GROUP BY 1),
+            m1 AS (SELECT MAX(ABS(z)) AS m FROM z1),
+            v1 AS (SELECT j,
+                     CAST((CASE WHEN z < 0 THEN -1 ELSE 1 END) *
+                       ((ABS(z) * 1000000) // NULLIF(m, 0)) AS BIGINT) AS vm
+                   FROM z1, m1),
+            y2 AS (SELECT c.vec_id, CAST(SUM(c.xm * v.vm) AS BIGINT) AS y
+                   FROM comps c JOIN v1 v USING (j) GROUP BY 1),
+            z2 AS (SELECT c.j, SUM(CAST(c.xm AS HUGEINT) * y.y) AS z
+                   FROM comps c JOIN y2 y USING (vec_id) GROUP BY 1),
+            m2 AS (SELECT MAX(ABS(z)) AS m FROM z2),
+            v2 AS (SELECT j,
+                     CAST((CASE WHEN z < 0 THEN -1 ELSE 1 END) *
+                       ((ABS(z) * 1000000) // NULLIF(m, 0)) AS BIGINT) AS vm
+                   FROM z2, m2)"""
+
+  val q192 = QuerySpec(
+    "q192_power_iteration",
+    (s, d) => {
+      val comps = powerComps(Tables.embeddings(s, d))
+      val v0 = comps.select("j").distinct()
+        .select(col("j"), lit(1000000L).as("vm"))
+      val v1 = powerIterate(comps, v0)
+      val v2 = powerIterate(comps, v1)
+      v1.select(lit(1L).as("iter"), col("j").cast("long").as("dim"), col("vm"))
+        .unionByName(v2.select(lit(2L).as("iter"),
+          col("j").cast("long").as("dim"), col("vm")))
+        .orderBy("iter", "dim")
+    },
+    Some(s"""WITH $powerCtes
+            SELECT CAST(1 AS BIGINT) AS iter, CAST(j AS BIGINT) AS dim, vm
+            FROM v1
+            UNION ALL
+            SELECT 2, CAST(j AS BIGINT), vm FROM v2
+            ORDER BY iter, dim""")
+  )
+
+  // --------------------------------------------------------------- q194
+  /** ANISOTROPY AUDIT: per label, the fraction of total embedding energy
+    * explained by the corpus' dominant direction (q192's v₂) — the
+    * "is one direction eating my embedding space" diagnostic behind
+    * whitening decisions: anisotropic embedding batches (ratio → 1)
+    * make cosine similarity degenerate, and a label whose ratio departs
+    * from the corpus norm signals a drifted or collapsed encoder.
+    *
+    * Exactness: with integer v, x·v and ‖v‖² are exact longs and the
+    * label rollup sums (x·v)² and ‖x‖² in DECIMAL(38,0)/HUGEINT, so
+    * ratio = Σ(x·v)² / (‖v‖²·Σ‖x‖²) is a single double division of two
+    * exact integers (both engines round the int→double conversion
+    * identically), then ffloor'd. The corpus cost on top of q192's two
+    * iterations is ONE more pass (the per-vector dot + energy).
+    */
+  val q194 = QuerySpec(
+    "q194_anisotropy_audit",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val e = Tables.embeddings(s, d)
+      val comps = powerComps(e)
+      val v2 = powerV2(comps)
+      val vv = v2.agg(sum(col("vm") * col("vm")).as("vv"))
+      val per = comps.join(broadcast(v2), "j")
+        .groupBy("vec_id")
+        .agg(sum(col("xm") * col("vm")).as("xv"),
+          sum(col("xm") * col("xm")).as("xx"))
+      per.join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("xv").cast(dec) * col("xv").cast(dec)).as("exp2"),
+          sum(col("xx").cast(dec)).as("tot"))
+        .crossJoin(vv)
+        .select(col("label"), col("n_vecs"),
+          graft.operators.Ops.ffloor(col("exp2").cast("double") /
+            (col("vv").cast("double") * col("tot").cast("double")), 6)
+            .as("explained_ratio"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $powerCtes,
+            vv AS (SELECT CAST(SUM(vm * vm) AS BIGINT) AS vv FROM v2),
+            per AS (SELECT c.vec_id,
+                      CAST(SUM(c.xm * v.vm) AS BIGINT) AS xv,
+                      CAST(SUM(c.xm * c.xm) AS BIGINT) AS xx
+                    FROM comps c JOIN v2 v USING (j) GROUP BY 1),
+            lab AS (SELECT p.vec_id, p.xv, p.xx, e.label
+                    FROM per p JOIN embeddings e USING (vec_id))
+            SELECT label, COUNT(*) AS n_vecs,
+              CAST(FLOOR(
+                CAST(SUM(CAST(xv AS HUGEINT) * xv) AS DOUBLE) /
+                (CAST(vv AS DOUBLE) * CAST(SUM(CAST(xx AS HUGEINT)) AS DOUBLE))
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS explained_ratio
+            FROM lab, vv
+            GROUP BY label, vv ORDER BY label""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185, q189, q192, q194)
 }

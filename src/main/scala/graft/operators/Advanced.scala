@@ -571,6 +571,113 @@ object Advanced {
             FROM sweep GROUP BY day ORDER BY day""")
   )
 
+  // --------------------------------------------------------------- q190
+  /** INTERVAL-OVERLAP JOIN, the bucketed way: which user sessions were
+    * live during per-type traffic BURSTS (hours whose event count is
+    * ≥ 2.4× that type's mean active-hour rate — the exact integer
+    * cross-multiply 5·cnt·n_hours ≥ 12·total — merged into maximal
+    * runs)? An interval×interval theta-join is Spark's classic
+    * scale trap — BroadcastNestedLoop on `s.start < b.end AND b.start
+    * < s.end` — so the engine form maps BOTH interval sets onto their
+    * covering DAY buckets (`sequence` over epoch-days) and equi-joins on
+    * the bucket, turning the theta-join into a keyed shuffle; the exact
+    * overlap predicate then prunes bucket neighbours that don't truly
+    * intersect, and a `distinct` collapses intervals that met in several
+    * buckets. Work per bucket is (sessions live that day × bursts that
+    * day) — the data's real temporal density, not |sessions|×|bursts|.
+    * The oracle runs the straight theta-join; the decomposition must
+    * reproduce it bit-for-bit.
+    *
+    * Sessions are q37's native session_window(4h); bursts use exact
+    * integer cross-multiplied thresholds (no division anywhere) and
+    * gaps-and-islands hour merging. All interval math is
+    * epoch-micros longs; the overlap sum is exact.
+    */
+  val q190 = QuerySpec(
+    "q190_interval_overlap_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val sess = ev.groupBy(session_window(col("ts"), "4 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_us"),
+          unix_micros(col("session_window.end")).as("e_us"))
+      val mins = ev.select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("m"))
+        .groupBy("event_type", "m").agg(count(lit(1)).as("cnt"))
+      val stats = mins.groupBy("event_type")
+        .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("nm"))
+      val hot = mins.join(stats, "event_type")
+        .filter(lit(5L) * col("cnt") * col("nm") >= lit(12L) * col("tot"))
+        .select("event_type", "m")
+      val w = Window.partitionBy("event_type").orderBy("m")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val newB = when(lag(col("m"), 1).over(w).isNull
+        .or(col("m") > lag(col("m"), 1).over(w) + 1), 1L).otherwise(0L)
+      val bursts = hot.withColumn("b", sum(newB).over(wRun))
+        .groupBy("event_type", "b")
+        .agg((min(col("m")) * lit(3600000000L)).as("b_s"),
+          ((max(col("m")) + lit(1L)) * lit(3600000000L)).as("b_e"))
+      val sb = sess.withColumn("h",
+        explode(sequence(expr("s_us div 86400000000"),
+          expr("(e_us - 1) div 86400000000"))))
+      val bb = bursts.withColumn("h",
+        explode(sequence(expr("b_s div 86400000000"),
+          expr("(b_e - 1) div 86400000000"))))
+      sb.join(bb, "h")
+        .filter(col("s_us") < col("b_e") && col("b_s") < col("e_us"))
+        .select("user_id", "s_us", "e_us", "event_type", "b_s", "b_e")
+        .distinct()
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_bursts"),
+          sum(least(col("e_us"), col("b_e")) - greatest(col("s_us"), col("b_s")))
+            .cast("long").as("overlap_us"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            g AS (SELECT user_id, ts,
+                    CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                         WHEN ts >= LAG(ts) OVER w + INTERVAL 4 HOUR THEN 1
+                         ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            i AS (SELECT user_id, ts,
+                    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+                  FROM g),
+            sess AS (
+              SELECT user_id, epoch_us(MIN(ts)) AS s_us,
+                epoch_us(MAX(ts) + INTERVAL 4 HOUR) AS e_us
+              FROM i GROUP BY user_id, sid),
+            mins AS (
+              SELECT event_type,
+                epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS m,
+                COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            stats AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot,
+                        COUNT(*) AS nm
+                      FROM mins GROUP BY 1),
+            hot AS (SELECT m.event_type, m.m FROM mins m
+                    JOIN stats s USING (event_type)
+                    WHERE 5 * m.cnt * s.nm >= 12 * s.tot),
+            fl AS (SELECT event_type, m,
+                     CASE WHEN LAG(m) OVER w IS NULL
+                            OR m > LAG(m) OVER w + 1 THEN 1 ELSE 0 END AS nb
+                   FROM hot WINDOW w AS (PARTITION BY event_type ORDER BY m)),
+            isl AS (SELECT event_type, m,
+                      SUM(nb) OVER (PARTITION BY event_type ORDER BY m
+                        ROWS UNBOUNDED PRECEDING) AS b
+                    FROM fl),
+            bursts AS (SELECT event_type, b, MIN(m) * 3600000000 AS b_s,
+                         (MAX(m) + 1) * 3600000000 AS b_e
+                       FROM isl GROUP BY 1, 2)
+            SELECT s.user_id, b.event_type, COUNT(*) AS n_bursts,
+              CAST(SUM(LEAST(s.e_us, b.b_e) - GREATEST(s.s_us, b.b_s))
+                AS BIGINT) AS overlap_us
+            FROM sess s JOIN bursts b
+              ON s.s_us < b.b_e AND b.b_s < s.e_us
+            GROUP BY 1, 2 ORDER BY user_id, event_type""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81, q114,
-    q115, q122, q125, q176)
+    q115, q122, q125, q176, q190)
 }
