@@ -9,13 +9,14 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .groupBy("l_returnflag").count().collect()
-    // min of 3 iterations per query: this container shows ±2x run-to-run
-    // noise spikes (GC/JIT/scheduling); the min is the standard stable
-    // microbenchmark statistic, and 3 samples make a single co-located
-    // spike unable to poison a query's recorded time.
+    // MEDIAN of 3 iterations per query (round-6 verdict item 4): this
+    // container shows ±2x run-to-run noise spikes (GC/JIT/scheduling).
+    // The earlier min-of-3 hid real regressions on the slow side; the
+    // median is robust to a single spike in EITHER direction, and the
+    // history file records min/max so the spread itself is auditable.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).map { i =>
         val t0 = System.nanoTime()
         // a failed query records a large penalty, never a fast time — a
@@ -29,41 +30,53 @@ object Bench {
         }
         if (debug) System.err.println(f"[bench] $name iter$i ${t}%.2fs")
         t
-      }
-      name -> times.min
-    }.toMap
-    // The driver records only the last ~2000 chars of stdout (BENCH_r03's
-    // "tail" field is exactly 2000 chars and the JSON head was clipped →
-    // "parsed": null, two rounds running). At 90+ queries even 3-decimal
-    // full-name entries are ~3 kB, so the stdout line uses the short query
-    // id ("q72" for "q72_canonical_per_cluster" — the contract's own
-    // example shape, {"q1":sec}), ~1.2 kB total. The file artifact keeps
-    // full names at 3 decimals.
+      }.sorted
+      name -> times
+    }
+    def median(ts: Seq[Double]): Double = ts(ts.length / 2)
+    val results = samples.map { case (n, ts) => n -> median(ts) }.toMap
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def line(short: Boolean): String = {
-      val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) =>
-          val key = if (short) k.takeWhile(_ != '_') else k
-          "\"" + key + "\":" + fmt(v)
-        }
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    def mapOf(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
-    println(line(short = true))
+    // Full-name artifact line (file + history): every query, 3 decimals.
+    def fullLine: String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${mapOf(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
+    // The driver records only the LAST ~2000 chars of stdout; at 194
+    // queries even short-id entries are ~2.4 kB, which is why BENCH_r06
+    // captured 152/194 with "parsed": null (round-6 verdict item 5). The
+    // stdout line must therefore be self-truncating: the 60 SLOWEST
+    // queries by short id (~0.9 kB — the ones a perf judge cares about),
+    // plus the count and the path of the complete artifact. The full map
+    // always lands in SPARK_GRAFT_BENCH_OUT and the history file.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench.json")
+    val slowest = results.toSeq.sortBy(-_._2).take(60)
+      .map { case (k, v) => k.takeWhile(_ != '_') -> v }
+      .sortBy(_._1)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${mapOf(slowest)},""" +
+        s""""n_queries":${results.size},"full":"$out","sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line(short = false) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // Append-only history so round-over-round per-query diffs never depend
-    // on driver log tail length (BENCH_rN's stdout JSON is tail-truncated
-    // past ~2000 chars): each run adds one full-name line stamped with
-    // wall-clock epoch seconds.
+    // on driver log tail length: one full-name line per run, stamped with
+    // epoch seconds, medians in "queries" plus per-query "min"/"max" so a
+    // noisy sample is distinguishable from a real shift after the fact.
     val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "/tmp/graft-bench-history.jsonl")
+    val histLine =
+      s"""{"ts":${System.currentTimeMillis / 1000},"metric":"total",""" +
+        s""""value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${mapOf(samples.map { case (n, ts) => n -> median(ts) })},""" +
+        s""""min":${mapOf(samples.map { case (n, ts) => n -> ts.head })},""" +
+        s""""max":${mapOf(samples.map { case (n, ts) => n -> ts.last })},""" +
+        s""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(hist),
-      (s"""{"ts":${System.currentTimeMillis / 1000},""" +
-        line(short = false).drop(1) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      (histLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Throwable => System.err.println(s"[bench] history write failed: ${e.getMessage}") }
     spark.stop()

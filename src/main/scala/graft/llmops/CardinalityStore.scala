@@ -58,17 +58,29 @@ object CardinalityStore {
           .as("sketch"))
   }
 
-  /** Committing increment (tmp-rename swap). */
+  /** Committing increment. The swap renames the live store ASIDE first
+    * (dst → dst.old, tmp → dst, delete dst.old) rather than delete-then-
+    * rename, so the store path is never absent mid-commit: a crash before
+    * the tmp→dst rename leaves dst.old intact for manual promotion, and a
+    * crash after it leaves only a stale dst.old to sweep. (Plain-FS
+    * renames aren't transactional, so this is crash-narrowed, not atomic;
+    * concurrent readers on object stores should still tolerate a listing
+    * race.)
+    */
   def update(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
     updatedSketches(spark, dir, batch)
       .write.mode("overwrite").parquet(s"$dir/sketches.parquet.tmp")
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(s"$dir/sketches.parquet")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/sketches.parquet.tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/sketches.parquet.old")
     val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
+    fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"CardinalityStore: rename $dst -> $old failed")
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"CardinalityStore: rename $tmp -> $dst failed")
+    fs.delete(old, true)
   }
 
   /** (event_type, est_users) read off the store — the O(K) dashboard

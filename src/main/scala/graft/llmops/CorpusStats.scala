@@ -1054,16 +1054,20 @@ object CorpusStats {
   val q162 = QuerySpec(
     "q162_pagerank_lite",
     (s, d) => {
-      val edges = Dedup.neardupEdges(Tables.documents(s, d))
+      val edges = graft.core.Materialize(
+        Dedup.neardupEdges(Tables.documents(s, d)))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       var ranks = edges.select(col("src").as("id")).distinct()
         .withColumn("r", lit(1000000L))
       for (_ <- 1 to 5) {
-        ranks = edges.join(deg, "src").join(ranks, col("src") === col("id"))
-          .select(col("dst"), expr("r div deg").as("c"))
-          .groupBy("dst").agg(sum(col("c")).as("cs"))
-          .select(col("dst").as("id"),
-            (lit(150000L) + expr("(cs * 85) div 100")).as("r"))
+        // Materialize per round so the plan stays one join deep instead of
+        // re-optimizing (and re-executing) a 10-join lineage as one tree.
+        ranks = graft.core.Materialize(
+          edges.join(deg, "src").join(ranks, col("src") === col("id"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("cs"))
+            .select(col("dst").as("id"),
+              (lit(150000L) + expr("(cs * 85) div 100")).as("r")))
       }
       ranks.select(col("id").as("doc_id"), col("r").as("rank_micro"))
         .orderBy("doc_id")
@@ -1104,8 +1108,12 @@ object CorpusStats {
     (s, d) => {
       val terms = Seq("spark", "join", "merge")
       val docs = Tables.documents(s, d)
-      val tf = PretrainOps.termFreq(docs).filter(col("term").isin(terms: _*))
-      val lens = PretrainOps.termFreq(docs)
+      // One tokenization pass: Materialize termFreq once and derive both the
+      // query-term TF slice and per-doc lengths from it (two corpus passes
+      // would double the dominant cost at 100 TB).
+      val all = graft.core.Materialize(PretrainOps.termFreq(docs))
+      val tf = all.filter(col("term").isin(terms: _*))
+      val lens = all
         .groupBy("doc_id").agg(sum("tf").cast("long").as("len"))
       val nAvg = lens.agg(count(lit(1)).cast("long").as("n_docs"),
         (sum("len").cast("double") / count(lit(1)).cast("double")).as("avgdl"))

@@ -1016,7 +1016,10 @@ object Dedup {
           abs(col("est_c_d1_in_d2") - coalesce(col("c12x"), lit(0.0))),
           abs(col("est_c_d2_in_d1") - coalesce(col("c21x"), lit(0.0)))).as("err"))
         .agg((count(lit(1)) > 0).as("sketch_checked"),
-          (max(col("err")) <= 0.2).as("sketch_within_bound"))
+          // Vacuously true when q113 yields zero candidates (max over the
+          // empty set is NULL): sketch_checked stays the emptiness signal,
+          // so a no-candidate corpus doesn't spuriously red the bound.
+          coalesce(max(col("err")) <= 0.2, lit(true)).as("sketch_within_bound"))
       audit.crossJoin(nExact)
         .select(col("n_exact_pairs"), col("sketch_checked"),
           col("sketch_within_bound"))
@@ -1265,11 +1268,15 @@ object Dedup {
     * per-pair miss probability at (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴ — and with the
     * fixed seed the outcome is deterministic for given data, so
     * `recall_ok = TRUE` is a stable oracle expectation (verified at both
-    * gate SFs and on fuzz corpora). DuckDB independently recomputes the
+    * gate SFs and on fuzz corpora; on a NEW corpus the ~2e-4-per-pair
+    * miss rate means this audit requires fixtures known to be within
+    * the s-curve's high-recall regime — it is a regression gate, not a
+    * universal invariant). DuckDB independently recomputes the
     * exact pair count; a missing candidate, a broken band hash, or a
     * signature regression flips the boolean red at the driver gate. The
-    * anti-join is exact-pairs ⟕ candidates — both tiny derived tables,
-    * never corpus-sized.
+    * per-doc `sizes` table is corpus-sized (one row per doc), so the
+    * joins here are deliberately plain keyed joins — no broadcast
+    * hints — matching q139/q168/q184; AQE picks sides at runtime.
     */
   val q175 = QuerySpec(
     "q175_lsh_recall_audit",
@@ -1285,8 +1292,8 @@ object Dedup {
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
-        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.8)
       val cand = q30.run(s, d).select(col("d1"), col("d2"))
