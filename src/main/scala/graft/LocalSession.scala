@@ -8,9 +8,17 @@ import org.apache.spark.sql.SparkSession
   * default survived a whole round in Bench/Verify while Profile already
   * said 32: shared config must have one home.
   *
-  * `spark.sql.legacy.parquet.nanosAsLong`: events.ts is TIMESTAMP(NANOS)
-  * parquet — read as nano-longs, truncated to µs timestamps in
-  * `Tables.events` (DuckDB-equivalent).
+  * Parquet timestamp handling (both settings together make the engine
+  * layout-agnostic across testdata generations):
+  *   - `spark.sql.legacy.parquet.nanosAsLong`: TIMESTAMP(NANOS) columns
+  *     read as nano-longs, truncated to µs timestamps in `Tables.events`
+  *     (DuckDB-equivalent).
+  *   - `spark.sql.parquet.inferTimestampNTZ.enabled=false`: µs/ms columns
+  *     written with isAdjustedToUTC=false read as TimestampType, not
+  *     TimestampNTZType. The session timezone is pinned UTC, so wall
+  *     values are identical either way, but TimestampType keeps the whole
+  *     function surface (unix_micros, session_window, …) and the output
+  *     schema stable regardless of how the generator wrote the files.
   */
 object LocalSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +46,7 @@ object LocalSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

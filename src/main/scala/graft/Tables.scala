@@ -11,8 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned directory tree; nothing here assumes single-file layout.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Reads a table, normalizing any TIMESTAMP_NTZ column to TimestampType.
+    * Sessions set `spark.sql.parquet.inferTimestampNTZ.enabled=false`
+    * (see [[LocalSession]]) which makes this a no-op; the conditional cast
+    * is schema-driven, so on a properly-configured session no extra
+    * Project appears and scan-level filter pushdown is untouched. The
+    * session timezone is pinned UTC, so the cast relabels the same wall
+    * values as instants — bit-identical µs since epoch.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val ntz = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    ntz.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, acc.col(c).cast(org.apache.spark.sql.types.TimestampType)))
+  }
 
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong`
