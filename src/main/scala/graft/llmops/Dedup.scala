@@ -1599,7 +1599,84 @@ object Dedup {
             ORDER BY tail_doc, head_doc""")
   )
 
+  // --------------------------------------------------------------- q197
+  /** Oracled RECALL audit for the SIMHASH pipeline — [[q31]]'s
+    * driver-checkable twin, completing the sketch-audit family
+    * (q168: containment accuracy, q175: MinHash-LSH recall, q195/q196:
+    * IVF/PQ recall, this: SimHash recall). Ground truth is q175's exact
+    * capped-trigram Jaccard at J ≥ 0.9 — documents that close have
+    * near-identical token multisets, so their 64-bit SimHashes differ in
+    * few bits. The audit runs q31's own [[simhashPairs]] machinery at
+    * maxHamming = 12 (16 chunks > 12 flipped bits — pigeonhole-EXACT
+    * candidate generation), so a missed pair can only mean a broken
+    * sketch aggregate, chunk split, or hamming filter — which flips
+    * `recall_ok` red at the driver gate. 12 rather than q31's production
+    * threshold 6 because SimHash approximates FREQUENCY-weighted cosine,
+    * not set Jaccard: a trigram-J 0.9756 fixture pair measures hamming 7
+    * at sf0.001 (expected hamming for these pairs is ~3; 12 is a 4×
+    * margin), and the production threshold is a precision/recall CHOICE
+    * q31 documents, while this gate checks the machinery under it.
+    * Like q175 a regression gate, not a universal invariant (a legitimate
+    * J ≥ 0.9 pair beyond hamming 12 is possible on an adversarial
+    * corpus); verified green at both gate SFs and on fuzz.
+    * DuckDB independently recomputes the exact pair count; joins are
+    * plain keyed joins, sizes corpus-sized — q175's exact scale shape.
+    */
+  val q197 = QuerySpec(
+    "q197_simhash_recall_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bg = graft.core.Materialize(
+        capKeyFreq(shingles(docs, 3), MaxShingleDocFreq, col("shingle")))
+      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+      val jac = ffloor(
+        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
+      val exactHigh = bg.as("a")
+        .join(bg.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+        .select(col("d1"), col("d2"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.9)
+      val cand = simhashPairs(
+        graft.core.Materialize(simhash(docs)), maxHamming = 12)
+        .select(col("d1"), col("d2"))
+      val missed = exactHigh.join(cand, Seq("d1", "d2"), "left_anti")
+      exactHigh.agg(count(lit(1)).as("n_exact_pairs_09"))
+        .crossJoin(missed.agg((count(lit(1)) === 0).as("recall_ok")))
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            trigrams_all AS (
+              SELECT DISTINCT doc_id, bg FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
+                FROM toks)),
+            trigrams AS (
+              SELECT doc_id, bg FROM trigrams_all
+              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= $MaxShingleDocFreq),
+            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+              FROM trigrams a JOIN trigrams b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            hi AS (
+              SELECT d1, d2 FROM pairs
+              JOIN sizes s1 ON d1 = s1.doc_id
+              JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE CAST(FLOOR(CAST(inter AS DOUBLE)
+                / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.9)
+            SELECT (SELECT COUNT(*) FROM hi) AS n_exact_pairs_09,
+                   true AS recall_ok""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
-      q113, q123, q128, q130, q131, q168, q172, q175, q181, q186, q187, q188)
+      q113, q123, q128, q130, q131, q168, q172, q175, q181, q186, q187, q188,
+      q197)
 }

@@ -241,5 +241,72 @@ object ProductQuant {
     None
   )
 
-  val all: Seq[QuerySpec] = Seq(q75)
+  // ---------------------------------------------------------------- q196
+  /** Oracled RECALL audit for the PQ pipeline — [[q75]]'s driver-checkable
+    * twin (the q168/q175 audit pattern): Spark runs the production
+    * two-stage search ([[pqTopKRerank]]: ADC shortlist-50 over m=16/k=64
+    * codes, exact re-rank) AND the exact brute-force top-10, then reports
+    * per-query overlap. DuckDB recomputes the exact side's counts (ANSI
+    * cosine top-k) and pins `recall_ok` TRUE — a codebook regression, a
+    * broken encode, or an ADC table bug drops rerank recall and flips
+    * the boolean red at the driver gate.
+    *
+    * Bound 0.8 is ProductQuantSpec's rerank floor (measured 0.98 on the
+    * gate fixtures); a regression gate, not a universal invariant.
+    * Scale shape: identical to q75 + one broadcast-small re-rank join;
+    * the audit adds |Q|·k rows.
+    */
+  val q196 = QuerySpec(
+    "q196_pq_recall_audit",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id").isin(100L, 101L, 102L))
+      val exact = Similarity.bruteForceTopK(queries, e, k = 10)
+        .select(col("qid"), col("vec_id"))
+      val cb = pqTrain(e, m = 16, k = 64, iters = 3)
+      val codes = graft.core.Materialize(pqEncode(e, cb))
+      val rr = pqTopKRerank(codes, cb, e, queries, topK = 10, shortlist = 50)
+        .select(col("qid"), col("vec_id"))
+      val perQ = exact.join(rr, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        .join(exact.groupBy("qid").agg(count(lit(1)).as("n_exact")), Seq("qid"), "right")
+      perQ.agg(
+        count(lit(1)).as("n_queries"),
+        // coalesce: empty query set sums to NULL vs the oracle's COUNT(*)=0
+        coalesce(sum("n_exact"), lit(0L)).cast("long").as("n_exact_rows"),
+        (coalesce(min(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact")), lit(1.0)) >= 0.8).as("recall_ok"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (100, 101, 102)),
+            s AS (
+              SELECT qid, vec_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS dot,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nq,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(ee) + 1),
+                    i -> CAST(ee[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nc
+              FROM q, (SELECT vec_id, embedding AS ee FROM embeddings)
+              WHERE vec_id <> qid),
+            topk AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0)
+                      DESC NULLS LAST, vec_id) AS rn
+                FROM s)
+              WHERE rn <= 10)
+            SELECT (SELECT COUNT(DISTINCT qid) FROM topk) AS n_queries,
+                   (SELECT COUNT(*) FROM topk) AS n_exact_rows,
+                   true AS recall_ok""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q75, q196)
 }

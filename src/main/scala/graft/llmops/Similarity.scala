@@ -993,6 +993,87 @@ object Similarity {
             GROUP BY label, vv ORDER BY label""")
   )
 
+  // ---------------------------------------------------------------- q195
+  /** Oracled EXACTNESS audit for the IVF machinery — [[q38]]'s
+    * driver-checkable twin (the q168/q175 audit pattern): Spark runs the
+    * IVF pipeline with nprobe = k (all 8 cells probed — which must
+    * degenerate to exact search) AND the brute-force top-10
+    * ([[bruteForceTopK]], q29's code path), and gates their per-query
+    * SET EQUALITY. Unlike a statistical recall bound this is a UNIVERSAL
+    * invariant, valid on any corpus including fuzz: full-probe IVF equals
+    * brute force iff cell assignment PARTITIONS the corpus (no vector
+    * dropped, none duplicated across cells) and the probed-cell scoring/
+    * ranking path agrees with the exact scorer — precisely the machinery
+    * a centroid regression, probe-routing bug, or broken assignment
+    * corrupts. DuckDB independently recomputes the exact side's counts
+    * (q29's ANSI cosine top-k) and pins `recall_ok` TRUE.
+    *
+    * Why not gate 3-probe recall: on this near-uniform synthetic corpus
+    * 3-of-8-cell recall@10 is chance-level (measured min 0.3 / avg 0.6 at
+    * sf0.001 — neighbors of a uniform vector spread across all cells), so
+    * any passable bound would also pass a BROKEN router, which still
+    * scoops up ~nprobe/k of true neighbors by volume. The pruning-quality
+    * number for the fixtures is asserted in LlmOpsSpec instead;
+    * clustered real embeddings are where 3-probe recall is meaningful.
+    * Scale shape: two corpus scans (audit-only cost), broadcast query
+    * trio, |Q|·k-row audit join — driver-side nothing.
+    */
+  val q195 = QuerySpec(
+    "q195_ivf_recall_audit",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id").isin(100L, 101L, 102L))
+      val exact = bruteForceTopK(queries, e, k = 10)
+        .select(col("qid"), col("vec_id"))
+      val centroids = kmeansCentroids(e, k = 8, iters = 3)
+      val ivf = ivfQuery(centroids, ivfAssign(e, centroids), queries,
+        nprobe = 8, topK = 10).select(col("qid"), col("vec_id"))
+      val perQ = exact.join(ivf, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        .join(exact.groupBy("qid").agg(count(lit(1)).as("n_exact")), Seq("qid"), "right")
+      perQ.agg(
+        count(lit(1)).as("n_queries"),
+        // coalesce: empty query set sums to NULL, but the oracle's
+        // COUNT(*) is 0 — same class as q168's vacuous-case typing.
+        coalesce(sum("n_exact"), lit(0L)).cast("long").as("n_exact_rows"),
+        // coalesce INSIDE min: a zero-hit query is recall 0.0, not a NULL
+        // for min to skip; the outer coalesce covers only the no-queries
+        // vacuous case (q168's explicit-emptiness discipline).
+        (coalesce(min(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_exact")), lit(1.0)) >= 1.0).as("recall_ok"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id IN (100, 101, 102)),
+            s AS (
+              SELECT qid, vec_id,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS dot,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(qe) + 1),
+                    i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nq,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(ee) + 1),
+                    i -> CAST(ee[i] AS DOUBLE) * CAST(ee[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS nc
+              FROM q, (SELECT vec_id, embedding AS ee FROM embeddings)
+              WHERE vec_id <> qid),
+            topk AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY dot / NULLIF(SQRT(nq) * SQRT(nc), 0.0)
+                      DESC NULLS LAST, vec_id) AS rn
+                FROM s)
+              WHERE rn <= 10)
+            SELECT (SELECT COUNT(DISTINCT qid) FROM topk) AS n_queries,
+                   (SELECT COUNT(*) FROM topk) AS n_exact_rows,
+                   true AS recall_ok""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185, q189, q192, q194)
+    Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185, q189, q192, q194,
+      q195)
 }

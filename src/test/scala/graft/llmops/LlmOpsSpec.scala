@@ -165,6 +165,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fromIndex == inline)
   }
 
+  test("IVF pruning quality: 3-probe recall@10 on the fixture, full-probe exact") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = e.filter(col("vec_id").isin(100L, 101L, 102L))
+    val exact = Similarity.bruteForceTopK(queries, e, k = 10)
+      .select("qid", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val centroids = Similarity.kmeansCentroids(e, k = 8, iters = 3)
+    val assigned = Similarity.ivfAssign(e, centroids)
+    def recalls(nprobe: Int): Iterable[Double] = {
+      val got = Similarity.ivfQuery(centroids, assigned, queries, nprobe, topK = 10)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      exact.map { case (q, ex) =>
+        ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+    }
+    // full probe degenerates to exact search — the q195 driver invariant
+    assert(recalls(nprobe = 8).forall(_ == 1.0))
+    // 3-probe on this near-uniform corpus is chance-level (~nprobe/k);
+    // the floor documents the measured fixture value (min 0.3, avg 0.6),
+    // not a production claim — see q195's scaladoc.
+    val r3 = recalls(nprobe = 3)
+    assert(r3.min >= 0.3, s"3-probe fixture recall regressed: $r3")
+    assert(r3.sum / r3.size >= 0.5, s"3-probe fixture avg recall regressed: $r3")
+  }
+
   test("multimodal: stub decode is deterministic, schema intact, frames sample") {
     import spark.implicits._
     val d = Seq((0L, "video payload text", "en", "src0", 18L),
