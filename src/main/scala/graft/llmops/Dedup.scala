@@ -1487,6 +1487,51 @@ object Dedup {
     * the edge set, nothing corpus-scale. Production runs the identical
     * loop to a fixpoint; on shallow dedup graphs three peels converge.
     */
+  /** Production PEEL-TO-FIXPOINT k-core — the form [[q187]]'s scaladoc
+    * promises ("production runs the identical loop to a fixpoint"), so
+    * the caller doesn't pick a round count: peel until a round removes no
+    * vertex, or `maxRounds` guards a pathological chain (a path graph
+    * peels one layer per round). Returns the surviving symmetric edge
+    * set, the round count (the last round is the no-change verification
+    * round, [[ccFixpoint]]'s convention), and whether the loop CONVERGED
+    * rather than hit the guard — callers must check the flag before
+    * treating the result as the true k-core.
+    *
+    * Convergence detection costs one tiny aggregate per round (the
+    * surviving-vertex count, which only ever decreases — unchanged iff
+    * the peel removed nothing), and each round is q187's exact shape:
+    * one degree aggregate + two semi-join restrictions over the edge
+    * set, Materialized so the plan stays one round deep. The oracled
+    * bounded-K q187 is unchanged — this is the API entry point
+    * (mirroring the q69 [[neardupLabels]] / q101 [[connectedComponents]]
+    * oracle-twin/production-twin pair).
+    */
+  def kCoreFixpoint(edges0: DataFrame, k: Int,
+                    maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
+    var cur = graft.core.Materialize(edges0)
+    def nNodes(e: DataFrame): Long = {
+      val n = e.agg(countDistinct(col("src"))).head.getLong(0)
+      n
+    }
+    var prevN = nNodes(cur)
+    var round = 0
+    var converged = prevN == 0L // empty graph is already its own k-core
+    while (!converged && round < maxRounds) {
+      round += 1
+      val keep = graft.core.Materialize(
+        cur.groupBy("src").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k).select(col("src").as("id")))
+      cur = graft.core.Materialize(cur
+        .join(keep.select(col("id").as("src")), "src")
+        .join(keep.select(col("id").as("dst")), "dst")
+        .select("src", "dst"))
+      val n = nNodes(cur)
+      converged = n == prevN
+      prevN = n
+    }
+    (cur, round, converged)
+  }
+
   val q187 = QuerySpec(
     "q187_kcore_decomposition",
     (s, d) => {
