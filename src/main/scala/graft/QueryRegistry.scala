@@ -21,7 +21,8 @@ object QueryRegistry {
       graft.llmops.CorpusPipeline.all ++
       graft.llmops.PretrainOps.all ++
       graft.llmops.CurationOps.all ++
-      graft.llmops.CorpusStats.all
+      graft.llmops.CorpusStats.all ++
+      graft.llmops.ShardOps.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }
