@@ -22,7 +22,8 @@ object QueryRegistry {
       graft.llmops.PretrainOps.all ++
       graft.llmops.CurationOps.all ++
       graft.llmops.CorpusStats.all ++
-      graft.llmops.ShardOps.all
+      graft.llmops.ShardOps.all ++
+      graft.llmops.VocabStore.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }

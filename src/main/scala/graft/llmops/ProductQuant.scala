@@ -308,5 +308,74 @@ object ProductQuant {
                    true AS recall_ok""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q75, q196)
+  // --------------------------------------------------------------- q202
+  /** INT8 SCALAR-QUANTIZATION error audit — the other embedding
+    * compression ([[q75]]'s PQ shrinks via codebooks; SQ shrinks via one
+    * per-dimension affine map to 0..255, the float32 → int8 step every
+    * vector store offers first because encode/decode is pure arithmetic).
+    * Per dimension: global (min, max) over the corpus; code =
+    * floor((x−mn)/(mx−mn)·255) clamped; reconstruction mn + code·step.
+    * The audit reports, per label, the value count and the MAX and SUM
+    * of reconstruction error in truncated integer MICRO units — the
+    * numbers that decide whether int8 is safe for a corpus or PQ/rerank
+    * is required.
+    *
+    * Unlike the seeded sketch audits this is EXACT end to end: every
+    * operation is floor-truncated double arithmetic with a pinned
+    * evaluation order, so DuckDB recomputes the identical values and the
+    * driver hash-compares them (no pinned booleans). Scale shape: one
+    * posexplode pass (corpus × dim rows) into a 64-row per-dim
+    * aggregate, broadcast back, one label-keyed aggregate out — no
+    * joins beyond the 64-row broadcast, no windows.
+    */
+  val q202 = QuerySpec(
+    "q202_scalar_quant_audit",
+    (s, d) => {
+      val dims = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "xf")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          col("xf").cast("double").as("x"))
+      val ranges = dims.groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      val q = dims.join(broadcast(ranges), "dim")
+        .withColumn("code",
+          when(col("mx") === col("mn"), lit(0L))
+            .otherwise(least(
+              floor(((col("x") - col("mn")) / (col("mx") - col("mn"))) * 255.0),
+              lit(255L))))
+        .withColumn("deq",
+          col("mn") + ((col("code") * (col("mx") - col("mn"))) / 255.0))
+        .withColumn("err_micro",
+          floor(abs(col("x") - col("deq")) * 1000000.0).cast("long"))
+      q.groupBy("label").agg(
+          count(lit(1)).as("n_values"),
+          max("err_micro").as("max_err_micro"),
+          sum("err_micro").cast("long").as("sum_err_micro"))
+        .orderBy("label")
+    },
+    Some("""WITH dims AS (
+              SELECT vec_id, label, i - 1 AS dim,
+                CAST(embedding[i] AS DOUBLE) AS x
+              FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+            ranges AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+                       FROM dims GROUP BY dim),
+            q AS (
+              SELECT label,
+                CASE WHEN mx = mn THEN 0
+                     ELSE LEAST(CAST(FLOOR(((x - mn) / (mx - mn)) * 255.0) AS BIGINT), 255)
+                END AS code,
+                x, mn, mx
+              FROM dims JOIN ranges USING (dim)),
+            e AS (
+              SELECT label,
+                CAST(FLOOR(ABS(x - (mn + ((code * (mx - mn)) / 255.0))) * 1000000.0) AS BIGINT)
+                  AS err_micro
+              FROM q)
+            SELECT label, COUNT(*) AS n_values,
+              MAX(err_micro) AS max_err_micro,
+              CAST(SUM(err_micro) AS BIGINT) AS sum_err_micro
+            FROM e GROUP BY label ORDER BY label""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q75, q196, q202)
 }
