@@ -91,7 +91,11 @@ object ScaleSmoke {
       "q187_kcore_decomposition", "q188_stitch_overlap",
       "q189_random_projection", "q191_kanon_release",
       "q192_power_iteration", "q193_sparse_cosine_join",
-      "q194_anisotropy_audit")
+      "q194_anisotropy_audit", "q195_ivf_recall_audit",
+      "q196_pq_recall_audit", "q197_simhash_recall_audit",
+      "q198_rendezvous_sharding", "q199_vocab_growth",
+      "q200_pareto_front", "q201_vocab_store_audit",
+      "q202_scalar_quant_audit")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

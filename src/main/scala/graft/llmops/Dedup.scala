@@ -1651,19 +1651,32 @@ object Dedup {
     * IVF/PQ recall, this: SimHash recall). Ground truth is q175's exact
     * capped-trigram Jaccard at J ≥ 0.9 — documents that close have
     * near-identical token multisets, so their 64-bit SimHashes differ in
-    * few bits. The audit runs q31's own [[simhashPairs]] machinery at
-    * maxHamming = 12 (16 chunks > 12 flipped bits — pigeonhole-EXACT
-    * candidate generation), so a missed pair can only mean a broken
-    * sketch aggregate, chunk split, or hamming filter — which flips
-    * `recall_ok` red at the driver gate. 12 rather than q31's production
-    * threshold 6 because SimHash approximates FREQUENCY-weighted cosine,
-    * not set Jaccard: a trigram-J 0.9756 fixture pair measures hamming 7
-    * at sf0.001 (expected hamming for these pairs is ~3; 12 is a 4×
-    * margin), and the production threshold is a precision/recall CHOICE
-    * q31 documents, while this gate checks the machinery under it.
-    * Like q175 a regression gate, not a universal invariant (a legitimate
-    * J ≥ 0.9 pair beyond hamming 12 is possible on an adversarial
-    * corpus); verified green at both gate SFs and on fuzz.
+    * few bits. TWO gated invariants, split so each is checked where it
+    * is strongest:
+    *
+    *   - `sketch_ok`: every exact pair's hamming distance (computed
+    *     DIRECTLY on the pair set — two keyed joins against the sketch
+    *     table, no candidate generation) is ≤ 12. The sketch-quality
+    *     regression gate: a broken [[SimHashAgg]] or token hash turns
+    *     near-identical docs into far-apart sketches. 12 because SimHash
+    *     approximates FREQUENCY-weighted cosine, not set Jaccard — a
+    *     trigram-J 0.9756 fixture pair legitimately measures hamming 7
+    *     at sf0.001 (typical is ~3); margin documented, corpus-dependent
+    *     like q175.
+    *   - `recall_ok`: every exact pair that IS within q31's production
+    *     threshold (hamming ≤ 6) appears in q31's own [[simhashPairs]]
+    *     output. At 8 chunks > 6 flips the pigeonhole guarantee is
+    *     unconditional, so this is a UNIVERSAL machinery invariant on
+    *     any corpus — a miss can only be a broken chunk split, bucket
+    *     join, or hamming filter.
+    *
+    * An earlier draft instead ran simhashPairs at maxHamming = 12 and
+    * gated membership there; pigeonhole at 12 needs 16 chunks of FOUR
+    * bits — 16 possible values per chunk — and the bucket join
+    * degenerates toward quadratic (measured 78.7s at the 10× stress
+    * corpus vs q31's own 6.3s). The split form tests the same two
+    * failure surfaces at production bucket geometry; audit cost is
+    * q27's exact join + q31 + two tiny joins.
     * DuckDB independently recomputes the exact pair count; joins are
     * plain keyed joins, sizes corpus-sized — q175's exact scale shape.
     */
@@ -1685,11 +1698,17 @@ object Dedup {
         .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.9)
-      val cand = simhashPairs(
-        graft.core.Materialize(simhash(docs)), maxHamming = 12)
-        .select(col("d1"), col("d2"))
-      val missed = exactHigh.join(cand, Seq("d1", "d2"), "left_anti")
-      exactHigh.agg(count(lit(1)).as("n_exact_pairs_09"))
+      val sh = graft.core.Materialize(simhash(docs))
+      val withHam = graft.core.Materialize(exactHigh
+        .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
+        .join(sh.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
+        .select(col("d1"), col("d2"),
+          bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming")))
+      val cand = simhashPairs(sh, maxHamming = 6).select(col("d1"), col("d2"))
+      val missed = withHam.filter(col("hamming") <= 6)
+        .join(cand, Seq("d1", "d2"), "left_anti")
+      withHam.agg(count(lit(1)).as("n_exact_pairs_09"),
+          coalesce(max("hamming") <= 12, lit(true)).as("sketch_ok"))
         .crossJoin(missed.agg((count(lit(1)) === 0).as("recall_ok")))
     },
     Some(s"""WITH toks AS (
@@ -1717,6 +1736,7 @@ object Dedup {
               WHERE CAST(FLOOR(CAST(inter AS DOUBLE)
                 / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.9)
             SELECT (SELECT COUNT(*) FROM hi) AS n_exact_pairs_09,
+                   true AS sketch_ok,
                    true AS recall_ok""")
   )
 
