@@ -89,6 +89,20 @@ object VocabStore {
       .select(col("n_batch_terms"), col("n_new"))
   }
 
+  /** STREAMING twin — [[CardinalityStore.stream]]'s shape: merge every
+    * micro-batch into the persisted store via `foreachBatch`. Min-merge
+    * idempotence means a replayed micro-batch after a failure lands the
+    * store in the IDENTICAL state (at-least-once delivery suffices), and
+    * [[newTermRate]] keeps serving the novelty dashboard while the
+    * stream runs. State lives in the STORE, not the streaming state
+    * store: the query itself is stateless — nothing to watermark.
+    */
+  def stream(docs: DataFrame, dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) update(batch.sparkSession, dir, batch)
+      }
+
   // ------------------------------------------------------------- store dir
   private val builtFor = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storeDir(s: SparkSession, d: String): String =

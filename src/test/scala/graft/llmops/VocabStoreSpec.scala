@@ -50,6 +50,24 @@ class VocabStoreSpec extends SparkTestBase {
     assert(stored(d1) == stored(d2))
   }
 
+  test("streaming twin: foreachBatch increments land the batch-API store state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    VocabStore.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    val rows = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = VocabStore.stream(stream.toDS().toDF("doc_id", "text"), dir).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(stored(dir) == cold,
+      "two streamed micro-batches must land the exact cold-recompute state")
+  }
+
   test("newTermRate counts exactly the unseen terms") {
     import spark.implicits._
     val dir = tmp()
