@@ -104,15 +104,20 @@ object ShardOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val hi = docs.agg((max("doc_id") + 1).cast("long").as("hi"))
-      val toks = fanOut(docs)
+      // ONE tokenize pass (the q165 lesson): collapse the token stream to
+      // the (bucket, term) grain first — Materialized, it feeds both the
+      // per-bucket token count and the first-bucket-per-term aggregate,
+      // and at |vocab × 10| rows it is far smaller than the raw stream.
+      val tf = graft.core.Materialize(fanOut(docs)
         .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")
         .crossJoin(broadcast(hi))
         // integer division: (doc_id * 10) div hi — exact in both engines
         .select(col("term"),
           expr("(doc_id * 10) div hi").cast("long").as("bucket"))
-      val tokCount = toks.groupBy("bucket").agg(count(lit(1)).as("toks"))
-      val newTerms = toks.groupBy("term").agg(min("bucket").as("bucket"))
+        .groupBy("bucket", "term").agg(count(lit(1)).as("c")))
+      val tokCount = tf.groupBy("bucket").agg(sum("c").cast("long").as("toks"))
+      val newTerms = tf.groupBy("term").agg(min("bucket").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
       val w = Window.orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
