@@ -551,7 +551,11 @@ object CorpusStats {
     * and longer documents (large t ⇒ τ·t prunes most of the posting
     * list); q27 remains this engine's default, and this operator is the
     * verified implementation to reach for when the data is in that
-    * regime — not a claimed win here.
+    * regime — not a claimed win here. The regime claim is itself
+    * TESTED, not asserted: CorpusStatsSpec's deterministic Zipfian
+    * fixture (cube-mapped 400-term vocabulary, heavy head / rare tail)
+    * measures a 282× candidate-PAIR prune (63 vs 17,788) with the
+    * emitted pairs still exactly equal to the full join's.
     */
   val q147 = QuerySpec(
     "q147_prefix_filter_join",

@@ -46,6 +46,65 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(prefixRows > 0)
   }
 
+  test("q147 prefix filtering prunes hard in its documented regime (Zipfian vocab)") {
+    // STATUS/q147's honest negative result says prefix filtering loses on
+    // the near-uniform synthetic vocabulary but earns its keep on Zipfian
+    // corpora. This fixture PROVES the positive half: a deterministic
+    // cube-mapped vocabulary (heavy head, long rare tail) where the
+    // quadratic term — candidate PAIR volume — must collapse under the
+    // rarity-prefix rule, while the emitted pairs stay exactly lossless.
+    import spark.implicits._
+    def term(x: Int): String = {
+      val u = (x % 1000) / 1000.0
+      s"w${(u * u * u * 400).toInt}" // density ∝ rank^(-2/3): Zipf-ish head
+    }
+    def body(i: Int): Seq[String] =
+      (0 until 50).map(j => term(i * 53 + j * 17 + (i * j) % 29))
+    val rows = (0 until 200).map { i =>
+      val toks =
+        if (i % 10 == 1) body(i - 1).take(40) ++ body(i).take(10) // near-dup of i-1
+        else body(i)
+      (i.toLong, toks.mkString(" "), "en", "s", toks.mkString(" ").length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zipf-q147").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // losslessness in the regime: q147 == full shared-shingle join at tau
+    val full = Dedup.q27.run(spark, dir).filter(col("jaccard") >= 0.5)
+      .select("d1", "d2", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefix = CorpusStats.q147.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefix == full, "prefix filtering must stay lossless on Zipf data")
+    assert(full.nonEmpty, "fixture must plant above-threshold pairs")
+
+    // the quadratic term: candidate pairs from prefix keys vs all shared
+    // shingles — the ratio IS the regime claim
+    val bg = graft.operators.Ops.capKeyFreq(
+      Dedup.shingles(graft.Tables.documents(spark, dir), 3),
+      Dedup.MaxShingleDocFreq, col("shingle"))
+    def pairsOf(keys: org.apache.spark.sql.DataFrame): Long =
+      keys.as("a").join(keys.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val fullPairs = pairsOf(bg)
+    val df = bg.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+    val prefixKeys = bg.join(df, "shingle").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("nbg") - ((col("nbg") + lit(1)) / lit(2)).cast("long") + lit(1))
+      .select("doc_id", "shingle")
+    val prefixPairs = pairsOf(prefixKeys)
+    assert(prefixPairs * 2 <= fullPairs,
+      s"Zipf regime must at least halve candidate pairs: $prefixPairs vs $fullPairs")
+    info(f"Zipf fixture: $prefixPairs%d prefix candidate pairs vs $fullPairs%d full (${
+      fullPairs.toDouble / prefixPairs}%.1fx prune)")
+  }
+
   test("q149 GK sketch tracks the exact quantiles within 1% relative error") {
     val rows = CorpusStats.q149.run(spark, dir).collect()
     assert(rows.length == 3)
