@@ -23,7 +23,10 @@ object QueryRegistry {
       graft.llmops.CurationOps.all ++
       graft.llmops.CorpusStats.all ++
       graft.llmops.ShardOps.all ++
-      graft.llmops.VocabStore.all
+      graft.llmops.VocabStore.all ++
+      graft.llmops.FeatureStats.all ++
+      graft.llmops.SelectionOps.all ++
+      graft.llmops.RetrievalOps.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }

@@ -175,8 +175,8 @@ object Dedup {
       val jac = ffloor(
         col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
       inter
-        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
-        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), jac.as("jaccard"))
         .filter(col("jaccard") >= 0.1)
         .orderBy("d1", "d2")
@@ -254,7 +254,9 @@ object Dedup {
     * of the same row by dividing by either side's size (no second join,
     * no ordered-pair blowup). Keeps every scale property argued at q27:
     * df-capped shingles, one materialized shingle set feeding three
-    * consumers, broadcast size tables.
+    * consumers, keyed (un-hinted) size joins — `sizes` is one row per
+    * document, so it must never carry a broadcast hint (q139's fix; AQE
+    * picks the side at runtime).
     */
   val q102 = QuerySpec(
     "q102_shingle_containment",
@@ -270,8 +272,8 @@ object Dedup {
       val c12 = ffloor(col("inter").cast("double") / col("s1.nbg"), 4)
       val c21 = ffloor(col("inter").cast("double") / col("s2.nbg"), 4)
       inter
-        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
-        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
           c12.as("c_d1_in_d2"), c21.as("c_d2_in_d1"))
         .filter(greatest(col("c_d1_in_d2"), col("c_d2_in_d1")) >= 0.5)
@@ -960,8 +962,8 @@ object Dedup {
       val inter = j / (j + lit(1.0)) *
         (col("s1.nsh").cast("double") + col("s2.nsh").cast("double"))
       pairs
-        .join(broadcast(sizes.as("s1")), col("d1") === col("s1.doc_id"))
-        .join(broadcast(sizes.as("s2")), col("d2") === col("s2.doc_id"))
+        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), col("est_jaccard"),
           ffloor(inter / col("s1.nsh").cast("double"), 4).as("est_c_d1_in_d2"),
           ffloor(inter / col("s2.nsh").cast("double"), 4).as("est_c_d2_in_d1"))
