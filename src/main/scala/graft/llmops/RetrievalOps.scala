@@ -226,8 +226,7 @@ object RetrievalOps {
         .select(col("depth").cast("long").as("depth"), col("w_nano"),
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
         .withColumn("contrib_femto",
-          (col("w_nano") * col("n_overlap") * lit(1000000L))
-            .divide(col("depth")).cast("long"))
+          expr("(w_nano * n_overlap * 1000000) div depth"))
         .withColumn("rbo",
           ffloor(sum(col("contrib_femto")).over(Window.partitionBy())
             .cast("double") / lit(1e15), 6))

@@ -53,7 +53,7 @@ object SelectionOps {
       val wOrd = Window.partitionBy().orderBy(col("cap"), col("source"))
       val ranked = perSrc
         .withColumn("g", count(lit(1)).over(wAll))
-        .withColumn("budget", (sum("n_tokens").over(wAll) * 19L).divide(lit(10L)).cast("long"))
+        .withColumn("budget", expr("(sum(n_tokens) over () * 19) div 10"))
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("pfx", sum("cap").over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -69,7 +69,7 @@ object SelectionOps {
         .select(col("k"),
           coalesce(col("pfx"), lit(0L)).as("pk"))
       ranked.crossJoin(broadcast(lam))
-        .withColumn("lambda", (col("budget") - col("pk")).divide(col("g") - col("k")).cast("long"))
+        .withColumn("lambda", expr("(budget - pk) div (g - k)"))
         .withColumn("rem", col("budget") - col("pk") - col("lambda") * (col("g") - col("k")))
         .withColumn("capped", col("rn") <= col("k"))
         .withColumn("alloc",
@@ -137,7 +137,7 @@ object SelectionOps {
       val perDoc = Tables.documents(s, d)
         .select(size(split(asciiLower(col("text")), " ")).cast("long").as("nt"))
         .withColumn("kept", least(col("nt"), lit(512L)))
-        .withColumn("bucket", ((col("kept") + 63L).divide(lit(64L))).cast("long") * 64L)
+        .withColumn("bucket", expr("((kept + 63) div 64) * 64"))
       perDoc.groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
           sum("kept").cast("long").as("kept_tokens"),
