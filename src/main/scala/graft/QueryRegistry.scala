@@ -26,7 +26,8 @@ object QueryRegistry {
       graft.llmops.VocabStore.all ++
       graft.llmops.FeatureStats.all ++
       graft.llmops.SelectionOps.all ++
-      graft.llmops.RetrievalOps.all
+      graft.llmops.RetrievalOps.all ++
+      graft.llmops.TopKStore.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }
