@@ -58,8 +58,13 @@ object RetrievalOps {
         col("embedding").as("e2"), col("nrm").as("n2"))
       val cos = ffloor(Similarity.cosineFromParts(
         Similarity.dot(col("e1"), col("e2")), col("n1"), col("n2")), 6)
-      val nn = a.join(b, Seq("label")).filter(col("id1") =!= col("id2"))
+      // Score each unordered pair ONCE (the 64-dim fold is the cost);
+      // both directions for the argmax come from a cheap swapped union.
+      val half = a.join(b, Seq("label")).filter(col("id1") < col("id2"))
         .select(col("label"), col("id1"), col("id2"), cos.as("cos"))
+      val nn = half
+        .unionByName(half.select(col("label"), col("id2").as("id1"),
+          col("id1").as("id2"), col("cos")))
         .groupBy("label", "id1")
         .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
         .select(col("label"), col("id1"),

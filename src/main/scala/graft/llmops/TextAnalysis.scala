@@ -668,6 +668,79 @@ object TextAnalysis {
             ORDER BY pmi_micro DESC, w1, w2 LIMIT 100""")
   )
 
+  // --------------------------------------------------------------- q214
+  /** Zipf frequency spectrum + fitted slope — the vocabulary-shape
+    * diagnostic that pairs with Heaps' growth (q199) and lexical Gini
+    * (q167): how many terms occur exactly once, twice, ... (the hapax
+    * spectrum that sizes tokenizer vocabularies and dedup stores), and
+    * the log-log slope of the top-20 rank-frequency curve (Zipf's
+    * exponent; ~-1 for natural text, ~0 for this synthetic flat vocab —
+    * which is exactly what q147's negative result measured, now as one
+    * number).
+    *
+    * Scale: the spectrum is a vocab-bounded double aggregate; the slope
+    * fit runs on 20 rows AFTER a TakeOrderedAndProject (the rank window
+    * sees 20 rows, never the vocabulary). Determinism: q156's OLS
+    * discipline — ln() of exact integers micro-floored to longs, exact
+    * long sufficient sums, one double division guarded against the
+    * degenerate all-equal-frequency case (den = 0 → NULL slope in both
+    * engines).
+    */
+  val q214 = QuerySpec(
+    "q214_zipf_spectrum",
+    (s, d) => {
+      val tc = fanOut(Tables.documents(s, d))
+        .select(explode(split(asciiLower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("c"))
+      val spectrum = tc
+        .groupBy(least(col("c"), lit(10L)).as("occ_bucket"))
+        .agg(count(lit(1)).as("n_terms"))
+      val top = tc.orderBy(col("c").desc, col("term")).limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("term"))))
+        .select(
+          floor(log(col("rk").cast("double")) * lit(1e6)).cast("long").as("x"),
+          floor(log(col("c").cast("double")) * lit(1e6)).cast("long").as("y"))
+      val slope = top.agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+          .otherwise(ffloor(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+          .as("zipf_slope"))
+      spectrum.crossJoin(broadcast(slope)).orderBy("occ_bucket")
+    },
+    Some(s"""WITH tc AS (
+              SELECT t.term, COUNT(*) AS c FROM documents,
+                unnest(string_split(${asciiLowerSql("text")}, ' ')) AS t(term)
+              WHERE t.term <> '' GROUP BY 1),
+            spectrum AS (
+              SELECT LEAST(c, 10) AS occ_bucket, COUNT(*) AS n_terms
+              FROM tc GROUP BY 1),
+            top AS (
+              SELECT CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER
+                  (ORDER BY c DESC, term) AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+              FROM (SELECT term, c FROM tc ORDER BY c DESC, term LIMIT 20)),
+            sums AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(x * y) AS BIGINT) AS sxy,
+                CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM top),
+            slope AS (
+              SELECT CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS DOUBLE)
+                  / 1000000.0 END AS zipf_slope
+              FROM sums)
+            SELECT occ_bucket, n_terms, zipf_slope
+            FROM spectrum CROSS JOIN slope ORDER BY occ_bucket""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80, q112, q126)
+    Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80, q112, q126, q214)
 }

@@ -998,6 +998,80 @@ object Warehouse {
             ORDER BY d.event_type, dow""")
   )
 
+  // --------------------------------------------------------------- q213
+  /** Generic per-column table profile of `orders` — the data-quality
+    * card every warehouse publishes per table: row count, null count,
+    * exact distinct count, and min/max per column. The q66 idea (corpus
+    * profile) applied to an arbitrary relational table.
+    *
+    * Plan shape — one aggregate PER COLUMN over a column-PRUNED scan,
+    * unioned: six narrow parquet reads whose total I/O equals ONE
+    * full-width scan (columnar at rest), each internally parallel, and
+    * none of them pays the q36 anti-pattern (a single pass computing six
+    * `countDistinct`s would Expand the corpus 6x before the shuffle).
+    * Values are rendered engine-portably: integers/strings verbatim,
+    * timestamps as epoch-micros strings, doubles via plain-notation cast
+    * (price domain < 1e7 — the q161 guard; Spark renders larger doubles
+    * in scientific notation, DuckDB never does).
+    */
+  val q213 = QuerySpec(
+    "q213_table_profile",
+    (s, d) => {
+      val t = Tables.orders(s, d)
+      def prof(cn: String, v: Column): DataFrame =
+        t.select(col(cn)).agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(cn))).as("n_nulls"),
+          countDistinct(col(cn)).as("n_distinct"),
+          min(v).cast("string").as("vmin"),
+          max(v).cast("string").as("vmax"))
+          .select(lit(cn).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("vmin"), col("vmax"))
+      prof("o_orderkey", col("o_orderkey"))
+        .unionByName(prof("o_custkey", col("o_custkey")))
+        .unionByName(prof("o_orderstatus", col("o_orderstatus")))
+        .unionByName(prof("o_totalprice", col("o_totalprice")))
+        .unionByName(prof("o_orderdate", unix_micros(col("o_orderdate"))))
+        .unionByName(prof("o_orderpriority", col("o_orderpriority")))
+        .orderBy("column_name")
+    },
+    Some("""WITH p AS (
+              SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+                COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+                COUNT(DISTINCT o_orderkey) AS n_distinct,
+                CAST(MIN(o_orderkey) AS VARCHAR) AS vmin,
+                CAST(MAX(o_orderkey) AS VARCHAR) AS vmax
+              FROM orders
+            UNION ALL
+              SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                COUNT(DISTINCT o_custkey),
+                CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+              FROM orders
+            UNION ALL
+              SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+                COUNT(DISTINCT o_orderstatus),
+                MIN(o_orderstatus), MAX(o_orderstatus)
+              FROM orders
+            UNION ALL
+              SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+                COUNT(DISTINCT o_totalprice),
+                CAST(MIN(o_totalprice) AS VARCHAR),
+                CAST(MAX(o_totalprice) AS VARCHAR)
+              FROM orders
+            UNION ALL
+              SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+                COUNT(DISTINCT o_orderdate),
+                CAST(MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS VARCHAR),
+                CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS VARCHAR)
+              FROM orders
+            UNION ALL
+              SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+                COUNT(DISTINCT o_orderpriority),
+                MIN(o_orderpriority), MAX(o_orderpriority)
+              FROM orders)
+            SELECT * FROM p ORDER BY column_name""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
-    q152, q153, q156, q157, q161, q163, q164, q169, q174, q182, q183)
+    q152, q153, q156, q157, q161, q163, q164, q169, q174, q182, q183, q213)
 }

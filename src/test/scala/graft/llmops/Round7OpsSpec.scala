@@ -33,6 +33,9 @@ class Round7OpsSpec extends SparkTestBase {
 
   private def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
 
+  private def row(id: Long, text: String) =
+    (id, text, "en", "src0", text.length.toLong)
+
   test("q203: source-determines-lang corpus scores MI = ln 2; independent grid scores 0") {
     // Determined: src0 → en only, src1 → de only, equal mass.
     val det = (0 until 4).map(i => (i.toLong, "x", "en", "src0", 1L)) ++
@@ -170,6 +173,49 @@ class Round7OpsSpec extends SparkTestBase {
     val none = Seq((1L, "a b c", "en", "s", 1L), (2L, "d e f", "en", "s", 1L))
     val got2 = RetrievalOps.q211.run(spark, docsDir(none)).collect()
     assert(got2.forall(r => r.getLong(1) == 0L && r.getDouble(3) == 0.0))
+  }
+
+  test("q213: profile counts nulls, distincts, and renders min/max portably") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("round7ord").toString
+    Seq(
+      (1L, Option(10L), "O", Option(10.5), new java.sql.Timestamp(1700000000000L), "1-URGENT"),
+      (2L, Option(20L), "F", None, new java.sql.Timestamp(1700000100000L), "1-URGENT"),
+      (3L, None, "O", Option(30.25), new java.sql.Timestamp(1700000200000L), "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Warehouse.q213.run(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("o_custkey") == ((3L, 1L, 2L, "10", "20")), got.toString)
+    assert(got("o_totalprice") == ((3L, 1L, 2L, "10.5", "30.25")), got.toString)
+    assert(got("o_orderstatus") == ((3L, 0L, 2L, "F", "O")), got.toString)
+    assert(got("o_orderdate")._4 == "1700000000000000", "timestamps render as epoch-micros")
+  }
+
+  test("q214: spectrum buckets exact; slope 0 for flat, negative for decaying, NULL for 1 term") {
+    // 3 hapax terms, 2 terms seen twice, 1 term seen 12 times (bucket 10+)
+    val text = "h1 h2 h3 d1 d1 d2 d2 " + ("z " * 12).trim
+    val got = TextAnalysis.q214.run(spark, docsDir(Seq(row(1L, text)))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 10L -> 1L), got.toString)
+
+    // every term equally frequent → y constant → numerator 0 → slope 0.0
+    val flat = docsDir(Seq(row(1L, "a b c a b c")))
+    val s1 = TextAnalysis.q214.run(spark, flat).collect()
+    assert(s1.forall(_.getDouble(2) == 0.0), s1.mkString(","))
+
+    // geometric decay → strictly negative slope
+    val decay = docsDir(Seq(row(1L, ("w1 " * 16 + "w2 " * 8 + "w3 " * 4 + "w4 " * 2).trim)))
+    val s2 = TextAnalysis.q214.run(spark, decay).collect()
+    assert(s2.forall(_.getDouble(2) < 0.0), s2.mkString(","))
+
+    // a single term: rank domain is one point → denominator 0 → NULL
+    val one = docsDir(Seq(row(1L, "solo solo solo")))
+    val s3 = TextAnalysis.q214.run(spark, one).collect()
+    assert(s3.forall(_.isNullAt(2)), s3.mkString(","))
   }
 
   test("q208: greedy picks by uncovered-trigram gain, ties break low-id, exhaustion stops") {
