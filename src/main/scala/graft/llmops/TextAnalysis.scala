@@ -669,33 +669,28 @@ object TextAnalysis {
   )
 
   // --------------------------------------------------------------- q214
-  /** Zipf frequency spectrum + fitted slope — the vocabulary-shape
-    * diagnostic that pairs with Heaps' growth (q199) and lexical Gini
-    * (q167): how many terms occur exactly once, twice, ... (the hapax
-    * spectrum that sizes tokenizer vocabularies and dedup stores), and
-    * the log-log slope of the top-20 rank-frequency curve (Zipf's
-    * exponent; ~-1 for natural text, ~0 for this synthetic flat vocab —
-    * which is exactly what q147's negative result measured, now as one
-    * number).
+  /** Zipf rank-frequency FIT — the exponent and goodness-of-fit that
+    * q89's log-bucketed spectrum does not give: OLS slope and R2 of
+    * ln(freq) against ln(rank) over the top-20 terms. Natural text fits
+    * slope ~ -1 with high R2; this synthetic flat vocabulary fits near 0
+    * — the one-number version of q147's measured negative result (a
+    * rarity prefix cannot prune a corpus whose Zipf slope is ~0), and
+    * the statistic a tokenizer/vocab planner reads next to Heaps' q199.
     *
-    * Scale: the spectrum is a vocab-bounded double aggregate; the slope
-    * fit runs on 20 rows AFTER a TakeOrderedAndProject (the rank window
-    * sees 20 rows, never the vocabulary). Determinism: q156's OLS
-    * discipline — ln() of exact integers micro-floored to longs, exact
-    * long sufficient sums, one double division guarded against the
-    * degenerate all-equal-frequency case (den = 0 → NULL slope in both
-    * engines).
+    * Scale: one vocab-bounded count aggregate, a TakeOrderedAndProject
+    * top-20, and a 20-row fit (the rank window sees 20 rows, never the
+    * vocabulary). Determinism: q156/q163's discipline — ln() of exact
+    * integers micro-floored to longs, exact long sufficient sums, the
+    * two divisions last, degenerate denominators (one term; constant
+    * frequency) yielding NULL in both engines.
     */
   val q214 = QuerySpec(
-    "q214_zipf_spectrum",
+    "q214_zipf_slope",
     (s, d) => {
       val tc = fanOut(Tables.documents(s, d))
         .select(explode(split(asciiLower(col("text")), " ")).as("term"))
         .filter(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("c"))
-      val spectrum = tc
-        .groupBy(least(col("c"), lit(10L)).as("occ_bucket"))
-        .agg(count(lit(1)).as("n_terms"))
       val top = tc.orderBy(col("c").desc, col("term")).limit(20)
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -703,23 +698,24 @@ object TextAnalysis {
         .select(
           floor(log(col("rk").cast("double")) * lit(1e6)).cast("long").as("x"),
           floor(log(col("c").cast("double")) * lit(1e6)).cast("long").as("y"))
-      val slope = top.agg(
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      top.agg(
           count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-        .select(when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
-          .otherwise(ffloor(
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
-          .as("zipf_slope"))
-      spectrum.crossJoin(broadcast(slope)).orderBy("occ_bucket")
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n").as("n_points"),
+          when(dx === 0, lit(null)).otherwise(
+            ffloor(num.cast("double") / dx.cast("double"), 6)).as("zipf_slope"),
+          when(dx === 0 || dy === 0, lit(null)).otherwise(
+            ffloor((num.cast("double") * num.cast("double")) /
+              (dx.cast("double") * dy.cast("double")), 6)).as("zipf_r2"))
     },
     Some(s"""WITH tc AS (
               SELECT t.term, COUNT(*) AS c FROM documents,
                 unnest(string_split(${asciiLowerSql("text")}, ' ')) AS t(term)
               WHERE t.term <> '' GROUP BY 1),
-            spectrum AS (
-              SELECT LEAST(c, 10) AS occ_bucket, COUNT(*) AS n_terms
-              FROM tc GROUP BY 1),
             top AS (
               SELECT CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER
                   (ORDER BY c DESC, term) AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
@@ -729,16 +725,20 @@ object TextAnalysis {
               SELECT CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
                 CAST(SUM(x * y) AS BIGINT) AS sxy,
-                CAST(SUM(x * x) AS BIGINT) AS sxx
-              FROM top),
-            slope AS (
-              SELECT CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                CAST(SUM(x * x) AS BIGINT) AS sxx,
+                CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM top)
+            SELECT n AS n_points,
+              CASE WHEN n * sxx - sx * sx = 0 THEN NULL
                 ELSE CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
                   / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0) AS DOUBLE)
-                  / 1000000.0 END AS zipf_slope
-              FROM sums)
-            SELECT occ_bucket, n_terms, zipf_slope
-            FROM spectrum CROSS JOIN slope ORDER BY occ_bucket""")
+                  / 1000000.0 END AS zipf_slope,
+              CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE CAST(FLOOR(
+                  (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                  / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1000000.0) AS DOUBLE) / 1000000.0 END AS zipf_r2
+            FROM sums""")
   )
 
   val all: Seq[QuerySpec] =

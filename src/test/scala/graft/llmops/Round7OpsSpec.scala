@@ -195,27 +195,24 @@ class Round7OpsSpec extends SparkTestBase {
     assert(got("o_orderdate")._4 == "1700000000000000", "timestamps render as epoch-micros")
   }
 
-  test("q214: spectrum buckets exact; slope 0 for flat, negative for decaying, NULL for 1 term") {
-    // 3 hapax terms, 2 terms seen twice, 1 term seen 12 times (bucket 10+)
-    val text = "h1 h2 h3 d1 d1 d2 d2 " + ("z " * 12).trim
-    val got = TextAnalysis.q214.run(spark, docsDir(Seq(row(1L, text)))).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 3L, 2L -> 2L, 10L -> 1L), got.toString)
-
-    // every term equally frequent → y constant → numerator 0 → slope 0.0
+  test("q214: slope 0 for flat frequencies, negative with high R2 for decay, NULL for 1 term") {
+    // every term equally frequent → y constant → numerator 0 → slope 0.0,
+    // R2 undefined (zero y-variance) → NULL
     val flat = docsDir(Seq(row(1L, "a b c a b c")))
-    val s1 = TextAnalysis.q214.run(spark, flat).collect()
-    assert(s1.forall(_.getDouble(2) == 0.0), s1.mkString(","))
+    val s1 = TextAnalysis.q214.run(spark, flat).collect()(0)
+    assert(s1.getDouble(1) == 0.0 && s1.isNullAt(2), s1.toString)
 
-    // geometric decay → strictly negative slope
+    // exact power law c = 16/rank (16,8,4,2 over ranks 1,2,4,... not exact
+    // ranks — but ln-ln is perfectly linear for c = 2^(4-k), rank 2^k only
+    // approximately; assert slope < 0 and R2 > 0.9 instead of exactness)
     val decay = docsDir(Seq(row(1L, ("w1 " * 16 + "w2 " * 8 + "w3 " * 4 + "w4 " * 2).trim)))
-    val s2 = TextAnalysis.q214.run(spark, decay).collect()
-    assert(s2.forall(_.getDouble(2) < 0.0), s2.mkString(","))
+    val s2 = TextAnalysis.q214.run(spark, decay).collect()(0)
+    assert(s2.getDouble(1) < 0.0 && s2.getDouble(2) > 0.9, s2.toString)
 
-    // a single term: rank domain is one point → denominator 0 → NULL
+    // a single term: rank domain is one point → both denominators 0 → NULL
     val one = docsDir(Seq(row(1L, "solo solo solo")))
-    val s3 = TextAnalysis.q214.run(spark, one).collect()
-    assert(s3.forall(_.isNullAt(2)), s3.mkString(","))
+    val s3 = TextAnalysis.q214.run(spark, one).collect()(0)
+    assert(s3.isNullAt(1) && s3.isNullAt(2), s3.toString)
   }
 
   test("q208: greedy picks by uncovered-trigram gain, ties break low-id, exhaustion stops") {
