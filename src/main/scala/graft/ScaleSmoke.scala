@@ -95,7 +95,11 @@ object ScaleSmoke {
       "q196_pq_recall_audit", "q197_simhash_recall_audit",
       "q198_rendezvous_sharding", "q199_vocab_growth",
       "q200_pareto_front", "q201_vocab_store_audit",
-      "q202_scalar_quant_audit")
+      "q202_scalar_quant_audit",
+      "q203_source_lang_mi", "q204_chi2_terms", "q206_token_waterfill",
+      "q207_padding_waste", "q208_greedy_set_cover", "q209_mutual_nn",
+      "q210_kwic_concordance", "q211_rbo_rank_agreement",
+      "q212_topk_store_audit", "q214_zipf_slope")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

@@ -62,13 +62,16 @@ object RetrievalOps {
       // both directions for the argmax come from a cheap swapped union.
       val half = a.join(b, Seq("label")).filter(col("id1") < col("id2"))
         .select(col("label"), col("id1"), col("id2"), cos.as("cos"))
-      val nn = half
+      // Materialized: both sides of the mutuality self-join consume the
+      // NN table (q185's contract) — without the cut the blocked pair
+      // scoring runs twice. One row per vector.
+      val nn = graft.core.Materialize(half
         .unionByName(half.select(col("label"), col("id2").as("id1"),
           col("id1").as("id2"), col("cos")))
         .groupBy("label", "id1")
         .agg(max(struct(col("cos"), (-col("id2")).as("nid"))).as("m"))
         .select(col("label"), col("id1"),
-          (-col("m.nid")).as("id2"), col("m.cos").as("cos"))
+          (-col("m.nid")).as("id2"), col("m.cos").as("cos")))
       nn.as("x").join(nn.as("y"),
           col("x.label") === col("y.label") &&
             col("x.id2") === col("y.id1") && col("y.id2") === col("x.id1") &&

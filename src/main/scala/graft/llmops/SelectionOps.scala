@@ -51,12 +51,15 @@ object SelectionOps {
         .withColumn("cap", col("n_tokens") * 2)
       val wAll = Window.partitionBy()
       val wOrd = Window.partitionBy().orderBy(col("cap"), col("source"))
-      val ranked = perSrc
+      // Materialized: consumed three times (k* aggregate, the λ row, the
+      // final allocation) — without the cut each consumer replays the
+      // corpus tokenization. G rows; the corpus is scanned ONCE.
+      val ranked = graft.core.Materialize(perSrc
         .withColumn("g", count(lit(1)).over(wAll))
         .withColumn("budget", expr("(sum(n_tokens) over () * 19) div 10"))
         .withColumn("rn", row_number().over(wOrd))
         .withColumn("pfx", sum("cap").over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       // k-candidate validity: level clears this row's cap if the budget
       // left after paying all caps ≤ this one covers (G−k)·cap_(k).
       // k = rn (this row and everything before it capped).
