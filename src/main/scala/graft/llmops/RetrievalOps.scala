@@ -301,5 +301,84 @@ object RetrievalOps {
             FROM t ORDER BY depth""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q209, q210, q211)
+  // --------------------------------------------------------------- q215
+  /** Centroid-outlier audit: the 20 vectors LEAST aligned with their own
+    * label's centroid — the per-vector actionable complement to q144's
+    * NN histogram and q194's anisotropy: a low cosine to the label
+    * centroid flags probable mislabels and corrupt embeddings before
+    * they poison an IVF router (q38/q173) or a hard-negative miner
+    * (q96). Cosine's scale invariance means the centroid MEAN is never
+    * computed — cos(x, mean_l) = cos(x, sum_l) — and with micro-floored
+    * components (q173's contract) both the per-label SUM vectors and
+    * the per-vector dot/norm are exact DECIMAL(38,0)/HUGEINT integer
+    * arithmetic with ONE double conversion + ffloor at the end (q185's
+    * discipline). Each vector is included in its own label sum (the
+    * standard convention; at corpus scale the self-term is negligible
+    * and excluding it would cost a per-vector centroid variant).
+    *
+    * Scale shape: two corpus passes (q194's contract) — one posexplode
+    * aggregate to the |labels|·dim summary, one scoring pass joining
+    * components against that BROADCAST summary into a vec_id-keyed
+    * aggregate — then a TakeOrdered(20). Zero-norm vectors are excluded
+    * (no direction, no alignment).
+    */
+  val q215 = QuerySpec(
+    "q215_centroid_outliers",
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      def comps(df: DataFrame) = df
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("xm"))
+      val e = Tables.embeddings(s, d)
+      val labelSums = graft.core.Materialize(
+        comps(e).groupBy("label", "dim")
+          .agg(sum("xm").cast("long").as("sv")))
+      val labelNorms = labelSums.groupBy("label")
+        .agg(sum(col("sv").cast(dec) * col("sv").cast(dec)).as("nb"))
+      comps(e)
+        .join(broadcast(labelSums), Seq("label", "dim"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("xm").cast(dec) * col("sv").cast(dec)).as("dot"),
+          sum(col("xm").cast(dec) * col("xm").cast(dec)).as("na"))
+        .join(broadcast(labelNorms), "label")
+        .filter(col("na") > 0 && col("nb") > 0)
+        .select(col("label"), col("vec_id"),
+          ffloor(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+            .as("cos_centroid"))
+        .orderBy(col("cos_centroid"), col("vec_id"))
+        .limit(20)
+    },
+    Some("""WITH comps AS (
+              SELECT vec_id, label, i - 1 AS dim,
+                CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+                  AS xm
+              FROM (SELECT vec_id, label, embedding,
+                      unnest(range(1, len(embedding) + 1)) AS i
+                    FROM embeddings)),
+            ls AS (
+              SELECT label, dim, CAST(SUM(xm) AS BIGINT) AS sv
+              FROM comps GROUP BY 1, 2),
+            ln AS (
+              SELECT label, SUM(CAST(sv AS HUGEINT) * sv) AS nb
+              FROM ls GROUP BY 1),
+            per AS (
+              SELECT c.vec_id, c.label,
+                SUM(CAST(c.xm AS HUGEINT) * s.sv) AS dot,
+                SUM(CAST(c.xm AS HUGEINT) * c.xm) AS na
+              FROM comps c JOIN ls s ON c.label = s.label AND c.dim = s.dim
+              GROUP BY 1, 2)
+            SELECT p.label, p.vec_id,
+              CAST(FLOOR(CAST(dot AS DOUBLE) /
+                (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE)))
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS cos_centroid
+            FROM per p JOIN ln USING (label)
+            WHERE na > 0 AND nb > 0
+            ORDER BY cos_centroid, vec_id LIMIT 20""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q209, q210, q211, q215)
 }

@@ -144,6 +144,19 @@ class Round7OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((0, 1L, 2L)), got.mkString(","))
   }
 
+  test("q215: the planted cross-label vector is the top centroid outlier") {
+    // label 0 points along +x, label 1 along +y; vector 9 carries label 0
+    // but points along +y → lowest cosine to label 0's centroid.
+    val aligned0 = (1 to 4).map(i => (i.toLong, Array(1f, 0.1f * i), 0))
+    val aligned1 = (5 to 8).map(i => (i.toLong, Array(0.1f * i, 1f), 1))
+    val planted = Seq((9L, Array(0.01f, 1f), 0))
+    val dir = embDir(aligned0 ++ aligned1 ++ planted)
+    val got = RetrievalOps.q215.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.head._2 == 9L, s"planted mislabel should rank first: ${got.mkString(",")}")
+    assert(got.head._3 < got.last._3, "output must ascend in cosine")
+  }
+
   test("q210: pivot is the modal token; contexts clip at document edges") {
     val docs = Seq(
       (1L, "p q r x s t u", "en", "s", 1L),
