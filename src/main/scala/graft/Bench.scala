@@ -16,7 +16,14 @@ object Bench {
     // history file records min/max so the spread itself is auditable.
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
-    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter (builder tooling; driver sets no env → full
+    // run): comma-separated name prefixes, mirrors Verify's filter.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
+    val samples = SparkEntry.queries.toSeq.filter(kv => selected(kv._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).map { i =>
         val t0 = System.nanoTime()
         // a failed query records a large penalty, never a fast time — a

@@ -99,7 +99,7 @@ object ScaleSmoke {
       "q203_source_lang_mi", "q204_chi2_terms", "q206_token_waterfill",
       "q207_padding_waste", "q208_greedy_set_cover", "q209_mutual_nn",
       "q210_kwic_concordance", "q211_rbo_rank_agreement",
-      "q212_topk_store_audit", "q214_zipf_slope")
+      "q212_topk_store_audit", "q214_zipf_slope", "q215_centroid_outliers")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     names.foreach { n =>
       val q = QueryRegistry.byName(n)

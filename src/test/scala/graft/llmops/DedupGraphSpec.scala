@@ -78,7 +78,12 @@ class DedupGraphSpec extends SparkTestBase {
     assert(warmLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       .sameElements(coldLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted),
       "warm-start must converge to the full-recompute labels")
-    assert(coldRounds >= 7, s"chain fixture: cold needs diameter rounds, got $coldRounds")
+    // With pointer doubling the cold fixpoint needs ~log2(diameter)
+    // propagation rounds (+1 to confirm convergence): the 7-hop chain
+    // collapses in 4 rounds, not 7 — that speedup is the point of the
+    // hop. The warm start must still beat cold (its change has diameter
+    // 2), and both must land identical labels.
+    assert(coldRounds >= 4, s"chain fixture: cold needs ~log2(diameter) rounds, got $coldRounds")
     assert(warmRounds < coldRounds,
       s"warm start must track the change, not the corpus: $warmRounds vs $coldRounds")
   }
