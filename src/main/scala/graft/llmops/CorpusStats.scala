@@ -1650,7 +1650,65 @@ object CorpusStats {
             ORDER BY d1, d2""")
   )
 
+  // --------------------------------------------------------------- q216
+  /** L-DIVERSITY audit on q191's release grain — the disclosure-control
+    * check k-anonymity alone misses: a source cell can be large (k-safe)
+    * yet have every member share the same sensitive value (here: lang),
+    * so membership still discloses the attribute. Per source: distinct
+    * sensitive values (distinct l-diversity, threshold l ≥ 3) and the
+    * Shannon entropy of the value distribution in micro-nats (entropy
+    * l-diversity, threshold ln 2 — effective diversity ≥ 2). Entropy
+    * follows q137's contract: per-cell n_sl·floor(ln(n_s/n_sl)·1e6)
+    * exact-long contributions, ONE double division per source at the
+    * end, booleans compared on the ffloored value both engines share.
+    * One corpus aggregate to the G×L cell table; everything after runs
+    * on cells (windows partition by source — G·L rows).
+    */
+  val q216 = QuerySpec(
+    "q216_l_diversity",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val cells = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+        .withColumn("n_s", sum("n_sl").over(w))
+      cells
+        .withColumn("contrib",
+          col("n_sl") * floor(log(col("n_s").cast("double") /
+            col("n_sl").cast("double")) * lit(1e6)).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("l_distinct"),
+          sum("n_sl").cast("long").as("n_docs"),
+          ffloor(sum("contrib").cast("double") /
+            (max("n_s").cast("double") * lit(1e6)), 6).as("entropy_nats"))
+        .withColumn("distinct_ok", col("l_distinct") >= 3)
+        .withColumn("entropy_ok", col("entropy_nats") >= 0.693147)
+        .orderBy("source")
+    },
+    Some("""WITH cells AS (
+              SELECT source, lang, COUNT(*) AS n_sl FROM documents
+              GROUP BY 1, 2),
+            m AS (
+              SELECT source, lang, n_sl,
+                CAST(SUM(n_sl) OVER (PARTITION BY source) AS BIGINT) AS n_s
+              FROM cells),
+            c AS (
+              SELECT source, n_sl, n_s,
+                n_sl * CAST(FLOOR(ln(CAST(n_s AS DOUBLE) / CAST(n_sl AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS contrib
+              FROM m)
+            SELECT source, COUNT(*) AS l_distinct,
+              CAST(SUM(n_sl) AS BIGINT) AS n_docs,
+              CAST(FLOOR(CAST(SUM(contrib) AS DOUBLE)
+                / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS entropy_nats,
+              COUNT(*) >= 3 AS distinct_ok,
+              CAST(FLOOR(CAST(SUM(contrib) AS DOUBLE)
+                / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) * 1000000.0) AS DOUBLE)
+                / 1000000.0 >= 0.693147 AS entropy_ok
+            FROM c GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
     q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167, q170, q179, q184, q191, q193)
+    q167, q170, q179, q184, q191, q193, q216)
 }

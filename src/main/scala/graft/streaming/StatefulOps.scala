@@ -325,4 +325,38 @@ object StatefulOps {
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
   }
+
+  // ------------------------------------------- streaming session paths
+  /** q205's ONLINE form: emit each completed session's path (first ≤ 8
+    * event types in time order, joined with ">") once its session window
+    * closes under the watermark. Built-in-first ([[streamingSessionize]]'s
+    * reasoning): the native `session_window` aggregation gets
+    * watermark-scoped state eviction and RocksDB state for free; the
+    * path assembles from a session-bounded `collect_list` sorted on
+    * (event-time, event_id) structs — deterministic under out-of-order
+    * arrival WITHIN the lateness horizon — and `slice(…, 1, 8)` caps the
+    * emitted string exactly like the batch form's rn ≤ 8. Append mode
+    * emits one row per session, after the watermark passes its close —
+    * the at-most-once-per-session contract a path-mining dashboard
+    * wants. State per open session: ≤ 8 (ts, id, type) structs + the
+    * window bounds, bounded by gap × arrival rate per user.
+    */
+  def streamingSessionPaths(
+      events: DataFrame,
+      gap: String = "4 hours",
+      late: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", late)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            col("event_type")))), 1, 8),
+          x => x.getField("event_type")), ">").as("path"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("path"))
+  }
 }

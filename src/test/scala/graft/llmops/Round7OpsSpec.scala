@@ -144,6 +144,21 @@ class Round7OpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((0, 1L, 2L)), got.mkString(","))
   }
 
+  test("q216: monoculture source fails both gates; uniform source passes with entropy ln|langs|") {
+    // src "mono": 6 docs, one lang → l=1, entropy 0 → both gates false.
+    // src "divers": 2 docs each of 4 langs → l=4, entropy = ln 4 ≈ 1.386294.
+    val docs =
+      (0 until 6).map(i => (i.toLong, "x", "en", "mono", 1L)) ++
+      Seq("en", "de", "es", "fr").zipWithIndex.flatMap { case (l, i) =>
+        Seq((10L + 2 * i, "x", l, "divers", 1L), (11L + 2 * i, "x", l, "divers", 1L)) }
+    val got = CorpusStats.q216.run(spark, docsDir(docs)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got("mono") == ((1L, 0.0, false, false)), got.toString)
+    assert(got("divers")._1 == 4L && got("divers")._3 && got("divers")._4, got.toString)
+    assert(got("divers")._2 == 1.386294, s"uniform-4 entropy is ln 4: $got")
+  }
+
   test("q215: the planted cross-label vector is the top centroid outlier") {
     // label 0 points along +x, label 1 along +y; vector 9 carries label 0
     // but points along +y → lowest cosine to label 0's centroid.

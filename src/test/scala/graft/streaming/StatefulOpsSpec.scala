@@ -169,6 +169,41 @@ class StatefulOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingSessionPaths emits each closed session's ordered capped path once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000L
+    val hour = 3600 * 1000L
+    // user 1 session 1: view > click > purchase (out-of-order arrival
+    // within the batch); session 2 at +6h: view > view. user 2: ten
+    // views — path caps at 8.
+    val s1 = Seq(
+      (1L, 2L, base + 2000, "purchase"), (1L, 0L, base, "view"),
+      (1L, 1L, base + 1000, "click"),
+      (1L, 3L, base + 6 * hour, "view"), (1L, 4L, base + 6 * hour + 500, "view")) ++
+      (0 until 10).map(i => (2L, 10L + i, base + i * 1000L, "view"))
+    val stream = MemoryStream[(Long, Long, Long, String)]
+    val df = stream.toDS().toDF("user_id", "event_id", "ts_ms", "event_type")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_millis(ts_ms)"))
+    val q = StatefulOps.streamingSessionPaths(df, gap = "4 hours", late = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("paths")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      stream.addData(s1: _*)
+      q.processAllAvailable()
+      stream.addData((99L, 999L, base + 100 * hour, "view")) // close all
+      q.processAllAvailable()
+      val got = spark.table("paths").collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+        .filter(_._1 != 99L).toSet
+      assert(got == Set(
+        (1L, "view>click>purchase"),
+        (1L, "view>view"),
+        (2L, ("view>" * 8).dropRight(1))), s"got $got")
+    } finally q.stop()
+  }
+
   test("streamingNearDup: hot bucket over maxBucket across micro-batches evicts FIFO, keeps recall for recent docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
