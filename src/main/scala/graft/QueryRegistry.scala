@@ -8,6 +8,7 @@ object QueryRegistry {
       graft.operators.Extras.all ++
       graft.operators.Quantiles.all ++
       graft.operators.Warehouse.all ++
+      graft.operators.ZOrder.all ++
       graft.llmops.Dedup.all ++
       graft.llmops.IncrementalDedup.all ++
       graft.llmops.ClusterStore.all ++
@@ -27,7 +28,8 @@ object QueryRegistry {
       graft.llmops.FeatureStats.all ++
       graft.llmops.SelectionOps.all ++
       graft.llmops.RetrievalOps.all ++
-      graft.llmops.TopKStore.all
+      graft.llmops.TopKStore.all ++
+      graft.llmops.BloomStore.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }

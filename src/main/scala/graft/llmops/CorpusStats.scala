@@ -1708,7 +1708,81 @@ object CorpusStats {
             FROM c GROUP BY source ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q217
+  /** T-CLOSENESS audit — the third leg of the disclosure-control tripod
+    * (q191 k-anonymity: cells big enough; q216 l-diversity: values varied
+    * enough; here: the in-cell sensitive distribution must be CLOSE to
+    * the corpus-wide one, or membership in the cell still shifts an
+    * attacker's posterior). For the categorical sensitive attribute
+    * (lang) the distance is total variation — EMD under uniform ground
+    * distance — TVD(source) = ½·Σ_lang |n_sl/n_s − n_l/N|.
+    *
+    * Exactness: each |·| term is brought to the common denominator
+    * n_s·N, so the sum Σ|n_sl·N − n_l·n_s| is EXACT integer arithmetic
+    * (DECIMAL(38,0)/HUGEINT — n_sl·N overflows int64 once counts pass
+    * ~3·10⁹, which 100 TB corpora do); the t ≤ 0.2 gate cross-multiplies
+    * (5·Σ ≤ 2·n_s·N) so the BOOLEAN never touches IEEE, and the reported
+    * tvd pays one final double division, ffloored (Ops.scala contract).
+    *
+    * Scale shape: one corpus aggregate to the G×L cell table; the
+    * missing-cell grid (a source with zero docs of some lang still
+    * contributes |0 − n_l/N|) is sources × langs — both margin tables are
+    * group-bounded, so the grid, the broadcasts, and every window live on
+    * cells, never the corpus.
+    */
+  val q217 = QuerySpec(
+    "q217_t_closeness",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
+      val langs = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val total = docs.agg(count(lit(1)).as("n"))
+      srcs.crossJoin(broadcast(langs))
+        .join(cells, Seq("source", "lang"), "left")
+        .na.fill(0L, Seq("n_sl"))
+        .crossJoin(broadcast(total))
+        .withColumn("num",
+          abs(col("n_sl").cast(DecimalType(38, 0)) * col("n") -
+            col("n_l").cast(DecimalType(38, 0)) * col("n_s")))
+        .groupBy("source")
+        .agg(max("n_s").cast("long").as("n_docs"),
+          sum("num").cast(DecimalType(38, 0)).as("l1"),
+          (max("n_s").cast(DecimalType(38, 0)) * max("n"))
+            .cast(DecimalType(38, 0)).as("den"))
+        .select(col("source"), col("n_docs"),
+          ffloor(col("l1").cast("double") /
+            (col("den").cast("double") * lit(2.0)), 6).as("tvd"),
+          (col("l1") * 5 <= col("den") * 2).as("t_ok"))
+        .orderBy("source")
+    },
+    Some("""WITH cells AS (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
+              FROM documents GROUP BY 1, 2),
+            langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+                      FROM documents GROUP BY 1),
+            srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+                     FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            grid AS (
+              SELECT s.source, s.n_s, l.lang, l.n_l,
+                COALESCE(c.n_sl, 0) AS n_sl, t.n
+              FROM srcs s CROSS JOIN langs l CROSS JOIN tot t
+              LEFT JOIN cells c ON c.source = s.source AND c.lang = l.lang),
+            agg AS (
+              SELECT source, MAX(n_s) AS n_docs,
+                CAST(SUM(ABS(CAST(n_sl AS HUGEINT) * n
+                  - CAST(n_l AS HUGEINT) * n_s)) AS HUGEINT) AS l1,
+                CAST(MAX(n_s) AS HUGEINT) * MAX(n) AS den
+              FROM grid GROUP BY source)
+            SELECT source, n_docs,
+              CAST(FLOOR(CAST(l1 AS DOUBLE) / (CAST(den AS DOUBLE) * 2.0)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS tvd,
+              l1 * 5 <= den * 2 AS t_ok
+            FROM agg ORDER BY source""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
     q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167, q170, q179, q184, q191, q193, q216)
+    q167, q170, q179, q184, q191, q193, q216, q217)
 }

@@ -1280,6 +1280,79 @@ object Dedup {
             FROM na, he, tri""")
   )
 
+  // --------------------------------------------------------------- q218
+  /** LOCAL clustering-coefficient distribution — q172's global census,
+    * resolved per node and rolled into a decile histogram: c_v =
+    * 2·Δ_v / (deg_v·(deg_v−1)) tells each DOC whether its neighborhood
+    * is a clique (template family member, c→1) or a star/chain hub
+    * (boilerplate bridge or truncation ladder, c→0); the corpus-level
+    * histogram of those values is the structural fingerprint that picks
+    * per-cluster dedup policy where q172's single global number cannot
+    * (a bimodal corpus — half templates, half chains — has the same
+    * global coefficient as a uniformly-mediocre one).
+    *
+    * Exactness: the decile is PURE integer arithmetic,
+    * least(9, (20·Δ_v) div (deg_v·(deg_v−1))) — floor(10·c_v) with the
+    * c_v = 1 clique case folded into the top bucket — so no IEEE op
+    * exists anywhere. Nodes with deg < 2 have no defined coefficient and
+    * are excluded (they are exactly the simple-pair docs q131 already
+    * counts as size-2 clusters).
+    *
+    * Scale shape: the oriented triangle join is q172's (two keyed
+    * equi-joins on the HALF edge set, per-node work bounded by the gram
+    * df cap); per-node Δ is one explode of the 3-node triangle rows +
+    * a keyed count; everything after lives on the node table. Nothing
+    * corpus-scale shuffles twice.
+    */
+  val q218 = QuerySpec(
+    "q218_local_clustering",
+    (s, d) => {
+      val edges = neardupEdges(Tables.documents(s, d))
+      val half = edges.filter(col("src") < col("dst"))
+      val triNodes = half.as("e1")
+        .join(half.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(half.as("e3"),
+          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst")))
+          .as("id"))
+        .groupBy("id").agg(count(lit(1)).as("tri"))
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .join(triNodes, Seq("id"), "left")
+        .na.fill(0L, Seq("tri"))
+        .withColumn("cc_decile",
+          least(lit(9), expr("(20 * tri) div (deg * (deg - 1))")))
+        .groupBy("cc_decile")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum("tri").cast("long").as("sum_triangles"),
+          sum("deg").cast("long").as("sum_degree"))
+        .orderBy("cc_decile")
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            tris AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM half e1
+              JOIN half e2 ON e1.dst = e2.src
+              JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            tn AS (
+              SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+                SELECT a AS id FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris)
+              GROUP BY id),
+            deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            nodes AS (
+              SELECT d.id, d.deg, COALESCE(t.tri, 0) AS tri
+              FROM deg d LEFT JOIN tn t USING (id)
+              WHERE d.deg >= 2)
+            SELECT LEAST(9, (20 * tri) // (deg * (deg - 1))) AS cc_decile,
+              CAST(COUNT(*) AS BIGINT) AS n_nodes,
+              CAST(SUM(tri) AS BIGINT) AS sum_triangles,
+              CAST(SUM(deg) AS BIGINT) AS sum_degree
+            FROM nodes GROUP BY 1 ORDER BY 1""")
+  )
+
   // --------------------------------------------------------------- q175
   /** Oracled RECALL audit for the MinHash-LSH pipeline — [[q168]]'s
     * sibling, closing the sketch-audit pair: q168 gates the containment
@@ -1764,5 +1837,5 @@ object Dedup {
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
       q113, q123, q128, q130, q131, q168, q172, q175, q181, q186, q187, q188,
-      q197)
+      q197, q218)
 }

@@ -1072,6 +1072,75 @@ object Warehouse {
             SELECT * FROM p ORDER BY column_name""")
   )
 
+  // --------------------------------------------------------------- q219
+  /** SMALL-FILE COMPACTION PLAN — the relational form of the grouping
+    * decision [[graft.sink.Compaction]] executes: given a landed-file
+    * listing (here each order stands in as one landed file, its record
+    * count the per-order lineitem count; a real lake feeds
+    * [[graft.sources.LandedFiles]] metadata in), assign files to
+    * compaction groups of ~target records, never splitting a file and
+    * never reordering (offset order is the sink's D1 naming invariant —
+    * the compacted file inherits the group's FIRST offset as its name).
+    *
+    * The rule is pure prefix arithmetic: group = ⌊cumulative-records-
+    * before / target⌋ — a group closes once the running total crosses the
+    * next target boundary, so overshoot is bounded by one file and, more
+    * importantly, membership is a PURE FUNCTION of (partition, order,
+    * sizes): re-running the planner after a crash reproduces the exact
+    * same groups — the property that makes compaction idempotent (D3).
+    * A state-machine next-fit (reset the accumulator per group) would
+    * pack marginally tighter but is not expressible as one window pass
+    * and loses nothing at scale: both close every group within one file
+    * of the boundary.
+    *
+    * Scale shape: the input is file METADATA (one row per landed file —
+    * a 100 TB lake has ~10⁶–10⁷ such rows, not 10¹²); one window keyed
+    * by lake partition, one keyed aggregate. The order→count derivation
+    * here is one fact-table aggregate standing in for the listing scan.
+    */
+  val q219 = QuerySpec(
+    "q219_compaction_plan",
+    (s, d) => {
+      val target = 1000L
+      val files = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("file_id"))
+        .agg(count(lit(1)).as("n_records"))
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("file_id"),
+          col("o_orderpriority").as("part_key")), "file_id")
+      val w = Window.partitionBy("part_key").orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum("n_records").over(w), lit(0L)))
+        .withColumn("grp", expr(s"cum_before div $target"))
+        .groupBy("part_key", "grp")
+        .agg(count(lit(1)).as("n_files"),
+          sum("n_records").cast("long").as("n_records"),
+          min("file_id").as("first_file"),
+          max("file_id").as("last_file"))
+        .orderBy("part_key", "grp")
+    },
+    Some("""WITH files AS (
+              SELECT l_orderkey AS file_id,
+                CAST(COUNT(*) AS BIGINT) AS n_records
+              FROM lineitem GROUP BY 1),
+            listed AS (
+              SELECT o.o_orderpriority AS part_key, f.file_id, f.n_records
+              FROM files f JOIN orders o ON f.file_id = o.o_orderkey),
+            planned AS (
+              SELECT part_key, file_id, n_records,
+                COALESCE(CAST(SUM(n_records) OVER (
+                  PARTITION BY part_key ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) // 1000 AS grp
+              FROM listed)
+            SELECT part_key, grp,
+              CAST(COUNT(*) AS BIGINT) AS n_files,
+              CAST(SUM(n_records) AS BIGINT) AS n_records,
+              MIN(file_id) AS first_file, MAX(file_id) AS last_file
+            FROM planned GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
-    q152, q153, q156, q157, q161, q163, q164, q169, q174, q182, q183, q213)
+    q152, q153, q156, q157, q161, q163, q164, q169, q174, q182, q183, q213,
+    q219)
 }

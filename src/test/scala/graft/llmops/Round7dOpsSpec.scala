@@ -1,0 +1,155 @@
+package graft.llmops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the round-7 session-4 additions on closed-form
+  * fixtures: q217 t-closeness (single-lang sources → TVD ½, uniform mix
+  * → 0), q218 local clustering (planted clique → decile 9, planted path
+  * → decile 0), q219 compaction plan (hand-packed groups), q220 z-order
+  * locality (grid corpus: Morton layout touches fewer files than the
+  * 1-D layout; known interleave bits), q221/q222 Bloom (no false
+  * negatives ever, warm OR-merge == cold rebuild, replay idempotence).
+  * The DuckDB hash oracle proves engine parity on sf data; these prove
+  * the SEMANTICS.
+  */
+class Round7dOpsSpec extends SparkTestBase {
+
+  private def docsDir(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("round7d").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def row(id: Long, text: String, lang: String = "en",
+                  source: String = "src0") =
+    (id, text, lang, source, text.length.toLong)
+
+  private def lakeDir(files: Seq[(Long, Long, String)]): String = {
+    // (file_id, n_records, part_key) → orders + per-order lineitem rows
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("round7dlake").toString
+    files.map { case (id, _, pk) =>
+      (id, 0L, "O", 1.0, new java.sql.Timestamp(1700000000000L), pk)
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    files.flatMap { case (id, n, _) => (0L until n).map(i => (id, i)) }
+      .toDF("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  // ------------------------------------------------------------------ q217
+  test("q217: single-lang sources against a 50/50 corpus score TVD 0.5 and fail t=0.2") {
+    val det = (0 until 4).map(i => row(i.toLong, "x", "en", "srcA")) ++
+      (4 until 8).map(i => row(i.toLong, "x", "de", "srcB"))
+    val got = CorpusStats.q217.run(spark, docsDir(det))
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(3)))
+    // per source: (1,0) vs global (.5,.5) → TVD = ½(|1−.5|+|0−.5|) = 0.5
+    assert(got.toSeq == Seq(("srcA", 0.5, false), ("srcB", 0.5, false)))
+  }
+
+  test("q217: identically-mixed sources score TVD 0 and pass") {
+    val mix = Seq(row(0, "x", "en", "srcA"), row(1, "x", "de", "srcA"),
+      row(2, "x", "en", "srcB"), row(3, "x", "de", "srcB"))
+    val got = CorpusStats.q217.run(spark, docsDir(mix))
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(got.forall(_ == (0.0, true)))
+  }
+
+  // ------------------------------------------------------------------ q218
+  test("q218: planted 4-clique lands in decile 9, planted path center in decile 0") {
+    // Clique: four identical docs (every shared 5-gram links all pairs).
+    val clique = (0 until 4).map(i =>
+      row(i.toLong, "c1 c2 c3 c4 c5"))
+    // Path A–B–C: B shares a distinct rare gram with each neighbor.
+    val path = Seq(
+      row(10, "p1 p2 p3 p4 p5"),
+      row(11, "p1 p2 p3 p4 p5 z9 q1 q2 q3 q4 q5"),
+      row(12, "q1 q2 q3 q4 q5"))
+    val got = Dedup.q218.run(spark, docsDir(clique ++ path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // deg<2 excludes path endpoints; B: deg 2, 0 triangles → decile 0;
+    // clique: deg 3, 3 triangles each → c=1 → decile 9.
+    assert(got == Map(0L -> 1L, 9L -> 4L), got.toString)
+  }
+
+  // ------------------------------------------------------------------ q219
+  test("q219: groups close at the 1000-record boundary, never splitting a file") {
+    val dir = lakeDir(Seq(
+      (1L, 400L, "P1"), (2L, 400L, "P1"), (3L, 400L, "P1"),
+      (4L, 1000L, "P1"), (5L, 100L, "P1"), (6L, 50L, "P2")))
+    val got = graft.operators.Warehouse.q219.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // cum_before: 0,400,800 → grp 0; 1200 → grp 1; 2200 → grp 2
+    assert(got.toSeq == Seq(
+      ("P1", 0L, 3L, 1200L, 1L, 3L),
+      ("P1", 1L, 1L, 1000L, 4L, 4L),
+      ("P1", 2L, 1L, 100L, 5L, 5L),
+      ("P2", 0L, 1L, 50L, 6L, 6L)), got.mkString(","))
+  }
+
+  // ------------------------------------------------------------------ q220
+  test("q220: on a square grid the Morton layout touches fewer files than the 1-D layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("round7dz").toString
+    val grid = for (i <- 0 until 32; j <- 0 until 32) yield
+      (i.toLong * 32 + j, i.toLong, "O", 1.0,
+        new java.sql.Timestamp(86400000L * j), "P")
+    grid.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.ZOrder.q220.run(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("zorder")._1 == got("linear")._1) // same box, same rows
+    assert(got("zorder")._2 < got("linear")._2,
+      s"z=${got("zorder")._2} linear=${got("linear")._2}")
+  }
+
+  // ------------------------------------------------------------ q221/q222
+  private def bloomDocs: Seq[(Long, String, String, String, Long)] = {
+    def doc(id: Long, seed: String) =
+      row(id, (0 until 10).map(t => s"$seed$t").mkString(" "))
+    // ids < 10: eval; ids ≥ 10: corpus, half overlapping eval text
+    Seq(doc(0, "e"), doc(1, "f"),
+      doc(10, "e"), doc(11, "g"), doc(12, "h"), doc(13, "f"))
+  }
+
+  test("q221: a Bloom filter has NO false negatives, and the audit counts only true negatives as probes") {
+    val d = docsDir(bloomDocs)
+    val dir = java.nio.file.Files.createTempDirectory("bloom221").toString
+    val docs = graft.Tables.documents(spark, d)
+    BloomStore.build(docs.filter(col("doc_id") < 10), dir)
+    val evalKeys = BloomStore.keyGrams(docs.filter(col("doc_id") < 10))
+    val verdicts = BloomStore.mightContain(spark, dir, evalKeys, "shingle")
+      .collect().map(_.getBoolean(1))
+    assert(verdicts.nonEmpty && verdicts.forall(identity)) // no false negatives
+    val audit = BloomStore.q221.run(spark, d).collect()(0)
+    val (nEval, nClean, nFp) =
+      (audit.getLong(2), audit.getLong(4), audit.getLong(5))
+    assert(nEval == 6L && nClean == 6L) // 3 eval-gram sets of 3, 2 clean sets
+    assert(nFp <= nClean)
+    assert(audit.getLong(3) > 0 && audit.getLong(3) <= 4 * nEval) // popcount
+  }
+
+  test("q222: warm OR-merge equals cold rebuild, and replay is a no-op") {
+    val d = docsDir(bloomDocs)
+    val dir = java.nio.file.Files.createTempDirectory("bloom222").toString
+    val docs = graft.Tables.documents(spark, d)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    BloomStore.build(even, dir)
+    BloomStore.update(spark, dir, odd)
+    def words(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val warm = words(spark.read.parquet(s"$dir/words.parquet"))
+    val cold = words(BloomStore.wordTable(BloomStore.keyGrams(docs), "shingle"))
+    assert(warm == cold)
+    BloomStore.update(spark, dir, odd) // at-least-once replay
+    assert(words(spark.read.parquet(s"$dir/words.parquet")) == warm)
+  }
+}
