@@ -1782,7 +1782,112 @@ object CorpusStats {
             FROM agg ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q224
+  /** POISSON-BOOTSTRAP confidence intervals — the error bars every corpus
+    * scorecard should carry and almost none do: per-source mean doc
+    * length with a ~90% CI from B = 32 resamples. The classical
+    * bootstrap's "draw n rows with replacement" is undistributable (it
+    * needs global coordination per resample); the Poisson bootstrap
+    * (Chamandy et al., Google 2012) replaces it with an independent
+    * per-row replicate weight w ~ Poisson(1) — so each replica is ONE
+    * more term in the same map-side-combined aggregate, no resample ever
+    * materialized.
+    *
+    * Determinism (q170's no-RNG discipline): w is inverse-CDF over the
+    * 32-bit integer of an md5 slice of (doc_id, ':boot:', b) against
+    * PRECOMPUTED integer thresholds ⌊2³²·F(k)⌋ — both engines derive the
+    * identical weight from data alone. The ≥6 tail (P ≈ 6·10⁻⁴)
+    * collapses to w = 6: a < 10⁻⁴ unit-weight bias, far under replica
+    * noise, and bit-reproducible. Replica means are exact-long weighted
+    * sums with ONE ffloored division; the CI bounds are the rank-2 and
+    * rank-31 replica means (≈ 90% coverage at B = 32), picked by a
+    * window over the 32·G replica table with the replica id as
+    * tiebreak.
+    *
+    * Scale shape: the corpus pays one narrow ×32 flatMap (explode of a
+    * 32-element sequence + per-row md5) feeding a (source, b) aggregate
+    * whose map-side partials bound the shuffle at 32·G rows; everything
+    * after lives on 32·G. This is the textbook way to put error bars on
+    * any 100 TB aggregate without a second corpus format.
+    */
+  val q224 = QuerySpec(
+    "q224_bootstrap_ci",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+        4279248373L, 4292415291L)
+      val u32 = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":boot:"), col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+      val wgt = when(col("u") < t(0), 0L).when(col("u") < t(1), 1L)
+        .when(col("u") < t(2), 2L).when(col("u") < t(3), 3L)
+        .when(col("u") < t(4), 4L).when(col("u") < t(5), 5L).otherwise(6L)
+      val reps = docs
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("u", u32)
+        .select(col("source"), col("b"), wgt.as("w"), col("n_chars"))
+        .groupBy("source", "b")
+        .agg(sum("w").cast("long").as("wsum"),
+          sum(col("w") * col("n_chars")).cast("long").as("wchars"))
+        .select(col("source"), col("b"),
+          when(col("wsum") > 0,
+            ffloor(col("wchars").cast("double") / col("wsum").cast("double"), 6))
+            .otherwise(lit(0.0)).as("rmean"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("rmean", "b")
+      val ci = reps.withColumn("rn", row_number().over(rw))
+        .groupBy("source")
+        .agg(max(when(col("rn") === 2, col("rmean"))).as("ci_lo"),
+          max(when(col("rn") === 31, col("rmean"))).as("ci_hi"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          ffloor(sum("n_chars").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_chars"))
+        .join(ci, "source")
+        .select(col("source"), col("n_docs"), col("mean_chars"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy("source")
+    },
+    Some("""WITH reps AS (
+              SELECT source, b,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':boot:'
+                  || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS u,
+                n_chars
+              FROM documents CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb),
+            wts AS (
+              SELECT source, b, n_chars,
+                CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+                     WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+                     WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+                     ELSE 6 END AS w
+              FROM reps),
+            rmeans AS (
+              SELECT source, b,
+                CASE WHEN SUM(w) > 0
+                  THEN CAST(FLOOR(CAST(SUM(w * n_chars) AS DOUBLE)
+                    / CAST(SUM(w) AS DOUBLE) * 1000000.0) AS DOUBLE) / 1000000.0
+                  ELSE 0.0 END AS rmean
+              FROM wts GROUP BY 1, 2),
+            ranked AS (
+              SELECT source, rmean,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY rmean, b) AS rn
+              FROM rmeans),
+            ci AS (
+              SELECT source,
+                MAX(CASE WHEN rn = 2 THEN rmean END) AS ci_lo,
+                MAX(CASE WHEN rn = 31 THEN rmean END) AS ci_hi
+              FROM ranked GROUP BY 1),
+            pt AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS DOUBLE)
+                  / 1000000.0 AS mean_chars
+              FROM documents GROUP BY 1)
+            SELECT p.source, p.n_docs, p.mean_chars, c.ci_lo, c.ci_hi
+            FROM pt p JOIN ci c USING (source) ORDER BY p.source""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
     q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167, q170, q179, q184, q191, q193, q216, q217)
+    q167, q170, q179, q184, q191, q193, q216, q217, q224)
 }

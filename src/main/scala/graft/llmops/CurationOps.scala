@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.Ops.{asciiLowerSql, ffloor}
 
@@ -1026,6 +1027,81 @@ object CurationOps {
             FROM lab GROUP BY 1 ORDER BY bucket""")
   )
 
+  // --------------------------------------------------------------- q223
+  /** Interpolated KNESER–NEY bigram probabilities — the smoothing that
+    * actually ships in n-gram LMs, beside [[q93]]'s add-V baseline: the
+    * backoff weight of w2 is its CONTINUATION diversity (how many
+    * distinct predecessors it follows — "francisco" is frequent but
+    * follows only "san", so its unigram backoff must be tiny), which
+    * add-V cannot express. With discount D = 3/4:
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1) · N1+(·,w2)/B
+    *
+    * brought to the common denominator 4·c1·B so the numerator
+    * max(4·c12−3, 0)·B + 3·N1+(w1,·)·N1+(·,w2) is EXACT integer
+    * arithmetic (DECIMAL(38,0)/HUGEINT — N1 products reach vocab², and
+    * ·B passes int64 at corpus scale); one final double division,
+    * ffloored. The interpolation provably sums to 1 over w2 (Σ N1+(·,w2)
+    * = B), so the probabilities need no renormalization pass.
+    *
+    * Scale shape: every statistic lives on the BIGRAM-TYPE table —
+    * c1 and the follower diversity come from ONE groupBy(w1) over c12
+    * (the table is already (w1,w2)-distinct, so count(1) IS the type
+    * count), predecessor diversity from one groupBy(w2), B from a 1-row
+    * aggregate; the corpus is tokenized once. Top-50 compiles to
+    * TakeOrderedAndProject.
+    */
+  val q223 = QuerySpec(
+    "q223_kneser_ney_bigram",
+    (s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = Dedup.tokensWithPos(Tables.documents(s, d))
+        .select(col("doc_id"), col("tok").as("w1"),
+          lead(col("tok"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+      // one tokenization pass: every downstream statistic (c1/n1f, n1p, B)
+      // derives from the materialized bigram-type table (q165's lesson —
+      // without the cut each consumer replays the corpus window)
+      val c12 = graft.core.Materialize(
+        pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+      val w1s = c12.groupBy("w1").agg(sum("c12").cast("long").as("c1"),
+        count(lit(1)).as("n1f"))
+      val w2s = c12.groupBy("w2").agg(count(lit(1)).as("n1p"))
+      val b = c12.agg(count(lit(1)).as("b"))
+      c12.join(w1s, "w1").join(w2s, "w2").crossJoin(broadcast(b))
+        .withColumn("num",
+          greatest(col("c12") * 4 - 3, lit(0L)).cast(DecimalType(38, 0)) * col("b") +
+            (col("n1f") * col("n1p")).cast(DecimalType(38, 0)) * 3)
+        .withColumn("den",
+          (col("c1").cast(DecimalType(38, 0)) * col("b")) * 4)
+        .select(col("w1"), col("w2"), col("c12"),
+          ffloor(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("p_kn"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents),
+            pairs AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks
+                    WHERE len(ts) >= 2)),
+            c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                    FROM pairs GROUP BY 1, 2),
+            w1s AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                      CAST(COUNT(*) AS BIGINT) AS n1f FROM c12 GROUP BY 1),
+            w2s AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM c12 GROUP BY 1),
+            b AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c12)
+            SELECT w1, w2, c12,
+              CAST(FLOOR(CAST(CAST(GREATEST(c12 * 4 - 3, 0) AS HUGEINT) * b
+                  + CAST(n1f AS HUGEINT) * n1p * 3 AS DOUBLE)
+                / CAST(CAST(c1 AS HUGEINT) * b * 4 AS DOUBLE)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS p_kn
+            FROM c12 JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN b
+            ORDER BY c12 DESC, w1, w2 LIMIT 50""")
+  )
+
   val all: Seq[QuerySpec] =
-    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109, q110, q180)
+    Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109, q110, q180,
+      q223)
 }

@@ -1353,6 +1353,74 @@ object Dedup {
             FROM nodes GROUP BY 1 ORDER BY 1""")
   )
 
+  // --------------------------------------------------------------- q225
+  /** EDGE SUPPORT histogram — the per-EDGE structural audit closing the
+    * per-graph (q172) / per-node (q218) series: an edge's support is its
+    * common-neighbor count (triangles THROUGH the edge), the quantity
+    * graph-sparsification and truss decomposition cut on. A candidate
+    * edge with support 0 is an isolated coincidence (one shared rare
+    * gram — verify before collapsing); high support means the pair sits
+    * inside a mutually-similar family and survives any reasonable
+    * verification. Alongside the count, the neighborhood Jaccard
+    * |N(u)∩N(v)| / |N(u)∪N(v)| in exact integer micros ((cn·10⁶) div
+    * (deg_u+deg_v−cn)) — the link-prediction score — averaged per
+    * support level with one final ffloored division.
+    *
+    * Scale shape: support for ALL edges at once is the same oriented
+    * wedge join q172 pays (half ⋈ edges on the shared endpoint),
+    * aggregated per edge instead of globally; per-node work stays
+    * bounded by the upstream gram df cap. Degrees join keyed; the
+    * histogram lives on the edge table.
+    */
+  val q225 = QuerySpec(
+    "q225_edge_support",
+    (s, d) => {
+      val edges = neardupEdges(Tables.documents(s, d))
+      val half = edges.filter(col("src") < col("dst"))
+      val cn = half.as("e")
+        .join(edges.as("a"), col("e.src") === col("a.src"))
+        .join(edges.as("b"),
+          col("e.dst") === col("b.src") && col("a.dst") === col("b.dst"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count(lit(1)).as("cn"))
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      half
+        .join(cn, Seq("src", "dst"), "left")
+        .na.fill(0L, Seq("cn"))
+        .join(deg.select(col("id").as("src"), col("deg").as("deg_u")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("deg_v")), "dst")
+        .withColumn("jac_micro",
+          expr("(cn * 1000000) div (deg_u + deg_v - cn)"))
+        .groupBy("cn")
+        .agg(count(lit(1)).as("n_edges"),
+          ffloor(sum("jac_micro").cast("double") /
+            (count(lit(1)).cast("double") * lit(1e6)), 6).as("avg_jaccard"))
+        .orderBy("cn")
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            cn AS (
+              SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS cn
+              FROM half e
+              JOIN edges a ON e.src = a.src
+              JOIN edges b ON e.dst = b.src AND a.dst = b.dst
+              GROUP BY 1, 2),
+            deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            scored AS (
+              SELECT COALESCE(c.cn, 0) AS cn,
+                (COALESCE(c.cn, 0) * 1000000)
+                  // (du.deg + dv.deg - COALESCE(c.cn, 0)) AS jac_micro
+              FROM half h
+              LEFT JOIN cn c ON h.src = c.src AND h.dst = c.dst
+              JOIN deg du ON du.id = h.src
+              JOIN deg dv ON dv.id = h.dst)
+            SELECT cn, CAST(COUNT(*) AS BIGINT) AS n_edges,
+              CAST(FLOOR(CAST(SUM(jac_micro) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS avg_jaccard
+            FROM scored GROUP BY cn ORDER BY cn""")
+  )
+
   // --------------------------------------------------------------- q175
   /** Oracled RECALL audit for the MinHash-LSH pipeline — [[q168]]'s
     * sibling, closing the sketch-audit pair: q168 gates the containment
@@ -1837,5 +1905,5 @@ object Dedup {
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
       q113, q123, q128, q130, q131, q168, q172, q175, q181, q186, q187, q188,
-      q197, q218)
+      q197, q218, q225)
 }

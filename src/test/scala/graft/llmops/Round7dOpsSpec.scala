@@ -136,6 +136,56 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(audit.getLong(3) > 0 && audit.getLong(3) <= 4 * nEval) // popcount
   }
 
+  // ------------------------------------------------------------------ q223
+  test("q223: hand-computed Kneser-Ney probabilities (the francisco fixture)") {
+    val docs = Seq(row(0, "san francisco"), row(1, "san diego"),
+      row(2, "new york"), row(3, "san francisco"))
+    val got = CurationOps.q223.run(spark, docsDir(docs))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // c12: sf=2 sd=1 ny=1; c1(san)=3 n1f(san)=2; n1p all 1; B=3; D=3/4
+    // P(francisco|san) = (max(8-3,0)*3 + 3*2*1)/(4*3*3) = 21/36
+    assert(got(("san", "francisco")) == (2L, 0.583333))
+    assert(got(("san", "diego")) == (1L, 0.25))
+    assert(got(("new", "york")) == (1L, 0.5))
+  }
+
+  test("q223: probabilities over each context sum to ~1 on sf0.001") {
+    val rows = CurationOps.q223.run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    // spot-check the interpolation never exceeds 1 or goes negative
+    assert(rows.forall(r => r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  // ------------------------------------------------------------------ q224
+  test("q224: constant-length corpus collapses the CI to the point estimate") {
+    val docs = (0 until 20).map(i => row(i.toLong, "seven77")) // n_chars = 7
+    val got = CorpusStats.q224.run(spark, docsDir(docs)).collect()(0)
+    assert(got.getLong(1) == 20L)
+    assert(got.getDouble(2) == 7.0)
+    assert(got.getDouble(3) == 7.0 && got.getDouble(4) == 7.0)
+  }
+
+  test("q224: CI brackets are ordered and deterministic across runs") {
+    val a = CorpusStats.q224.run(spark, sf("sf0.001")).collect()
+    val b = CorpusStats.q224.run(spark, sf("sf0.001")).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(r => r.getDouble(3) <= r.getDouble(4)))
+  }
+
+  // ------------------------------------------------------------------ q225
+  test("q225: planted triangle+pendant yields supports {1,1,1,0} with exact jaccard") {
+    val tri = (0 until 3).map(i => row(i.toLong, "t1 t2 t3 t4 t5"))
+    val a = row(0, "t1 t2 t3 t4 t5 z0 s1 s2 s3 s4 s5") // A carries both grams
+    val pend = Seq(row(10, "s1 s2 s3 s4 s5"))
+    val docs = a +: tri.tail ++: pend
+    val got = Dedup.q225.run(spark, docsDir(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // AB/AC/BC support 1 (third vertex); AD support 0.
+    // jac: AB=1/4, AC=1/4, BC=1/3 → avg micro (250000+250000+333333)/3
+    assert(got == Map(0L -> (1L, 0.0), 1L -> (3L, 0.277777)), got.toString)
+  }
+
   test("q222: warm OR-merge equals cold rebuild, and replay is a no-op") {
     val d = docsDir(bloomDocs)
     val dir = java.nio.file.Files.createTempDirectory("bloom222").toString
