@@ -99,9 +99,16 @@ object ScaleSmoke {
       "q203_source_lang_mi", "q204_chi2_terms", "q206_token_waterfill",
       "q207_padding_waste", "q208_greedy_set_cover", "q209_mutual_nn",
       "q210_kwic_concordance", "q211_rbo_rank_agreement",
-      "q212_topk_store_audit", "q214_zipf_slope", "q215_centroid_outliers")
+      "q212_topk_store_audit", "q214_zipf_slope", "q215_centroid_outliers",
+      "q216_l_diversity", "q217_t_closeness", "q218_local_clustering",
+      "q221_bloom_bits_audit", "q222_bloom_store_audit",
+      "q223_kneser_ney_bigram", "q224_bootstrap_ci", "q225_edge_support")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
-    names.foreach { n =>
+    // Local-iteration filter (builder tooling, mirrors Verify's):
+    // comma-separated name prefixes, e.g. SPARK_GRAFT_SMOKE_ONLY=q218,q221.
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    names.filter(n => only.forall(_.exists(n.startsWith))).foreach { n =>
       val q = QueryRegistry.byName(n)
       val t0 = System.nanoTime()
       val rows = q.run(spark, out).queryExecution.toRdd.count()

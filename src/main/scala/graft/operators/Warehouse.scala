@@ -1140,7 +1140,99 @@ object Warehouse {
             FROM planned GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  // --------------------------------------------------------------- q226
+  /** Two-proportion A/B TEST with SRM guard — the experiment readout a
+    * serving layer computes daily: users hash-split into two arms (the
+    * q79/q99 salted-md5-digit discipline — content-addressed, so every
+    * engine and re-run derives the same assignment, and the split key is
+    * domain-separated from every sampling salt), per-user conversion =
+    * "did the user ever purchase", then
+    *
+    *   z = (p1 − p0) / sqrt(p̂(1−p̂)(1/n0 + 1/n1))
+    *
+    * Counts stay exact longs; z pays a pinned IEEE sequence on the exact
+    * operands (the q216 entropy contract), ffloored to 4. The
+    * sample-ratio-mismatch guard — the check that catches a broken
+    * splitter before anyone reads the p-value — is the 1-df chi²
+    * (n0−n1)²/(n0+n1) against 3.84, CROSS-MULTIPLIED so the boolean
+    * never touches IEEE: 100·(n0−n1)² < 384·(n0+n1).
+    *
+    * Scale shape: one scan → per-user aggregate (user-keyed shuffle) →
+    * 2-row arm aggregate → 1-row output. Degenerate corpora (all or no
+    * converters → zero pooled variance) pin z to 0 identically in both
+    * engines.
+    */
+  val q226 = QuerySpec(
+    "q226_ab_ztest",
+    (s, d) => {
+      val arm = (conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ab"))), 8, 1), 16, 10).cast("long") % 2).as("arm")
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .select(arm, col("conv"))
+      users.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").cast("long").as("c"))
+        .agg(
+          max(when(col("arm") === 0, col("n"))).as("n0"),
+          max(when(col("arm") === 0, col("c"))).as("c0"),
+          max(when(col("arm") === 1, col("n"))).as("n1"),
+          max(when(col("arm") === 1, col("c"))).as("c1"))
+        .select(col("n0"), col("c0"), col("n1"), col("c1"),
+          expr("(c0 * 1000000) div n0").as("rate0_micro"),
+          expr("(c1 * 1000000) div n1").as("rate1_micro"),
+          ffloor(
+            when(
+              (col("c0") + col("c1")) === 0 ||
+                (col("c0") + col("c1")) === (col("n0") + col("n1")), lit(0.0))
+              .otherwise(
+                (col("c1").cast("double") / col("n1").cast("double") -
+                  col("c0").cast("double") / col("n0").cast("double")) /
+                sqrt(((col("c0") + col("c1")).cast("double") /
+                  (col("n0") + col("n1")).cast("double")) *
+                  (lit(1.0) - (col("c0") + col("c1")).cast("double") /
+                    (col("n0") + col("n1")).cast("double")) *
+                  (lit(1.0) / col("n0").cast("double") +
+                    lit(1.0) / col("n1").cast("double")))), 4).as("z"),
+          ((col("n0") - col("n1")) * (col("n0") - col("n1")) * 100 <
+            (col("n0") + col("n1")) * 384).as("srm_ok"))
+    },
+    Some("""WITH users AS (
+              SELECT user_id,
+                CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+              FROM events GROUP BY 1),
+            armed AS (
+              SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                  8, 1)) AS BIGINT) % 2 AS arm, conv
+              FROM users),
+            arms AS (
+              SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(conv) AS BIGINT) AS c
+              FROM armed GROUP BY 1),
+            w AS (
+              SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                MAX(CASE WHEN arm = 0 THEN c END) AS c0,
+                MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                MAX(CASE WHEN arm = 1 THEN c END) AS c1
+              FROM arms)
+            SELECT n0, c0, n1, c1,
+              (c0 * 1000000) // n0 AS rate0_micro,
+              (c1 * 1000000) // n1 AS rate1_micro,
+              CAST(FLOOR(CASE
+                WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+                ELSE (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                    - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                  / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+                END * 10000.0) AS DOUBLE) / 10000.0 AS z,
+              (n0 - n1) * (n0 - n1) * 100 < (n0 + n1) * 384 AS srm_ok
+            FROM w""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
     q152, q153, q156, q157, q161, q163, q164, q169, q174, q182, q183, q213,
-    q219)
+    q219, q226)
 }

@@ -110,6 +110,44 @@ class Round7dOpsSpec extends SparkTestBase {
       s"z=${got("zorder")._2} linear=${got("linear")._2}")
   }
 
+  // ------------------------------------------------------------------ q226
+  private def eventsDir(rows: Seq[(Long, java.sql.Timestamp, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("round7dev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def evTs = new java.sql.Timestamp(1700000000000L)
+
+  test("q226: all-converters corpus pins z to 0 (degenerate pooled variance)") {
+    val ev = (0 until 10).map(u => (u.toLong, evTs, u.toLong, "purchase"))
+    val got = graft.operators.Warehouse.q226.run(spark, eventsDir(ev)).collect()(0)
+    assert(got.getLong(0) + got.getLong(2) == 10L)
+    assert(got.getLong(4) == 1000000L && got.getLong(5) == 1000000L)
+    assert(got.getDouble(6) == 0.0)
+  }
+
+  test("q226: planted uplift in arm 1 yields positive z and exact arm counts") {
+    import spark.implicits._
+    // learn the hash assignment with the same md5-digit rule, then plant
+    // conversions ONLY in arm 1
+    val arms = (0 until 100).map(_.toLong).toDF("user_id")
+      .select(col("user_id"),
+        (conv(substring(md5(concat(col("user_id").cast("string"),
+          lit(":ab"))), 8, 1), 16, 10).cast("long") % 2).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = arms.toSeq.map { case (u, a) =>
+      (u, evTs, u, if (a == 1L) "purchase" else "view")
+    }
+    val got = graft.operators.Warehouse.q226.run(spark, eventsDir(ev)).collect()(0)
+    val n1 = arms.valuesIterator.count(_ == 1L).toLong
+    assert(got.getLong(0) == 100L - n1 && got.getLong(1) == 0L)
+    assert(got.getLong(2) == n1 && got.getLong(3) == n1)
+    assert(got.getDouble(6) > 3.0) // full separation on ~50/50 arms
+  }
+
   // ------------------------------------------------------------ q221/q222
   private def bloomDocs: Seq[(Long, String, String, String, Long)] = {
     def doc(id: Long, seed: String) =
