@@ -1887,7 +1887,101 @@ object CorpusStats {
             FROM pt p JOIN ci c USING (source) ORDER BY p.source""")
   )
 
+  // --------------------------------------------------------------- q228
+  /** EXACT 1-D WASSERSTEIN (earth-mover) drift per source — the integral
+    * companion to [[q166]]'s KS sup-distance: W₁ = ∫|F_s − F_g| dx feels
+    * HOW FAR the mass moved, not just the single worst CDF gap, which is
+    * what a mixture rebalance actually costs (KS flags a sharp local
+    * spike and a wholesale length shift identically; W₁ separates them).
+    * Over the integer n_chars domain the integral is a finite sum:
+    * Σ_v |cum_s(v)·N − cum_g(v)·n_s| · gap(v), with the fractional CDFs
+    * cross-multiplied away (q166's trick) so everything up to the final
+    * division is exact DECIMAL(38,0)/HUGEINT.
+    *
+    * Scale shape: one corpus aggregate to the (source, value) cell table;
+    * the global value spine (with its gap and cumulative count) is a
+    * value-domain-bounded window; the per-source CDF is a window over the
+    * sources × values grid (G·V rows — the q217 grid shape). The corpus
+    * is scanned once.
+    */
+  val q228 = QuerySpec(
+    "q228_w1_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      // one corpus pass: the (source, value) cell table is the only
+      // corpus-grain aggregate; spine/margins/total all derive from it
+      // (q206/q209's multiply-consumed-subtree discipline)
+      val cells = graft.core.Materialize(
+        docs.groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c_sv")))
+      val wv = org.apache.spark.sql.expressions.Window.orderBy("v")
+      val spine = cells.groupBy("v")
+        .agg(sum("c_sv").cast("long").as("c_v"))
+        .withColumn("cum_g", sum("c_v").over(
+          wv.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .withColumn("gap", coalesce(lead("v", 1).over(wv) - col("v"), lit(0L)))
+      val srcs = cells.groupBy("source").agg(sum("c_sv").cast("long").as("n_s"))
+      val total = cells.agg(sum("c_sv").cast("long").as("n"))
+      val ws = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      srcs.crossJoin(broadcast(spine))
+        .join(cells, Seq("source", "v"), "left")
+        .na.fill(0L, Seq("c_sv"))
+        .crossJoin(broadcast(total))
+        .withColumn("cum_s", sum("c_sv").over(ws))
+        .withColumn("contrib",
+          abs(col("cum_s").cast(DecimalType(38, 0)) * col("n") -
+            col("cum_g").cast(DecimalType(38, 0)) * col("n_s")) * col("gap"))
+        .groupBy("source")
+        .agg(max("n_s").cast("long").as("n_docs"),
+          sum("contrib").cast(DecimalType(38, 0)).as("num"),
+          (max("n_s").cast(DecimalType(38, 0)) * max("n"))
+            .cast(DecimalType(38, 0)).as("den"))
+        .select(col("source"), col("n_docs"),
+          ffloor(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("w1_chars"))
+        .orderBy("source")
+    },
+    Some("""WITH cells AS (
+              SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c_sv
+              FROM documents GROUP BY 1, 2),
+            spine AS (
+              SELECT v, cum_g,
+                COALESCE(LEAD(v, 1) OVER (ORDER BY v) - v, 0) AS gap
+              FROM (
+                SELECT n_chars AS v,
+                  CAST(SUM(COUNT(*)) OVER (ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum_g
+                FROM documents GROUP BY n_chars)),
+            srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+                     FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            grid AS (
+              SELECT s.source, s.n_s, p.v, p.cum_g, p.gap, t.n,
+                COALESCE(c.c_sv, 0) AS c_sv
+              FROM srcs s CROSS JOIN spine p CROSS JOIN tot t
+              LEFT JOIN cells c ON c.source = s.source AND c.v = p.v),
+            cdf AS (
+              SELECT source, n_s, n, cum_g, gap,
+                CAST(SUM(c_sv) OVER (PARTITION BY source ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_s
+              FROM grid),
+            agg AS (
+              SELECT source, MAX(n_s) AS n_docs,
+                CAST(SUM(ABS(CAST(cum_s AS HUGEINT) * n
+                  - CAST(cum_g AS HUGEINT) * n_s) * gap) AS HUGEINT) AS num,
+                CAST(MAX(n_s) AS HUGEINT) * MAX(n) AS den
+              FROM cdf GROUP BY 1)
+            SELECT source, n_docs,
+              CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS w1_chars
+            FROM agg ORDER BY source""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
     q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167, q170, q179, q184, q191, q193, q216, q217, q224)
+    q167, q170, q179, q184, q191, q193, q216, q217, q224, q228)
 }

@@ -1232,7 +1232,130 @@ object Warehouse {
             FROM w""")
   )
 
+  // --------------------------------------------------------------- q227
+  /** CUPED variance-reduced experiment readout — [[q226]]'s z-test on the
+    * raw post-period metric wastes power on between-user variance the
+    * experiment never caused; CUPED (Deng et al., WSDM'13) removes the
+    * part predictable from the PRE-period covariate: with θ =
+    * cov(X,Y)/var(X) over all users, Ŷ = Y − θ·(X − X̄) has the same
+    * mean and (1−ρ²)× the variance, so adj_diff is the same causal
+    * estimate with tighter error bars — the standard readout at any
+    * experimentation platform.
+    *
+    * Exactness: per-user pre/post revenue in integer CENTS (q150's
+    * floor(value·100) idiom), so every moment the formula needs — Σx,
+    * Σy, Σxy, Σx², per-arm Σ — is an exact integer (Σxy/Σx² in
+    * DECIMAL(38,0)/HUGEINT: cents² products pass int64 on heavy users);
+    * θ is computed from the cross-multiplied closed form
+    * (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) — exact integers down to ONE double
+    * division — and the adjusted difference applies the SAME pinned
+    * IEEE sequence in both engines before its ffloor.
+    *
+    * Scale shape: one scan → user-keyed aggregate (the experiment's
+    * natural shuffle) → 2-row arm aggregate + 1-row moment aggregate →
+    * 1-row output. Nothing after the per-user rollup is corpus-sized.
+    */
+  val q227 = QuerySpec(
+    "q227_cuped",
+    (s, d) => {
+      val cut = lit("2024-01-15").cast("timestamp")
+      val cents = floor(col("value") * lit(100.0)).cast("long")
+      val arm = (conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ab"))), 8, 1), 16, 10).cast("long") % 2).as("arm")
+      // one corpus pass: moments AND arm sums both consume the per-user
+      // table (q206/q209's multiply-consumed-subtree discipline)
+      val users = graft.core.Materialize(Tables.events(s, d)
+        .select(col("user_id"), col("ts"), cents.as("cents"))
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, col("cents")).otherwise(0L))
+          .cast("long").as("x"),
+          sum(when(col("ts") >= cut, col("cents")).otherwise(0L))
+            .cast("long").as("y"))
+        .select(arm, col("x"), col("y")))
+      val moments = users.agg(count(lit(1)).as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y"))
+          .cast(DecimalType(38, 0)).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x"))
+          .cast(DecimalType(38, 0)).as("sxx"))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+          sum("y").cast("long").as("sy"))
+        .agg(max(when(col("arm") === 0, col("n"))).as("n0"),
+          max(when(col("arm") === 0, col("sx"))).as("sx0"),
+          max(when(col("arm") === 0, col("sy"))).as("sy0"),
+          max(when(col("arm") === 1, col("n"))).as("n1"),
+          max(when(col("arm") === 1, col("sx"))).as("sx1"),
+          max(when(col("arm") === 1, col("sy"))).as("sy1"))
+      arms.crossJoin(broadcast(moments))
+        .withColumn("theta_raw", expr(
+          """CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0
+               THEN 0.0
+               ELSE CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+                 / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+             END"""))
+        .select(col("n0"), col("n1"),
+          ffloor(expr("""(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0"""), 4)
+            .as("raw_diff"),
+          ffloor(col("theta_raw"), 6).as("theta"),
+          ffloor(expr("""((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+              - theta_raw * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / 100.0"""), 4)
+            .as("adj_diff"))
+    },
+    Some("""WITH users AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                  THEN CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+                CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                  THEN CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            armed AS (
+              SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                  8, 1)) AS BIGINT) % 2 AS arm, x, y
+              FROM users),
+            m AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+              FROM armed),
+            a AS (
+              SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+              FROM armed GROUP BY 1),
+            w AS (
+              SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+                MAX(CASE WHEN arm = 0 THEN sy END) AS sy0,
+                MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+                MAX(CASE WHEN arm = 1 THEN sy END) AS sy1
+              FROM a),
+            t AS (
+              SELECT w.*, m.*,
+                CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+                  THEN 0.0
+                  ELSE CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                END AS theta_raw
+              FROM w CROSS JOIN m)
+            SELECT n0, n1,
+              CAST(FLOOR((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0
+                * 10000.0) AS DOUBLE) / 10000.0 AS raw_diff,
+              CAST(FLOOR(theta_raw * 1000000.0) AS DOUBLE) / 1000000.0 AS theta,
+              CAST(FLOOR(((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                - theta_raw * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / 100.0
+                * 10000.0) AS DOUBLE) / 10000.0 AS adj_diff
+            FROM t""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
     q152, q153, q156, q157, q161, q163, q164, q169, q174, q182, q183, q213,
-    q219, q226)
+    q219, q226, q227)
 }

@@ -148,6 +148,44 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(got.getDouble(6) > 3.0) // full separation on ~50/50 arms
   }
 
+  // ------------------------------------------------------------------ q227
+  private def eventsValDir(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("round7dev5").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q227: perfectly-predictive covariate gives theta 1 and adj_diff exactly 0") {
+    // y = x for every user → θ = 1 and the adjustment removes ALL of the
+    // raw between-arm difference (no true treatment effect exists)
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val ev = (0 until 40).flatMap { u =>
+      val v = (u + 1).toDouble
+      Seq((u.toLong * 2, pre, u.toLong, "click", v),
+        (u.toLong * 2 + 1, post, u.toLong, "purchase", v))
+    }
+    val got = graft.operators.Warehouse.q227.run(spark, eventsValDir(ev)).collect()(0)
+    assert(got.getLong(0) + got.getLong(1) == 40L)
+    assert(got.getDouble(3) == 1.0, s"theta=${got.getDouble(3)}")
+    assert(got.getDouble(4) == 0.0, s"adj=${got.getDouble(4)}")
+  }
+
+  // ------------------------------------------------------------------ q228
+  test("q228: point-mass sources against the pooled mixture move half the mass the full gap") {
+    val docs = Seq(
+      row(0, "aaaaaaaaaa", "en", "srcA"), row(1, "aaaaaaaaaa", "en", "srcA"),
+      row(2, "bbbbbbbbbbbbbbbbbbbb", "en", "srcB"),
+      row(3, "bbbbbbbbbbbbbbbbbbbb", "en", "srcB"))
+    val got = CorpusStats.q228.run(spark, docsDir(docs))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // each source is a point mass (10 or 20 chars) vs the 50/50 global:
+    // W1 = ½·|20−10| = 5 chars for both
+    assert(got == Map("srcA" -> 5.0, "srcB" -> 5.0), got.toString)
+  }
+
   // ------------------------------------------------------------ q221/q222
   private def bloomDocs: Seq[(Long, String, String, String, Long)] = {
     def doc(id: Long, seed: String) =
