@@ -1078,7 +1078,127 @@ object PretrainOps {
             FROM roll ORDER BY source""")
   )
 
+  // --------------------------------------------------------------- q229
+  /** NEGATIVE-SAMPLING table — the unigram^(3/4) distribution word2vec/
+    * contrastive training draws negatives from (Mikolov et al. 2013):
+    * raising counts to 0.75 flattens the head so frequent tokens stop
+    * dominating the negative pool while the tail still appears. The
+    * engineering point is DETERMINISM of a fractional power across
+    * engines: c^0.75 = sqrt(sqrt(c·c·c)) — IEEE sqrt is correctly
+    * rounded everywhere, unlike pow(x, 0.75) whose libm varies — and
+    * each weight is micro-floored to a LONG before summing, so the
+    * normalizing total is an EXACT integer sum (a raw double Σ over the
+    * vocabulary would be partition-order-dependent). Output: top-50
+    * tokens with sampling share vs raw unigram share in micros, the
+    * table a trainer ships to its dataloader.
+    *
+    * Scale shape: one tokenize pass → vocab-bounded count aggregate →
+    * narrow per-term weight expression → 1-row exact total broadcast →
+    * TakeOrderedAndProject(50).
+    */
+  val q229 = QuerySpec(
+    "q229_negative_sampling",
+    (s, d) => {
+      val counts = graft.core.Materialize(
+        fanOut(Tables.documents(s, d))
+          .select(explode(split(asciiLower(col("text")), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term").agg(count(lit(1)).as("c")))
+      val weighted = counts.withColumn("w_micro",
+        floor(sqrt(sqrt((col("c") * col("c") * col("c")).cast("double"))) *
+          lit(1e6)).cast("long"))
+      val tot = weighted.agg(sum("w_micro").cast("long").as("wtot"),
+        sum("c").cast("long").as("ctot"))
+      weighted.crossJoin(broadcast(tot))
+        .select(col("term"), col("c"),
+          expr("(w_micro * 1000000) div wtot").as("sample_micro"),
+          expr("(c * 1000000) div ctot").as("unigram_micro"))
+        .orderBy(col("c").desc, col("term"))
+        .limit(50)
+    },
+    Some(s"""WITH toks AS (
+              SELECT t.term FROM documents,
+                unnest(string_split(${asciiLowerSql("text")}, ' ')) AS t(term)
+              WHERE t.term <> ''),
+            counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM toks GROUP BY 1),
+            wt AS (
+              SELECT term, c,
+                CAST(FLOOR(sqrt(sqrt(CAST(c * c * c AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS w_micro
+              FROM counts),
+            tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wtot,
+                      CAST(SUM(c) AS BIGINT) AS ctot FROM wt)
+            SELECT term, c,
+              (w_micro * 1000000) // wtot AS sample_micro,
+              (c * 1000000) // ctot AS unigram_micro
+            FROM wt CROSS JOIN tot
+            ORDER BY c DESC, term LIMIT 50""")
+  )
+
+  // --------------------------------------------------------------- q230
+  /** HILL TAIL-INDEX estimator on document length — does the length
+    * distribution have a power-law tail, and how heavy? α̂ =
+    * k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top-k order statistics: the
+    * diagnostic that decides whether truncation policy (q70) needs a
+    * hard cap (α ≤ 2: infinite variance, a handful of mega-documents
+    * dominate token mass) or the tail is benign. Complements q89/q214
+    * (Zipf on token frequencies) with the tail exponent of a per-DOC
+    * quantity.
+    *
+    * Exactness: the top-(k+1) lengths arrive by TakeOrdered (corpus
+    * never sorts); each ln(x_i/x_k1) = ln(x_i) − ln(x_k1) is floored to
+    * micro-nats per ROW (exact-long sum, q137's contract), ONE double
+    * division at the end. Ties at the k-th length are cut by doc_id for
+    * a deterministic order-statistic set in both engines.
+    *
+    * Scale shape: scan → TakeOrderedAndProject(k+1) → 51-row window +
+    * 1-row aggregate. Nothing after the top-k heap leaves the driver.
+    */
+  val q230 = QuerySpec(
+    "q230_hill_tail_index",
+    (s, d) => {
+      val k = 50
+      val top = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .filter(col("n_chars") > 0)
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(k + 1)
+      val kth = top.orderBy(col("n_chars").asc, col("doc_id").desc)
+        .limit(1).select(col("n_chars").as("x_k1"))
+      top.crossJoin(broadcast(kth))
+        .filter(col("n_chars") > col("x_k1"))
+        .select(floor((log(col("n_chars").cast("double")) -
+          log(col("x_k1").cast("double"))) * lit(1e6)).cast("long")
+          .as("ln_micro"))
+        .agg(count(lit(1)).as("k_used"),
+          sum("ln_micro").cast("long").as("sum_micro"))
+        .select(col("k_used"),
+          when(coalesce(col("sum_micro"), lit(0L)) === 0, lit(0.0))
+            .otherwise(ffloor(col("k_used").cast("double") * lit(1e6) /
+              col("sum_micro").cast("double"), 4)).as("alpha_hat"))
+    },
+    Some(s"""WITH top AS (
+              SELECT doc_id, n_chars FROM documents WHERE n_chars > 0
+              ORDER BY n_chars DESC, doc_id LIMIT 51),
+            kth AS (
+              SELECT n_chars AS x_k1 FROM top
+              ORDER BY n_chars ASC, doc_id DESC LIMIT 1),
+            contrib AS (
+              SELECT CAST(FLOOR((ln(CAST(n_chars AS DOUBLE))
+                  - ln(CAST(x_k1 AS DOUBLE))) * 1000000.0) AS BIGINT)
+                  AS ln_micro
+              FROM top CROSS JOIN kth
+              WHERE n_chars > x_k1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+              CASE WHEN COALESCE(SUM(ln_micro), 0) = 0 THEN 0.0
+                ELSE CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) * 1000000.0
+                  / CAST(SUM(ln_micro) AS DOUBLE) * 10000.0) AS DOUBLE)
+                  / 10000.0 END AS alpha_hat
+            FROM contrib""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116, q117,
-      q124, q171)
+      q124, q171, q229, q230)
 }

@@ -186,6 +186,26 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(got == Map("srcA" -> 5.0, "srcB" -> 5.0), got.toString)
   }
 
+  // ------------------------------------------------------------------ q229
+  test("q229: c^0.75 flattens the head — 16:1 counts give 8:1 sampling weights") {
+    val docs = Seq(row(0, (Seq.fill(16)("a") :+ "b").mkString(" ")))
+    val got = PretrainOps.q229.run(spark, docsDir(docs))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // w(a)=16^.75=8, w(b)=1 → shares 8/9 and 1/9; unigram 16/17 and 1/17
+    assert(got("a") == (16L, 888888L, 941176L), got.toString)
+    assert(got("b") == (1L, 111111L, 58823L), got.toString)
+  }
+
+  // ------------------------------------------------------------------ q230
+  test("q230: two-point tail {2718, 1000} recovers alpha ~= 1") {
+    val docs = Seq(row(0, "x" * 2718), row(1, "y" * 1000))
+    val got = PretrainOps.q230.run(spark, docsDir(docs)).collect()(0)
+    // ln(2718/1000) = 0.999896 -> alpha = 1e6/999896 ffloored to 1.0001
+    assert(got.getLong(0) == 1L)
+    assert(got.getDouble(1) == 1.0001, got.toString)
+  }
+
   // ------------------------------------------------------------ q221/q222
   private def bloomDocs: Seq[(Long, String, String, String, Long)] = {
     def doc(id: Long, seed: String) =
