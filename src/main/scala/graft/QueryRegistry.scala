@@ -29,7 +29,8 @@ object QueryRegistry {
       graft.llmops.SelectionOps.all ++
       graft.llmops.RetrievalOps.all ++
       graft.llmops.TopKStore.all ++
-      graft.llmops.BloomStore.all
+      graft.llmops.BloomStore.all ++
+      graft.llmops.CMSStore.all
 
   def byName(name: String): QuerySpec = all.find(_.name == name).get
 }

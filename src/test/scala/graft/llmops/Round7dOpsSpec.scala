@@ -282,6 +282,35 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(got == Map(0L -> (1L, 0.0), 1L -> (3L, 0.277777)), got.toString)
   }
 
+  // ------------------------------------------------------------ q231/q232
+  test("q231: CMS estimates are one-sided and exact when the table is sparse") {
+    val d = docsDir(bloomDocs)
+    val got = CMSStore.q231.run(spark, d).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getBoolean(4)), "est >= exact must be structural")
+    // 24 distinct tokens into 4x1024 counters: collisions essentially
+    // impossible per md5 row, so estimates are exact here
+    assert(got.forall(r => r.getLong(3) == 0L), got.mkString(","))
+  }
+
+  test("q232: CMS warm sum-merge equals cold rebuild; replayed epoch is a no-op") {
+    val d = docsDir(bloomDocs)
+    val dir = java.nio.file.Files.createTempDirectory("cms232").toString
+    val docs = graft.Tables.documents(spark, d)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    CMSStore.build(even, dir)
+    CMSStore.update(spark, dir, odd, epoch = 1L)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val warm = cells(spark.read.parquet(s"$dir/counters.parquet"))
+    val cold = cells(CMSStore.sketchTable(CMSStore.termCounts(docs)))
+    assert(warm == cold)
+    CMSStore.update(spark, dir, odd, epoch = 1L) // at-least-once replay
+    assert(cells(spark.read.parquet(s"$dir/counters.parquet")) == warm,
+      "replayed epoch must be a store no-op")
+  }
+
   test("q222: warm OR-merge equals cold rebuild, and replay is a no-op") {
     val d = docsDir(bloomDocs)
     val dir = java.nio.file.Files.createTempDirectory("bloom222").toString
