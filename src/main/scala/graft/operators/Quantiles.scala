@@ -278,5 +278,66 @@ object Quantiles {
             ORDER BY ks.l_returnflag, pct""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q118, q120)
+  // --------------------------------------------------------------- q234
+  /** MEDIAN treatment effect — [[graft.operators.Warehouse.q226]]'s mean
+    * uplift is dragged by revenue's heavy tail (one whale in either arm
+    * moves it more than the treatment does); the per-arm MEDIAN of
+    * post-period user revenue is the robust readout. Medians come from
+    * [[exactQuantilesByGroup]] — the iterative histogram-refine engine,
+    * so the corpus is never globally sorted — on the user-keyed cents
+    * table (integer cents, q150's idiom), and the effect is reported as
+    * an EXACT integer cents difference: no double appears anywhere in
+    * this query.
+    *
+    * Scale shape: scan → user-keyed aggregate → the quantile engine's
+    * bounded narrow passes per arm (2 groups) → 1-row output.
+    */
+  val q234 = QuerySpec(
+    "q234_median_uplift",
+    (s, d) => {
+      val cut = lit("2024-01-15").cast("timestamp")
+      val arm = conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ab"))), 8, 1), 16, 10).cast("long") % 2
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") >= cut,
+          floor(col("value") * lit(100.0)).cast("long")).otherwise(0L))
+          .cast("long").as("y"))
+        .select(arm.cast("string").as("arm"), col("y"))
+      val med = exactQuantilesByGroup(users, "arm", "y", Seq(50),
+        refineThreshold = 4096)
+      med.groupBy()
+        .agg(
+          max(when(col("arm") === "0", col("value"))).cast("long")
+            .as("median0_cents"),
+          max(when(col("arm") === "1", col("value"))).cast("long")
+            .as("median1_cents"))
+        .select(col("median0_cents"), col("median1_cents"),
+          (col("median1_cents") - col("median0_cents")).as("uplift_cents"))
+    },
+    Some("""WITH users AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                  THEN CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            armed AS (
+              SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                  8, 1)) AS BIGINT) % 2 AS arm, y
+              FROM users),
+            n AS (SELECT arm, COUNT(*) AS n FROM armed GROUP BY 1),
+            ks AS (SELECT arm, CAST((50 * n + 99) // 100 AS BIGINT) AS k FROM n),
+            r AS (SELECT arm, y,
+                    row_number() OVER (PARTITION BY arm ORDER BY y) AS rn
+                  FROM armed),
+            med AS (SELECT r.arm, r.y FROM ks JOIN r
+                    ON r.arm = ks.arm AND r.rn = ks.k)
+            SELECT MAX(CASE WHEN arm = 0 THEN y END) AS median0_cents,
+              MAX(CASE WHEN arm = 1 THEN y END) AS median1_cents,
+              MAX(CASE WHEN arm = 1 THEN y END)
+                - MAX(CASE WHEN arm = 0 THEN y END) AS uplift_cents
+            FROM med""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q118, q120, q234)
 }

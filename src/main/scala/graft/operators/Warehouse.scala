@@ -1355,7 +1355,91 @@ object Warehouse {
             FROM t""")
   )
 
+  // --------------------------------------------------------------- q235
+  /** MANN–WHITNEY U / AUC effect size — the fully nonparametric leg of
+    * the experiment-readout trio ([[q226]] mean z-test, [[q227]] CUPED,
+    * [[graft.operators.Quantiles.q234]] median): AUC = U/(n0·n1) is the
+    * probability that a random arm-1 user outspends a random arm-0 user,
+    * the effect size that survives ANY monotone transform of revenue.
+    *
+    * Exact ranks WITHOUT a corpus sort: ranks are computed at VALUE
+    * grain — group users by exact spend (integer cents), then the
+    * midrank of value v is (2·cum_before(v) + c_v + 1)/2, kept as
+    * doubled integers so ties never produce a fraction: 2R1 =
+    * Σ_v c1v·(2·cum_before + c_v + 1), 2U1 = 2R1 − n1(n1+1), and
+    * auc_micro = (2U1·10⁶) div (2·n0·n1) — DECIMAL(38,0)/HUGEINT
+    * throughout, zero IEEE ops. The window runs over the value-domain
+    * table (q166's contract), never the user table.
+    *
+    * Scale shape: scan → user aggregate → value-grain aggregate →
+    * bounded window + 1-row output.
+    */
+  val q235 = QuerySpec(
+    "q235_mann_whitney_auc",
+    (s, d) => {
+      val cut = lit("2024-01-15").cast("timestamp")
+      val arm = conv(substring(md5(concat(col("user_id").cast("string"),
+        lit(":ab"))), 8, 1), 16, 10).cast("long") % 2
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") >= cut,
+          floor(col("value") * lit(100.0)).cast("long")).otherwise(0L))
+          .cast("long").as("y"))
+        .select(arm.as("arm"), col("y"))
+      val byVal = users.groupBy("y")
+        .agg(count(when(col("arm") === 0, 1)).as("c0"),
+          count(when(col("arm") === 1, 1)).as("c1"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("y")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      byVal
+        .withColumn("cb", coalesce(sum(col("c0") + col("c1")).over(w), lit(0L)))
+        .agg(sum("c0").cast("long").as("n0"), sum("c1").cast("long").as("n1"),
+          sum((col("c1") * (col("cb") * 2 + col("c0") + col("c1") + 1))
+            .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).as("r1x2"))
+        .select(col("n0"), col("n1"),
+          (col("r1x2") - col("n1").cast(DecimalType(38, 0)) * (col("n1") + 1))
+            .cast(DecimalType(38, 0)).as("u1x2"))
+        .select(col("n0"), col("n1"), col("u1x2").cast("long").as("two_u1"),
+          expr("CAST((u1x2 * 1000000) div (CAST(n0 AS DECIMAL(38,0)) * n1 * 2) AS BIGINT)")
+            .as("auc_micro"))
+    },
+    Some("""WITH users AS (
+              SELECT user_id,
+                CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                  THEN CAST(FLOOR(value * 100.0) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+              FROM events GROUP BY 1),
+            armed AS (
+              SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'),
+                  8, 1)) AS BIGINT) % 2 AS arm, y
+              FROM users),
+            by_val AS (
+              SELECT y, CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS c0,
+                CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS c1
+              FROM armed GROUP BY 1),
+            cum AS (
+              SELECT y, c0, c1,
+                COALESCE(CAST(SUM(c0 + c1) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                  0) AS cb
+              FROM by_val),
+            agg AS (
+              SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+                CAST(SUM(c1) AS BIGINT) AS n1,
+                CAST(SUM(CAST(c1 AS HUGEINT) * (cb * 2 + c0 + c1 + 1))
+                  AS HUGEINT) AS r1x2
+              FROM cum),
+            u AS (
+              SELECT n0, n1,
+                r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2
+              FROM agg)
+            SELECT n0, n1, CAST(u1x2 AS BIGINT) AS two_u1,
+              CAST((u1x2 * 1000000) // (CAST(n0 AS HUGEINT) * n1 * 2) AS BIGINT)
+                AS auc_micro
+            FROM u""")
+  )
+
   val all: Seq[QuerySpec] = Seq(q132, q133, q134, q135, q138, q143, q150, q151,
     q152, q153, q156, q157, q161, q163, q164, q169, q174, q182, q183, q213,
-    q219, q226, q227)
+    q219, q226, q227, q235)
 }

@@ -282,6 +282,42 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(got == Map(0L -> (1L, 0.0), 1L -> (3L, 0.277777)), got.toString)
   }
 
+  // ------------------------------------------------------------ q234/q235
+  private def armsOf(n: Int): Map[Long, Long] = {
+    import spark.implicits._
+    (0 until n).map(_.toLong).toDF("user_id")
+      .select(col("user_id"),
+        (conv(substring(md5(concat(col("user_id").cast("string"),
+          lit(":ab"))), 8, 1), 16, 10).cast("long") % 2).as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("q234: planted $1 vs $2 arms give an exact 100-cent median uplift") {
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val arms = armsOf(40)
+    val ev = arms.toSeq.map { case (u, a) =>
+      (u, post, u, "purchase", if (a == 1L) 2.0 else 1.0)
+    }
+    val m = graft.operators.Quantiles.q234.run(spark, eventsValDir(ev)).collect()(0)
+    assert(m.getLong(0) == 100L && m.getLong(1) == 200L && m.getLong(2) == 100L)
+  }
+
+  test("q235: perfect separation gives AUC exactly 1; identical arms give 1/2") {
+    val post = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val arms = armsOf(40)
+    val sep = arms.toSeq.map { case (u, a) =>
+      (u, post, u, "purchase", if (a == 1L) 5.0 else 1.0)
+    }
+    val g1 = graft.operators.Warehouse.q235.run(spark, eventsValDir(sep)).collect()(0)
+    val (n0, n1) = (g1.getLong(0), g1.getLong(1))
+    assert(n0 + n1 == 40L)
+    assert(g1.getLong(2) == 2 * n0 * n1, "2U1 must hit its maximum")
+    assert(g1.getLong(3) == 1000000L)
+    val same = arms.toSeq.map { case (u, _) => (u, post, u, "purchase", 3.0) }
+    val g2 = graft.operators.Warehouse.q235.run(spark, eventsValDir(same)).collect()(0)
+    assert(g2.getLong(3) == 500000L, s"ties must midrank to AUC 1/2, got ${g2.getLong(3)}")
+  }
+
   // ------------------------------------------------------------ q231/q232
   test("q231: CMS estimates are one-sided and exact when the table is sparse") {
     val d = docsDir(bloomDocs)
