@@ -1198,7 +1198,61 @@ object PretrainOps {
             FROM contrib""")
   )
 
+  // --------------------------------------------------------------- q233
+  /** SKIP-GRAM co-occurrence table — [[q229]]'s companion: the positive
+    * pairs a word2vec/GloVe-style trainer consumes, with the standard
+    * 1/distance window weighting over a ±2 context. Weights are kept as
+    * DOUBLED integers (distance 1 → 2, distance 2 → 1) so the aggregate
+    * is exact-long arithmetic — no fractional weights to drift. Pairs
+    * are unordered (least/greatest on the token pair), matching the
+    * symmetric-context convention; [[graft.llmops.CurationOps.q126]]'s
+    * PMI can be read directly off this table for GloVe-style shifted-PMI
+    * factorization.
+    *
+    * Scale shape: the context windows ride the SAME per-doc position
+    * window every shingle pipeline pays (two lead() offsets, no token
+    * array duplication); one (w1, w2)-keyed aggregate, vocab²-bounded
+    * and in practice window-sparse; TakeOrderedAndProject(50).
+    */
+  val q233 = QuerySpec(
+    "q233_skipgram_cooc",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val toks = Dedup.tokensWithPos(fanOut(Tables.documents(s, d)))
+        .withColumn("t1", lead(col("tok"), 1).over(w))
+        .withColumn("t2", lead(col("tok"), 2).over(w))
+      val d1 = toks.filter(col("t1").isNotNull)
+        .select(least(col("tok"), col("t1")).as("w1"),
+          greatest(col("tok"), col("t1")).as("w2"), lit(2L).as("wx2"))
+      val d2 = toks.filter(col("t2").isNotNull)
+        .select(least(col("tok"), col("t2")).as("w1"),
+          greatest(col("tok"), col("t2")).as("w2"), lit(1L).as("wx2"))
+      d1.unionByName(d2)
+        .groupBy("w1", "w2")
+        .agg(sum("wx2").cast("long").as("weight_x2"),
+          count(lit(1)).as("n_windows"))
+        .orderBy(col("weight_x2").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents),
+            ctx AS (
+              SELECT LEAST(ts[i], ts[i+1]) AS w1,
+                GREATEST(ts[i], ts[i+1]) AS w2, 2 AS wx2
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks
+                    WHERE len(ts) >= 2)
+              UNION ALL
+              SELECT LEAST(ts[i], ts[i+2]), GREATEST(ts[i], ts[i+2]), 1
+              FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks
+                    WHERE len(ts) >= 3))
+            SELECT w1, w2, CAST(SUM(wx2) AS BIGINT) AS weight_x2,
+              CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM ctx GROUP BY 1, 2
+            ORDER BY weight_x2 DESC, w1, w2 LIMIT 50""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116, q117,
-      q124, q171, q229, q230)
+      q124, q171, q229, q230, q233)
 }

@@ -282,6 +282,15 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(got == Map(0L -> (1L, 0.0), 1L -> (3L, 0.277777)), got.toString)
   }
 
+  // ------------------------------------------------------------------ q233
+  test("q233: 'a b c' yields adjacent weight 2 and skip weight 1") {
+    val got = PretrainOps.q233.run(spark, docsDir(Seq(row(0, "a b c"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(("a", "b") -> (2L, 1L), ("b", "c") -> (2L, 1L),
+      ("a", "c") -> (1L, 1L)), got.toString)
+  }
+
   // ------------------------------------------------------------ q234/q235
   private def armsOf(n: Int): Map[Long, Long] = {
     import spark.implicits._
