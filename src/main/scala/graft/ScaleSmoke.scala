@@ -102,7 +102,9 @@ object ScaleSmoke {
       "q212_topk_store_audit", "q214_zipf_slope", "q215_centroid_outliers",
       "q216_l_diversity", "q217_t_closeness", "q218_local_clustering",
       "q221_bloom_bits_audit", "q222_bloom_store_audit",
-      "q223_kneser_ney_bigram", "q224_bootstrap_ci", "q225_edge_support")
+      "q223_kneser_ney_bigram", "q224_bootstrap_ci", "q225_edge_support",
+      "q228_w1_drift", "q229_negative_sampling", "q230_hill_tail_index",
+      "q231_cms_audit", "q232_cms_store_audit", "q233_skipgram_cooc")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     // Local-iteration filter (builder tooling, mirrors Verify's):
     // comma-separated name prefixes, e.g. SPARK_GRAFT_SMOKE_ONLY=q218,q221.
