@@ -1073,7 +1073,203 @@ object Similarity {
                    true AS recall_ok""")
   )
 
+  // --------------------------------------------------------------- q236
+  /** DBSCAN over the embedding lake — density-based clustering composed
+    * ENTIRELY from audited primitives: ε-neighbor edges are [[q141]]'s
+    * blocked exact cosine range pairs (cos ≥ 0.4; the unblocked 100 TB
+    * candidate path is q32's hyperplane-LSH bucketing, same contract as
+    * q141 documents), core points have ≥ minPts−1 = 2 neighbors,
+    * clusters are [[graft.llmops.Dedup.connectedComponents]]' min-label
+    * fixpoint over the CORE-core subgraph (the standard disjoint-set
+    * formulation of DBSCAN's density-reachability), border points attach
+    * to their lowest-labelled core neighbor, everything else is noise
+    * (cluster −1). Every decision happens on micro-floored integer
+    * cosines with id tie-breaks, so the full per-point labelling —
+    * role AND cluster — is hash-stable and the oracle replays it with a
+    * recursive CTE.
+    *
+    * Scale shape: the only corpus-quadratic risk is the pair join, and
+    * it is block-bounded (q141); the fixpoint runs on the core edge
+    * list; degree/border/noise are keyed aggregates and left joins on
+    * the vector table. An isolated core (no core neighbor) is its own
+    * singleton cluster — coalesce(cluster, id), no extra pass.
+    */
+  val q236 = QuerySpec(
+    "q236_dbscan",
+    (s, d) => {
+      val tau = 0.4
+      val e = Tables.embeddings(s, d).select(
+        col("label"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val a = e.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = e.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      val cos = graft.operators.Ops.ffloor(cosineFromParts(
+        dot(col("e1"), col("e2")), col("n1"), col("n2")), 6)
+      val half = a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), cos.as("cos"))
+        .filter(col("cos") >= tau)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      val edges = graft.core.Materialize(
+        half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val coreIds = graft.core.Materialize(
+        deg.filter(col("deg") >= 2).select(col("src").as("id")))
+      val coreEdges = edges
+        .join(coreIds.select(col("id").as("src")), "src")
+        .join(coreIds.select(col("id").as("dst")), "dst")
+        .select("src", "dst")
+      val cc = Dedup.connectedComponents(coreEdges)
+        .select(col("doc_id").as("id"), col("cluster"))
+      val coreLab = graft.core.Materialize(coreIds
+        .join(cc, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
+      val borderLab = edges
+        .join(coreIds.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(coreLab.select(col("id").as("dst"), col("cluster")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster").as("cluster"))
+      e.select(col("vec_id"))
+        .join(coreLab.select(col("id").as("vec_id"),
+          col("cluster").as("core_cl")), Seq("vec_id"), "left")
+        .join(borderLab.select(col("id").as("vec_id"),
+          col("cluster").as("border_cl")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("core_cl").isNotNull, "core")
+            .when(col("border_cl").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cl"), col("border_cl"), lit(-1L)).as("cluster"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE e AS (
+              SELECT label, vec_id, embedding,
+                sqrt(${dotSql("embedding", "embedding")}) AS nrm
+              FROM embeddings),
+            half AS (
+              SELECT a.vec_id AS src, b.vec_id AS dst
+              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE CAST(FLOOR(${dotSql("a.embedding", "b.embedding")}
+                / NULLIF(a.nrm * b.nrm, 0.0) * 1000000.0) AS DOUBLE)
+                / 1000000.0 >= 0.4),
+            edges AS (
+              SELECT src, dst FROM half
+              UNION ALL SELECT dst, src FROM half),
+            deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+            core AS (SELECT src AS id FROM deg WHERE deg >= 2),
+            ce AS (
+              SELECT e2.src, e2.dst FROM edges e2
+              JOIN core c1 ON e2.src = c1.id
+              JOIN core c2 ON e2.dst = c2.id),
+            reach(id, lbl) AS (
+              SELECT src AS id, src AS lbl FROM ce
+              UNION
+              SELECT e3.dst AS id, r.lbl AS lbl
+              FROM ce e3 JOIN reach r ON r.id = e3.src),
+            cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+            core_lab AS (
+              SELECT c.id, COALESCE(cc.cluster, c.id) AS cluster
+              FROM core c LEFT JOIN cc ON cc.id = c.id),
+            border_lab AS (
+              SELECT e4.src AS id, MIN(cl.cluster) AS cluster
+              FROM edges e4
+              JOIN core_lab cl ON e4.dst = cl.id
+              WHERE e4.src NOT IN (SELECT id FROM core)
+              GROUP BY 1)
+            SELECT v.vec_id,
+              CASE WHEN k.cluster IS NOT NULL THEN 'core'
+                   WHEN b.cluster IS NOT NULL THEN 'border'
+                   ELSE 'noise' END AS role,
+              COALESCE(k.cluster, b.cluster, -1) AS cluster
+            FROM e v
+            LEFT JOIN core_lab k ON k.id = v.vec_id
+            LEFT JOIN border_lab b ON b.id = v.vec_id
+            ORDER BY v.vec_id""")
+  )
+
+  // --------------------------------------------------------------- q237
+  /** Simplified (centroid-based) SILHOUETTE — the clustering-quality
+    * audit for [[q173]]'s assignment: s = (b − a)/max(a, b) with a = the
+    * micro-floored squared distance to the OWN centroid and b = to the
+    * nearest OTHER centroid. The full silhouette's pairwise means are
+    * corpus-quadratic; the centroid form is the standard linear-time
+    * surrogate (and exact for it: a and b are q173's exact integer
+    * micro-distances, s pays one double division per row, floored to
+    * micros, then per-cluster means are exact-long sums with one final
+    * division).
+    *
+    * Scale shape: the same broadcast E-step scan as q173 (corpus × k
+    * rows through a per-vec_id window of width k), then a k-row rollup.
+    */
+  val q237 = QuerySpec(
+    "q237_silhouette",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nv"))
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+          col("nv").as("nc"))
+      val dist2 = col("nv") + col("nc") -
+        lit(2.0) * dot(col("embedding"), col("ce"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy("dmicro", "cid")
+      val ranked = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          floor(dist2 * lit(1000000.0)).cast("long").as("dmicro"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      val aSide = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dmicro").as("a"))
+      val bSide = ranked.filter(col("rn") === 2)
+        .select(col("vec_id"), col("dmicro").as("b"))
+      aSide.join(bSide, "vec_id")
+        .withColumn("s_micro",
+          when(greatest(col("a"), col("b")) === 0, lit(0L))
+            .otherwise(floor((col("b") - col("a")).cast("double") /
+              greatest(col("a"), col("b")).cast("double") * lit(1e6))
+              .cast("long")))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          graft.operators.Ops.ffloor(sum("s_micro").cast("double") /
+            (count(lit(1)).cast("double") * lit(1e6)), 6)
+            .as("mean_silhouette"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH e AS (
+              SELECT vec_id, embedding,
+                ${dotSql("embedding", "embedding")} AS nv
+              FROM embeddings),
+            c AS (SELECT vec_id AS cid, embedding AS ce, nv AS nc
+                  FROM e WHERE vec_id < 4),
+            pairs AS (
+              SELECT vec_id, cid,
+                CAST(FLOOR((nv + nc - 2.0 * ${dotSql("embedding", "ce")})
+                  * 1000000.0) AS BIGINT) AS dmicro
+              FROM e, c),
+            ranked AS (
+              SELECT vec_id, cid, dmicro,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY dmicro, cid) AS rn
+              FROM pairs),
+            ab AS (
+              SELECT a.vec_id, a.cid, a.dmicro AS a, b.dmicro AS b
+              FROM ranked a JOIN ranked b
+                ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+            sc AS (
+              SELECT cid,
+                CASE WHEN GREATEST(a, b) = 0 THEN 0
+                  ELSE CAST(FLOOR(CAST(b - a AS DOUBLE)
+                    / CAST(GREATEST(a, b) AS DOUBLE) * 1000000.0) AS BIGINT)
+                END AS s_micro
+              FROM ab)
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(FLOOR(CAST(SUM(s_micro) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS mean_silhouette
+            FROM sc GROUP BY cid ORDER BY cid""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185, q189, q192, q194,
-      q195)
+      q195, q236, q237)
 }

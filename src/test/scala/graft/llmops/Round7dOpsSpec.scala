@@ -327,6 +327,41 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(g2.getLong(3) == 500000L, s"ties must midrank to AUC 1/2, got ${g2.getLong(3)}")
   }
 
+  // ------------------------------------------------------------ q236/q237
+  private def embDir(rows: Seq[(Long, Array[Float], String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("round7demb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q236: planted triangle + dangler + antipode classify core/border/noise") {
+    val d = embDir(Seq(
+      (0L, Array(1f, 0f), "x"),
+      (1L, Array(0.95f, 0.312f), "x"),
+      (2L, Array(0.95f, -0.312f), "x"),
+      (10L, Array(0.2f, 0.98f), "x"),   // near only vec 1 -> border
+      (20L, Array(-1f, 0f), "x")))      // anti-aligned -> noise
+    val got = Similarity.q236.run(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(0L) == ("core", 0L) && got(1L) == ("core", 0L) &&
+      got(2L) == ("core", 0L), got.toString)
+    assert(got(10L) == ("border", 0L), got.toString)
+    assert(got(20L) == ("noise", -1L), got.toString)
+  }
+
+  test("q237: exact silhouettes on a 2-centroid plant (1, 1, 0 -> mean 2/3)") {
+    val d = embDir(Seq(
+      (0L, Array(1f, 0f), "x"), (1L, Array(0f, 1f), "x"),
+      (10L, Array(1f, 0f), "x"),       // coincides with c0 -> s = 1
+      (11L, Array(0.5f, 0.5f), "x")))  // exactly equidistant -> s = 0
+    val got = Similarity.q237.run(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L) == (3L, 0.666666), got.toString)
+    assert(got(1L) == (1L, 1.0), got.toString)
+  }
+
   // ------------------------------------------------------------ q231/q232
   test("q231: CMS estimates are one-sided and exact when the table is sparse") {
     val d = docsDir(bloomDocs)
