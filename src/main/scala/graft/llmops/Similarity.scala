@@ -4,6 +4,8 @@ import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.Ops.ffloor
 
 /** Similarity search over an `Array[Float]` embedding column.
   *
@@ -1269,7 +1271,202 @@ object Similarity {
             FROM sc GROUP BY cid ORDER BY cid""")
   )
 
+  /** The q173 E-step assignment (vec_id, cid) joined with the vector's
+    * ground-truth label — the contingency grain [[q238]]/[[q239]] audit.
+    */
+  private def kmeansVsLabel(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"), dot(col("embedding"), col("embedding")).as("nv"))
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nv").as("nc"))
+    val dist2 = col("nv") + col("nc") -
+      lit(2.0) * dot(col("embedding"), col("ce"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("cid"),
+        floor(dist2 * lit(1000000.0)).cast("long").as("dmicro"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dmicro"), col("cid"))).as("__best"),
+        first(col("label")).as("label"))
+      .select(col("vec_id"), col("__best.cid").as("cid"), col("label"))
+  }
+
+  /** Shared oracle CTE: (cid, label, nij) contingency of the q173
+    * assignment against the ground-truth label. */
+  private val contingencySql: String = s"""e AS (
+              SELECT vec_id, label, embedding,
+                ${dotSql("embedding", "embedding")} AS nv
+              FROM embeddings),
+            c AS (SELECT vec_id AS cid, embedding AS ce, nv AS nc
+                  FROM e WHERE vec_id < 4),
+            dists AS (
+              SELECT vec_id, label, cid,
+                CAST(FLOOR((nv + nc - 2.0 * ${dotSql("embedding", "ce")})
+                  * 1000000.0) AS BIGINT) AS dmicro
+              FROM e, c),
+            best AS (
+              SELECT vec_id, label, cid FROM dists
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dmicro, cid) = 1),
+            ct AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS nij
+                   FROM best GROUP BY 1, 2)"""
+
+  // --------------------------------------------------------------- q238
+  /** ADJUSTED RAND INDEX + purity — does [[q173]]'s geometric clustering
+    * recover the ground-truth labels? ARI is the chance-corrected
+    * pair-counting agreement; purity the simpler majority-label mass.
+    * Every term is pair combinatorics — C(x,2) = x(x−1) div 2, exact —
+    * and the chance correction is cleared of fractions by multiplying
+    * through by 2·C(n,2):
+    *
+    *   ARI = (2·T·Σij − 2·ΣA·ΣB) / (T·(ΣA+ΣB) − 2·ΣA·ΣB),  T = C(n,2)
+    *
+    * so numerator and denominator are exact DECIMAL(38,0)/HUGEINT and
+    * ONE double division closes (a degenerate denominator — all points
+    * in one cluster and one label — pins ARI to 1 by convention).
+    *
+    * Scale shape: the broadcast E-step scan, then everything lives on
+    * the k×L contingency table.
+    */
+  val q238 = QuerySpec(
+    "q238_ari_purity",
+    (s, d) => {
+      val ct = graft.core.Materialize(kmeansVsLabel(s, d)
+        .groupBy("cid", "label").agg(count(lit(1)).as("nij")))
+      val aM = ct.groupBy("cid").agg(sum("nij").cast("long").as("ai"))
+        .agg(sum(expr("ai * (ai - 1) div 2")).cast(DecimalType(38, 0)).as("sa"),
+          count(lit(1)).as("k_clusters"))
+      val bM = ct.groupBy("label").agg(sum("nij").cast("long").as("bj"))
+        .agg(sum(expr("bj * (bj - 1) div 2")).cast(DecimalType(38, 0)).as("sb"),
+          count(lit(1)).as("n_labels"))
+      val cells = ct.agg(
+        sum(expr("nij * (nij - 1) div 2")).cast(DecimalType(38, 0)).as("sij"),
+        sum("nij").cast("long").as("n"))
+      val pur = ct.groupBy("cid").agg(max("nij").as("mx"))
+        .agg(sum("mx").cast("long").as("pure"))
+      cells.crossJoin(broadcast(aM)).crossJoin(broadcast(bM))
+        .crossJoin(broadcast(pur))
+        .withColumn("t", expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2")
+          .cast(DecimalType(38, 0)))
+        .select(col("n"), col("k_clusters"), col("n_labels"),
+          expr("(pure * 1000000) div n").as("purity_micro"),
+          when(col("t") * (col("sa") + col("sb")) - col("sa") * col("sb") * 2 === 0,
+            lit(1.0))
+            .otherwise(ffloor(
+              (col("t") * col("sij") * 2 - col("sa") * col("sb") * 2).cast("double") /
+                (col("t") * (col("sa") + col("sb")) - col("sa") * col("sb") * 2)
+                  .cast("double"), 6)).as("ari"))
+    },
+    Some(s"""WITH $contingencySql,
+            am AS (SELECT CAST(SUM(ai * (ai - 1) // 2) AS HUGEINT) AS sa,
+                     COUNT(*) AS k_clusters
+                   FROM (SELECT cid, CAST(SUM(nij) AS BIGINT) AS ai
+                         FROM ct GROUP BY 1)),
+            bm AS (SELECT CAST(SUM(bj * (bj - 1) // 2) AS HUGEINT) AS sb,
+                     COUNT(*) AS n_labels
+                   FROM (SELECT label, CAST(SUM(nij) AS BIGINT) AS bj
+                         FROM ct GROUP BY 1)),
+            cl AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS HUGEINT) AS sij,
+                     CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+            pu AS (SELECT CAST(SUM(mx) AS BIGINT) AS pure FROM
+                     (SELECT cid, MAX(nij) AS mx FROM ct GROUP BY 1)),
+            x AS (SELECT cl.*, am.*, bm.*, pu.*,
+                    CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS HUGEINT) AS t
+                  FROM cl CROSS JOIN am CROSS JOIN bm CROSS JOIN pu)
+            SELECT n, k_clusters, n_labels,
+              (pure * 1000000) // n AS purity_micro,
+              CASE WHEN t * (sa + sb) - sa * sb * 2 = 0 THEN 1.0
+                ELSE CAST(FLOOR(CAST(t * sij * 2 - sa * sb * 2 AS DOUBLE)
+                  / CAST(t * (sa + sb) - sa * sb * 2 AS DOUBLE)
+                  * 1000000.0) AS DOUBLE) / 1000000.0
+              END AS ari
+            FROM x""")
+  )
+
+  // --------------------------------------------------------------- q239
+  /** NORMALIZED MUTUAL INFORMATION between the geometric clustering and
+    * the labels — [[q238]]'s information-theoretic twin (ARI counts
+    * pairs; NMI weighs the full confusion structure, and is the metric
+    * that stays meaningful when cluster counts differ from label
+    * counts). q203's micro-nat contract: per-cell contributions
+    * nij·⌊ln(n·nij/(ai·bj))·10⁶⌋ are exact longs, entropies likewise,
+    * and NMI = MI/max(H_c, H_l) is ONE division of two exact integers
+    * (identically scaled, so the scale cancels). Degenerate max-entropy
+    * 0 (single cluster AND single label) pins NMI to 1.
+    */
+  val q239 = QuerySpec(
+    "q239_cluster_nmi",
+    (s, d) => {
+      val ct = graft.core.Materialize(kmeansVsLabel(s, d)
+        .groupBy("cid", "label").agg(count(lit(1)).as("nij")))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      val g = ct
+        .withColumn("ai", sum("nij").over(wc))
+        .withColumn("bj", sum("nij").over(wl))
+        .crossJoin(broadcast(ct.agg(sum("nij").cast("long").as("n"))))
+      val mi = g.agg(
+        sum(col("nij") * floor(log((col("n") * col("nij")).cast("double") /
+          (col("ai") * col("bj")).cast("double")) * lit(1e6)).cast("long"))
+          .cast("long").as("mi_c"),
+        max("n").as("n"))
+      val hc = ct.groupBy("cid").agg(sum("nij").cast("long").as("ai"))
+        .crossJoin(broadcast(ct.agg(sum("nij").cast("long").as("n"))))
+        .agg(sum(col("ai") * floor(log(col("n").cast("double") /
+          col("ai").cast("double")) * lit(1e6)).cast("long"))
+          .cast("long").as("hc_c"))
+      val hl = ct.groupBy("label").agg(sum("nij").cast("long").as("bj"))
+        .crossJoin(broadcast(ct.agg(sum("nij").cast("long").as("n"))))
+        .agg(sum(col("bj") * floor(log(col("n").cast("double") /
+          col("bj").cast("double")) * lit(1e6)).cast("long"))
+          .cast("long").as("hl_c"))
+      mi.crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+        .select(col("n"),
+          ffloor(col("mi_c").cast("double") /
+            (col("n").cast("double") * lit(1e6)), 6).as("mi_nats"),
+          when(greatest(col("hc_c"), col("hl_c")) === 0, lit(1.0))
+            .otherwise(ffloor(col("mi_c").cast("double") /
+              greatest(col("hc_c"), col("hl_c")).cast("double"), 6))
+            .as("nmi"))
+    },
+    Some(s"""WITH $contingencySql,
+            n AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM ct),
+            g AS (
+              SELECT ct.cid, ct.label, ct.nij,
+                CAST(SUM(nij) OVER (PARTITION BY cid) AS BIGINT) AS ai,
+                CAST(SUM(nij) OVER (PARTITION BY label) AS BIGINT) AS bj,
+                n.n
+              FROM ct CROSS JOIN n),
+            mi AS (
+              SELECT CAST(SUM(nij * CAST(FLOOR(ln(CAST(n * nij AS DOUBLE)
+                  / CAST(ai * bj AS DOUBLE)) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS mi_c,
+                MAX(n) AS n
+              FROM g),
+            hc AS (
+              SELECT CAST(SUM(ai * CAST(FLOOR(ln(CAST(n AS DOUBLE)
+                  / CAST(ai AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+                  AS hc_c
+              FROM (SELECT cid, CAST(SUM(nij) AS BIGINT) AS ai
+                    FROM ct GROUP BY 1) CROSS JOIN n),
+            hl AS (
+              SELECT CAST(SUM(bj * CAST(FLOOR(ln(CAST(n AS DOUBLE)
+                  / CAST(bj AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+                  AS hl_c
+              FROM (SELECT label, CAST(SUM(nij) AS BIGINT) AS bj
+                    FROM ct GROUP BY 1) CROSS JOIN n)
+            SELECT n,
+              CAST(FLOOR(CAST(mi_c AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS mi_nats,
+              CASE WHEN GREATEST(hc_c, hl_c) = 0 THEN 1.0
+                ELSE CAST(FLOOR(CAST(mi_c AS DOUBLE)
+                  / CAST(GREATEST(hc_c, hl_c) AS DOUBLE) * 1000000.0) AS DOUBLE)
+                  / 1000000.0
+              END AS nmi
+            FROM mi CROSS JOIN hc CROSS JOIN hl""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185, q189, q192, q194,
-      q195, q236, q237)
+      q195, q236, q237, q238, q239)
 }

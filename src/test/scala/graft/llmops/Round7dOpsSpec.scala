@@ -362,6 +362,29 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(got(1L) == (1L, 1.0), got.toString)
   }
 
+  // ------------------------------------------------------------ q238/q239
+  test("q238: clusters == labels gives ARI 1; anti-correlated grid gives ARI -0.5") {
+    val perfect = embDir(Seq(
+      (0L, Array(1f, 0f), "A"), (10L, Array(1f, 0f), "A"), (11L, Array(1f, 0f), "A"),
+      (1L, Array(0f, 1f), "B"), (12L, Array(0f, 1f), "B"), (13L, Array(0f, 1f), "B")))
+    val g1 = Similarity.q238.run(spark, perfect).collect()(0)
+    assert(g1.getLong(3) == 1000000L && g1.getDouble(4) == 1.0, g1.toString)
+    val anti = embDir(Seq(
+      (0L, Array(1f, 0f), "A"), (10L, Array(1f, 0f), "B"),
+      (1L, Array(0f, 1f), "A"), (12L, Array(0f, 1f), "B")))
+    val g2 = Similarity.q238.run(spark, anti).collect()(0)
+    assert(g2.getLong(3) == 500000L && g2.getDouble(4) == -0.5, g2.toString)
+  }
+
+  test("q239: clusters == labels gives NMI 1 and MI = ln 2") {
+    val perfect = embDir(Seq(
+      (0L, Array(1f, 0f), "A"), (10L, Array(1f, 0f), "A"), (11L, Array(1f, 0f), "A"),
+      (1L, Array(0f, 1f), "B"), (12L, Array(0f, 1f), "B"), (13L, Array(0f, 1f), "B")))
+    val g = Similarity.q239.run(spark, perfect).collect()(0)
+    assert(g.getDouble(1) == 0.693147, g.toString)
+    assert(g.getDouble(2) == 1.0, g.toString)
+  }
+
   // ------------------------------------------------------------ q231/q232
   test("q231: CMS estimates are one-sided and exact when the table is sparse") {
     val d = docsDir(bloomDocs)
