@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.operators.Ops.{asciiLower, asciiLowerSql, fanOut, ffloor}
+import org.apache.spark.sql.types.DecimalType
 
 /** Pre-training corpus planning operators: LM-quality scoring, segment-level
   * dedup, token-budget allocation, and context-length packing audit — the
@@ -1252,7 +1253,81 @@ object PretrainOps {
             ORDER BY weight_x2 DESC, w1, w2 LIMIT 50""")
   )
 
+  // --------------------------------------------------------------- q241
+  /** AMS F₂ SKETCH audit — the signed estimator completing the md5
+    * sketch family (Bloom: membership, CMS: point counts, HLL: distinct,
+    * AMS: the SECOND MOMENT Σc² — which is exactly the output size of a
+    * term-keyed self-join, i.e. the shuffle-size forecast for every
+    * shared-token pair join this engine runs). Four independent sign
+    * rows, sign_j(t) = ±1 from the parity of md5 hex digit j, estimator
+    * est_j = (Σ_t sign_j(t)·c_t)² — unbiased with variance ≤ 2F₂²
+    * (Alon–Matias–Szegedy '96); the audit reports each exact integer
+    * est_j alongside their floor-mean and the true F₂, with the
+    * relative error in integer micros. Everything is exact
+    * DECIMAL(38,0)/HUGEINT — the estimator is integer arithmetic END TO
+    * END, which is what makes a SKETCH hash-comparable as VALUES.
+    *
+    * Scale shape: one tokenize pass → vocab-bounded counts → 4 narrow
+    * per-term sign expressions → a 4-row aggregate. The sketch state is
+    * 4 longs.
+    */
+  val q241 = QuerySpec(
+    "q241_ams_f2_audit",
+    (s, d) => {
+      val counts = graft.core.Materialize(
+        fanOut(Tables.documents(s, d))
+          .select(explode(split(asciiLower(col("text")), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term").agg(count(lit(1)).as("c")))
+      val signed = counts.select(col("c"),
+        explode(array((0 until 4).map(j => struct(
+          lit(j).as("row_idx"),
+          (conv(substring(md5(col("term")), j + 1, 1), 16, 10)
+            .cast("long") % 2 * 2 - 1).as("sign"))): _*)).as("p"))
+        .select(col("p.row_idx"), (col("p.sign") * col("c")).as("sc"))
+        .groupBy("row_idx").agg(sum("sc").cast("long").as("s"))
+        .agg(sum((col("s").cast(DecimalType(38, 0)) * col("s")))
+          .cast(DecimalType(38, 0)).as("est_sum"),
+          count(lit(1)).as("nrows"))
+      val exact = counts.agg(
+        sum(col("c").cast(DecimalType(38, 0)) * col("c"))
+          .cast(DecimalType(38, 0)).as("f2"),
+        count(lit(1)).as("n_terms"))
+      exact.crossJoin(broadcast(signed))
+        .select(col("n_terms"),
+          col("f2").cast("long").as("exact_f2"),
+          expr("CAST(est_sum div nrows AS BIGINT)").as("est_f2"),
+          expr("""CAST((abs(CAST(est_sum div nrows AS DECIMAL(38,0)) - f2)
+            * 1000000) div f2 AS BIGINT)""").as("rel_err_micro"))
+    },
+    Some(s"""WITH toks AS (
+              SELECT t.term FROM documents,
+                unnest(string_split(${asciiLowerSql("text")}, ' ')) AS t(term)
+              WHERE t.term <> ''),
+            counts AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                       FROM toks GROUP BY 1),
+            signed AS (
+              SELECT j.j AS row_idx,
+                CAST(SUM((CAST(('0x' || substr(md5(term), j.j + 1, 1)) AS BIGINT)
+                  % 2 * 2 - 1) * c) AS BIGINT) AS s
+              FROM counts CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+              GROUP BY 1),
+            est AS (
+              SELECT CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS est_sum,
+                COUNT(*) AS rows_
+              FROM signed),
+            ex AS (
+              SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2,
+                CAST(COUNT(*) AS BIGINT) AS n_terms
+              FROM counts)
+            SELECT n_terms, CAST(f2 AS BIGINT) AS exact_f2,
+              CAST(est_sum // rows_ AS BIGINT) AS est_f2,
+              CAST((abs(est_sum // rows_ - f2) * 1000000) // f2 AS BIGINT)
+                AS rel_err_micro
+            FROM ex CROSS JOIN est""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q104, q105, q106, q107, q116, q117,
-      q124, q171, q229, q230, q233)
+      q124, q171, q229, q230, q233, q241)
 }

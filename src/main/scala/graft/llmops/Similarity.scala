@@ -1466,7 +1466,76 @@ object Similarity {
             FROM mi CROSS JOIN hc CROSS JOIN hl""")
   )
 
+  // --------------------------------------------------------------- q240
+  /** K-DIST PROFILE — the ε-selection table for [[q236]]: the classic
+    * DBSCAN recipe reads ε off the knee of the sorted k-th-NN-distance
+    * curve; at corpus scale nobody sorts that curve — they read its
+    * QUANTILES. Per vector: the 3rd-smallest cosine distance (1 − cos,
+    * micro-floored to exact longs) among its block pairs; then exact
+    * p50/p90/p99 of those k-dists — p90 is the standard suggested ε.
+    * Distances ride [[q141]]'s blocked pair join; the per-vector rank-3
+    * pick is a width-bounded window (block-bounded, never a corpus
+    * stratum); the quantile ranks are exact (ceil(p·n/100), id-free —
+    * values are already integers).
+    */
+  val q240 = QuerySpec(
+    "q240_kdist_profile",
+    (s, d) => {
+      val e = Tables.embeddings(s, d).select(
+        col("label"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+        .filter(col("nrm") > 0) // zero-norm excluded up front (q209's rule)
+      val a = e.select(col("label"), col("vec_id").as("id1"),
+        col("embedding").as("e1"), col("nrm").as("n1"))
+      val b = e.select(col("label"), col("vec_id").as("id2"),
+        col("embedding").as("e2"), col("nrm").as("n2"))
+      val distMicro = (lit(1000000L) -
+        floor(cosineFromParts(dot(col("e1"), col("e2")), col("n1"), col("n2"))
+          * lit(1e6)).cast("long"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("id1") =!= col("id2"))
+        .select(col("id1").as("id"), distMicro.as("dm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("dm")
+      val kdist = graft.core.Materialize(
+        pairs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 3).select(col("id"), col("dm")))
+      // exact ranks WITHOUT a global sort: q118's histogram-refine engine
+      graft.operators.Quantiles
+        .exactQuantiles(kdist, "dm", Seq(50, 90, 99), refineThreshold = 4096)
+        .select(col("pct"), col("k"),
+          col("value").cast("long").as("kdist_micro"))
+        .orderBy("pct")
+    },
+    Some(s"""WITH e AS (
+              SELECT label, vec_id, embedding, nrm FROM (
+                SELECT label, vec_id, embedding,
+                  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+                FROM embeddings)
+              WHERE nrm > 0),
+            pairs AS (
+              SELECT a.vec_id AS id,
+                1000000 - CAST(FLOOR(${dotSql("a.embedding", "b.embedding")}
+                  / (a.nrm * b.nrm) * 1000000.0) AS BIGINT) AS dm
+              FROM e a JOIN e b
+                ON a.label = b.label AND a.vec_id <> b.vec_id),
+            kd AS (
+              SELECT id, dm FROM (
+                SELECT id, dm,
+                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY dm) AS rn
+                FROM pairs)
+              WHERE rn = 3),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kd),
+            t(pct) AS (VALUES (50), (90), (99)),
+            ks AS (SELECT pct, CAST((pct * n + 99) // 100 AS BIGINT) AS k
+                   FROM t CROSS JOIN n),
+            r AS (SELECT dm, ROW_NUMBER() OVER (ORDER BY dm) AS rn FROM kd)
+            SELECT ks.pct, ks.k, CAST(r.dm AS BIGINT) AS kdist_micro
+            FROM ks JOIN r ON r.rn = ks.k
+            ORDER BY ks.pct""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185, q189, q192, q194,
-      q195, q236, q237, q238, q239)
+      q195, q236, q237, q238, q239, q240)
 }

@@ -362,6 +362,28 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(got(1L) == (1L, 1.0), got.toString)
   }
 
+  // ------------------------------------------------------------ q240/q241
+  test("q240: identical vectors put every k-dist quantile at 0") {
+    val d = embDir((0 until 5).map(i => (i.toLong, Array(1f, 0f), "x")))
+    val got = Similarity.q240.run(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(50 -> 0L, 90 -> 0L, 99 -> 0L), got.toString)
+  }
+
+  test("q240: quantiles are ordered on the sf corpus") {
+    val rows = Similarity.q240.run(spark, sf("sf0.001")).collect()
+    assert(rows.length == 3)
+    val v = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(v(0) <= v(1) && v(1) <= v(2), v.mkString(","))
+  }
+
+  test("q241: a single-term corpus makes the AMS estimate exact (signs square away)") {
+    val got = PretrainOps.q241.run(spark, docsDir(Seq(row(0, "a a a"))))
+      .collect()(0)
+    assert(got.getLong(1) == 9L && got.getLong(2) == 9L &&
+      got.getLong(3) == 0L, got.toString)
+  }
+
   // ------------------------------------------------------------ q238/q239
   test("q238: clusters == labels gives ARI 1; anti-correlated grid gives ARI -0.5") {
     val perfect = embDir(Seq(
