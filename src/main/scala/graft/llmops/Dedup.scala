@@ -1902,8 +1902,130 @@ object Dedup {
                    true AS recall_ok""")
   )
 
+  // --------------------------------------------------------------- q242
+  /** LSH S-CURVE PLANNER — the design table behind [[q30]]'s 16-band ×
+    * 4-row choice, as an oracled operator: candidate probability
+    * P(J) = 1 − (1 − J^r)^b for three (b, r) geometries over a Jaccard
+    * grid. Pure expression work — no corpus — but cross-engine pow() is
+    * libm-dependent, so every power is an EXPLICIT SQUARING CHAIN
+    * (j², j⁴, j⁸; x², …, x³²): the identical IEEE multiply sequence in
+    * both engines, ffloored to micros. The table shows the contract the
+    * recall audits (q175/q197) enforce: at 16×4, J = 0.8 → P ≈ 0.9998,
+    * J = 0.3 → P ≈ 0.12 — steep exactly where the dedup threshold sits.
+    */
+  val q242 = QuerySpec(
+    "q242_lsh_plan",
+    (s, _) => {
+      val grid = for {
+        (b, r) <- Seq((8, 8), (16, 4), (32, 2))
+        jx <- 5 to 95 by 5
+      } yield (b, r, jx)
+      import s.implicits._
+      val df = grid.toDF("bands", "rws", "jx")
+        .withColumn("j", col("jx").cast("double") / lit(100.0))
+        .withColumn("j2", col("j") * col("j"))
+        .withColumn("j4", col("j2") * col("j2"))
+        .withColumn("j8", col("j4") * col("j4"))
+        .withColumn("jr", when(col("rws") === 2, col("j2"))
+          .when(col("rws") === 4, col("j4")).otherwise(col("j8")))
+        .withColumn("x", lit(1.0) - col("jr"))
+        .withColumn("x2", col("x") * col("x"))
+        .withColumn("x4", col("x2") * col("x2"))
+        .withColumn("x8", col("x4") * col("x4"))
+        .withColumn("x16", col("x8") * col("x8"))
+        .withColumn("x32", col("x16") * col("x16"))
+      df.select(col("bands"), col("rws"), col("jx"),
+          graft.operators.Ops.ffloor(
+            when(col("bands") === 8, lit(1.0) - col("x8"))
+              .when(col("bands") === 16, lit(1.0) - col("x16"))
+              .otherwise(lit(1.0) - col("x32")), 6).as("p_candidate"))
+        .orderBy("bands", "jx")
+    },
+    Some(s"""WITH grid(bands, rws, jx) AS (VALUES ${
+      (for {
+        (b, r) <- Seq((8, 8), (16, 4), (32, 2))
+        jx <- 5 to 95 by 5
+      } yield s"($b, $r, $jx)").mkString(", ")}),
+            s1 AS (SELECT bands, rws, jx,
+                     CAST(jx AS DOUBLE) / 100.0 AS j FROM grid),
+            s2 AS (SELECT *, j * j AS j2 FROM s1),
+            s3 AS (SELECT *, j2 * j2 AS j4 FROM s2),
+            s4 AS (SELECT *, j4 * j4 AS j8 FROM s3),
+            s5 AS (SELECT *, CASE rws WHEN 2 THEN j2 WHEN 4 THEN j4
+                             ELSE j8 END AS jr FROM s4),
+            s6 AS (SELECT *, 1.0 - jr AS x FROM s5),
+            s7 AS (SELECT *, x * x AS x2 FROM s6),
+            s8 AS (SELECT *, x2 * x2 AS x4 FROM s7),
+            s9 AS (SELECT *, x4 * x4 AS x8 FROM s8),
+            sa AS (SELECT *, x8 * x8 AS x16 FROM s9),
+            sb AS (SELECT *, x16 * x16 AS x32 FROM sa)
+            SELECT bands, rws, jx,
+              CAST(FLOOR((CASE bands WHEN 8 THEN 1.0 - x8
+                           WHEN 16 THEN 1.0 - x16
+                           ELSE 1.0 - x32 END) * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS p_candidate
+            FROM sb ORDER BY bands, jx""")
+  )
+
+  // --------------------------------------------------------------- q243
+  /** DEDUP SAVINGS FORECAST — the number that justifies running [[q72]]
+    * at all: if every near-dup cluster collapses to its canonical
+    * member (longest, lowest-id tiebreak — q72's exact rule), how many
+    * documents and characters leave the corpus? One row:
+    * total/dropped docs and chars, and the dropped fraction in integer
+    * micros — the before/after line of a curation proposal, exact
+    * enough to hash.
+    *
+    * Scale shape: the label table joined to (doc_id, n_chars), ONE
+    * cluster-keyed aggregate (sum + the same max-struct argmax q72
+    * uses — no rank window), then a 1-row rollup cross-joined to the
+    * corpus totals.
+    */
+  val q243 = QuerySpec(
+    "q243_dedup_savings",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val perCluster = neardupLabels(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"),
+          sum("n_chars").cast("long").as("chars_all"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("__best"))
+        .filter(col("n_members") >= 2)
+        .select((col("n_members") - 1).as("n_dropped"),
+          (col("chars_all") - col("__best.n_chars")).as("chars_dropped"))
+        .agg(coalesce(sum("n_dropped"), lit(0L)).cast("long").as("n_docs_dropped"),
+          coalesce(sum("chars_dropped"), lit(0L)).cast("long").as("chars_dropped"))
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("chars_total"))
+        .crossJoin(broadcast(perCluster))
+        .select(col("n_docs"), col("n_docs_dropped"),
+          col("chars_total"), col("chars_dropped"),
+          expr("(chars_dropped * 1000000) div chars_total").as("pct_chars_micro"))
+    },
+    Some(s"""WITH $neardupLabelsCtes,
+            lab AS (SELECT id AS doc_id, lbl AS cluster FROM l3),
+            ranked AS (
+              SELECT cluster, doc_id, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY cluster
+                  ORDER BY n_chars DESC, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY cluster) AS n_members
+              FROM lab JOIN documents USING (doc_id)),
+            dropped AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+                CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS chars_dropped
+              FROM ranked WHERE n_members >= 2 AND rn > 1),
+            tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars_total
+              FROM documents)
+            SELECT n_docs, n_docs_dropped, chars_total, chars_dropped,
+              (chars_dropped * 1000000) // chars_total AS pct_chars_micro
+            FROM tot CROSS JOIN dropped""")
+  )
+
   val all: Seq[QuerySpec] =
     Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
       q113, q123, q128, q130, q131, q168, q172, q175, q181, q186, q187, q188,
-      q197, q218, q225)
+      q197, q218, q225, q242, q243)
 }

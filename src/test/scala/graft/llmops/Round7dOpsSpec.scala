@@ -362,6 +362,26 @@ class Round7dOpsSpec extends SparkTestBase {
     assert(got(1L) == (1L, 1.0), got.toString)
   }
 
+  // ------------------------------------------------------------ q242/q243
+  test("q242: the 16x4 s-curve is steep where the dedup threshold sits") {
+    val got = Dedup.q242.run(spark, "unused")
+      .collect().map(r => (r.getInt(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 57)
+    assert(got((16, 80)) > 0.999, got((16, 80)).toString)   // J=0.8 caught
+    assert(got((16, 30)) < 0.15, got((16, 30)).toString)    // J=0.3 mostly not
+    // monotone in J for every geometry
+    for (b <- Seq(8, 16, 32); j <- 10 to 95 by 5)
+      assert(got((b, j)) >= got((b, j - 5)), s"b=$b j=$j")
+  }
+
+  test("q243: a 3-clique of identical docs drops 2 docs and their chars") {
+    val docs = (0 until 3).map(i => row(i.toLong, "c1 c2 c3 c4 c5")) :+
+      row(10, "u1 u2 u3 u4 u5") // edge-free, never dropped
+    val got = Dedup.q243.run(spark, docsDir(docs)).collect()(0)
+    assert(got.getLong(0) == 4L && got.getLong(1) == 2L, got.toString)
+    assert(got.getLong(3) == 28L, got.toString) // two 14-char dup copies
+  }
+
   // ------------------------------------------------------------ q240/q241
   test("q240: identical vectors put every k-dist quantile at 0") {
     val d = embDir((0 until 5).map(i => (i.toLong, Array(1f, 0f), "x")))
