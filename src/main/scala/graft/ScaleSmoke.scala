@@ -106,7 +106,8 @@ object ScaleSmoke {
       "q228_w1_drift", "q229_negative_sampling", "q230_hill_tail_index",
       "q231_cms_audit", "q232_cms_store_audit", "q233_skipgram_cooc",
       "q236_dbscan", "q237_silhouette", "q238_ari_purity",
-      "q239_cluster_nmi")
+      "q239_cluster_nmi", "q240_kdist_profile", "q241_ams_f2_audit",
+      "q243_dedup_savings")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     // Local-iteration filter (builder tooling, mirrors Verify's):
     // comma-separated name prefixes, e.g. SPARK_GRAFT_SMOKE_ONLY=q218,q221.
