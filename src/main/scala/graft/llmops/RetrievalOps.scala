@@ -182,11 +182,12 @@ object RetrievalOps {
     * longs; the final RBO is one double division. Both rankings order
     * by (score desc, doc_id) — unique total order.
     *
-    * Scale: rankings are windows over the query-MATCHED doc set only
-    * (q165's contract — query-bounded, never corpus-bounded); the
-    * depth sweep is a 10-row broadcast cross join against the top-10
-    * rank pairs. One tokenization pass, Materialized, feeds both
-    * scorers.
+    * Scale: each scorer's ranking is a top-10 SELECTION
+    * (TakeOrderedAndProject — per-partition heaps, no single-partition
+    * sort of the matched doc set); rank assignment is a window over the
+    * limit-bounded ≤10 rows. The depth sweep is a 10-row broadcast
+    * cross join against the top-10 rank pairs. One tokenization pass,
+    * Materialized, feeds both scorers.
     */
   val q211 = QuerySpec(
     "q211_rbo_rank_agreement",
@@ -219,11 +220,20 @@ object RetrievalOps {
       val tfidf = base
         .select(col("doc_id"), (col("tf") * col("idf_micro")).as("pm"))
         .groupBy("doc_id").agg(sum("pm").cast("long").as("s"))
-      def ranked(r: DataFrame, name: String): DataFrame = r.withColumn(name,
-        row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
+      // Depth 10 is the metric's whole domain, so each scorer's ranking is a
+      // SELECTION: orderBy(...).limit(10) plans as TakeOrderedAndProject
+      // (per-partition heaps, no single-partition shuffle); the rank window
+      // then runs over exactly those ≤10 rows — limit-bounded, never the
+      // matched doc set. The top-10 under the unique total order
+      // (s desc, doc_id) carries global ranks 1..10 by construction, and
+      // only pairs with BOTH ranks ≤ depth ≤ 10 contribute to X_d, so the
+      // inner join of the two top-10 sets loses nothing.
+      def ranked(r: DataFrame, name: String): DataFrame = r
+        .orderBy(col("s").desc, col("doc_id")).limit(10)
+        .withColumn(name,
+          row_number().over(Window.orderBy(col("s").desc, col("doc_id"))))
         .select(col("doc_id"), col(name))
       val joined = ranked(bm25, "ra").join(ranked(tfidf, "rb"), "doc_id")
-        .filter(col("ra") <= 10 || col("rb") <= 10)
       import s.implicits._
       val depths = wNano.zipWithIndex
         .map { case (w0, i) => (i + 1, w0) }.toDF("depth", "w_nano")

@@ -1,7 +1,6 @@
 package graft.llmops
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -47,17 +46,23 @@ object TopKStore {
 
   /** Misra–Gries rank-(k+1) reduction: subtract the (k+1)-th largest
     * counter value from every counter, drop the non-positive — at most k
-    * survive, each having absorbed bounded undercount. The window runs
-    * over ≤ k + |batch vocabulary| rows (never the corpus); the value at
-    * rank k+1 is order-deterministic even under count ties (the sorted
-    * value sequence does not depend on the tiebreak).
+    * survive, each having absorbed bounded undercount. Only the value at
+    * rank k+1 is needed — a SELECTION, not a ranking — so it is computed
+    * as the minimum `c` of the top-(k+1) rows under `(c desc, term)`:
+    * `orderBy(...).limit(k+1)` plans as TakeOrderedAndProject
+    * (per-partition size-(k+1) heaps merged once), never a
+    * single-partition WindowExec sort of the batch vocabulary. The
+    * selected value is order-deterministic even under count ties (the
+    * sorted value sequence does not depend on the tiebreak); when fewer
+    * than k+1 counters exist the subtrahend is 0, matching the rank
+    * semantics (no rank-(k+1) row → subtract nothing).
     */
   private[llmops] def mgReduce(counts: DataFrame, k: Int): DataFrame = {
-    val rn = row_number().over(Window.orderBy(col("c").desc, col("term")))
-    val ranked = counts.withColumn("rn", rn)
-    val kth = ranked.filter(col("rn") === k + 1).select(col("c").as("sub"))
-    ranked.join(broadcast(kth), lit(true), "left")
-      .select(col("term"), (col("c") - coalesce(col("sub"), lit(0L))).as("c"))
+    val kth = counts.orderBy(col("c").desc, col("term")).limit(k + 1)
+      .agg(when(count(lit(1)) === k + 1, min(col("c")))
+        .otherwise(lit(0L)).cast("long").as("sub"))
+    counts.crossJoin(broadcast(kth))
+      .select(col("term"), (col("c") - col("sub")).as("c"))
       .filter(col("c") > 0)
   }
 
