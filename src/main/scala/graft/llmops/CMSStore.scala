@@ -24,10 +24,12 @@ import graft.operators.Ops.{asciiLower, asciiLowerSql, fanOut}
   * error bound is overcount ≤ 2N/w per row with prob ≥ 1/2 per row,
   * so the min over 4 independent rows concentrates hard.
   *
-  * Store layout: `counters.parquet` (row_idx, counter_idx, cnt) ≤ d·w
-  * rows; `meta.parquet` (n_total, last_epoch). Rename-aside commits;
-  * epoch-guarded `update` (the at-least-once `foreachBatch` contract —
-  * a replayed batch would double-count).
+  * Store layout: `state/counters.parquet` (row_idx, counter_idx, cnt)
+  * ≤ d·w rows; `state/meta.parquet` (n_total, last_epoch) — both files
+  * committed as ONE atomic [[StoreCommit]] directory rename (a torn
+  * counters-without-meta commit would let an at-least-once replay pass
+  * the epoch guard and double-count); epoch-guarded `update` (the
+  * `foreachBatch` contract — a replayed batch would double-count).
   *
   * Scale shape: inserts are O(d · batch vocab) narrow expressions + one
   * (row, counter)-keyed aggregate; estimates are d keyed lookups + a
@@ -57,21 +59,28 @@ object CMSStore {
       .groupBy("row_idx", "counter_idx")
       .agg(sum("c").cast("long").as("cnt"))
 
+  /** Committed counter table (rolls forward a crashed commit first). */
+  def counters(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${StoreCommit.resolve(spark, dir)}/counters.parquet")
+
   /** The counter table the store WOULD hold after `batch`: stored + batch
     * sketches, summed per cell. O(d·w + d·batch vocab).
     */
   def updatedCounters(spark: SparkSession, dir: String, batch: DataFrame): DataFrame =
-    spark.read.parquet(s"$dir/counters.parquet")
+    counters(spark, dir)
       .unionByName(sketchTable(termCounts(batch)))
       .groupBy("row_idx", "counter_idx")
       .agg(sum("cnt").cast("long").as("cnt"))
 
   def build(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val stage = StoreCommit.stagePath(dir)
     sketchTable(termCounts(docs))
-      .write.mode("overwrite").parquet(s"$dir/counters.parquet")
-    docs.sparkSession.createDataFrame(Seq((tokenTotal(docs), -1L)))
+      .write.mode("overwrite").parquet(s"$stage/counters.parquet")
+    spark.createDataFrame(Seq((tokenTotal(docs), -1L)))
       .toDF("n_total", "last_epoch")
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+      .write.mode("overwrite").parquet(s"$stage/meta.parquet")
+    StoreCommit.commit(spark, dir)
   }
 
   private def tokenTotal(docs: DataFrame): Long =
@@ -82,30 +91,32 @@ object CMSStore {
 
   /** Committing increment with the [[TopKStore]] epoch guard: SUM-merge
     * is not idempotent, so a batch with epoch ≤ last_epoch is a no-op.
+    * counters+meta commit as ONE [[StoreCommit]] directory rename, so a
+    * crash can never land counters including the batch next to a stale
+    * `last_epoch` (the torn-commit double-count hazard).
     */
   def update(spark: SparkSession, dir: String, batch: DataFrame,
              epoch: Long = -1L): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+    val state = StoreCommit.resolve(spark, dir)
+    val meta = spark.read.parquet(s"$state/meta.parquet").collect()(0)
     val (nTotal, lastEpoch) = (meta.getLong(0), meta.getLong(1))
     if (epoch >= 0 && epoch <= lastEpoch) return
+    val stage = StoreCommit.stagePath(dir)
     updatedCounters(spark, dir, batch)
-      .write.mode("overwrite").parquet(s"$dir/counters.parquet.tmp")
+      .write.mode("overwrite").parquet(s"$stage/counters.parquet")
     spark.createDataFrame(Seq((nTotal + tokenTotal(batch),
         if (epoch >= 0) epoch else lastEpoch)))
       .toDF("n_total", "last_epoch")
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet.tmp")
-    swap(spark, s"$dir/counters.parquet")
-    swap(spark, s"$dir/meta.parquet")
+      .write.mode("overwrite").parquet(s"$stage/meta.parquet")
+    StoreCommit.commit(spark, dir)
   }
 
   /** Point-count estimates for `keys` (column `term`): min over the d
     * row counters (missing cell → 0). The counter table is broadcast
     * (≤ d·w rows).
     */
-  def estimate(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
-    val counters = spark.read.parquet(s"$dir/counters.parquet")
-    estimateAgainst(keys, counters)
-  }
+  def estimate(spark: SparkSession, dir: String, keys: DataFrame): DataFrame =
+    estimateAgainst(keys, counters(spark, dir))
 
   private[llmops] def estimateAgainst(keys: DataFrame, counters: DataFrame): DataFrame =
     keys.select(col("term"),
@@ -126,21 +137,6 @@ object CMSStore {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         if (!batch.isEmpty) update(batch.sparkSession, dir, batch, epoch)
       }
-
-  /** [[CardinalityStore]]'s crash-narrowed rename-aside commit. */
-  private def swap(spark: SparkSession, dstPath: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(dstPath)
-    val tmp = new org.apache.hadoop.fs.Path(dstPath + ".tmp")
-    val old = new org.apache.hadoop.fs.Path(dstPath + ".old")
-    val fs = dst.getFileSystem(conf)
-    fs.delete(old, true)
-    if (fs.exists(dst) && !fs.rename(dst, old))
-      throw new java.io.IOException(s"CMSStore: rename $dst -> $old failed")
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"CMSStore: rename $tmp -> $dst failed")
-    fs.delete(old, true)
-  }
 
   // ------------------------------------------------------------- store dir
   private val builtFor = scala.collection.concurrent.TrieMap.empty[String, String]

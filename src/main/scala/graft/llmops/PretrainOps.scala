@@ -1105,9 +1105,13 @@ object PretrainOps {
           .select(explode(split(asciiLower(col("text")), " ")).as("term"))
           .filter(col("term") =!= "")
           .groupBy("term").agg(count(lit(1)).as("c")))
+      // c is cast to double BEFORE cubing: int64 c*c*c silently wraps in
+      // Spark past c ≈ 2^21 while DuckDB raises, diverging engines. The
+      // double product of three exact integers is IEEE-deterministic in
+      // both engines (and exact whenever c^3 < 2^53).
+      val cd = col("c").cast("double")
       val weighted = counts.withColumn("w_micro",
-        floor(sqrt(sqrt((col("c") * col("c") * col("c")).cast("double"))) *
-          lit(1e6)).cast("long"))
+        floor(sqrt(sqrt(cd * cd * cd)) * lit(1e6)).cast("long"))
       val tot = weighted.agg(sum("w_micro").cast("long").as("wtot"),
         sum("c").cast("long").as("ctot"))
       weighted.crossJoin(broadcast(tot))
@@ -1125,8 +1129,9 @@ object PretrainOps {
                        FROM toks GROUP BY 1),
             wt AS (
               SELECT term, c,
-                CAST(FLOOR(sqrt(sqrt(CAST(c * c * c AS DOUBLE))) * 1000000.0)
-                  AS BIGINT) AS w_micro
+                CAST(FLOOR(sqrt(sqrt(
+                  CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS w_micro
               FROM counts),
             tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS wtot,
                       CAST(SUM(c) AS BIGINT) AS ctot FROM wt)

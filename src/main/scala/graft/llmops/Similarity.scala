@@ -1315,7 +1315,8 @@ object Similarity {
   /** ADJUSTED RAND INDEX + purity — does [[q173]]'s geometric clustering
     * recover the ground-truth labels? ARI is the chance-corrected
     * pair-counting agreement; purity the simpler majority-label mass.
-    * Every term is pair combinatorics — C(x,2) = x(x−1) div 2, exact —
+    * Every term is pair combinatorics — C(x,2), computed exactly in
+    * DECIMAL(38,0) by halving the even factor in int64 first (see c2) —
     * and the chance correction is cleared of fractions by multiplying
     * through by 2·C(n,2):
     *
@@ -1333,21 +1334,30 @@ object Similarity {
     (s, d) => {
       val ct = graft.core.Materialize(kmeansVsLabel(s, d)
         .groupBy("cid", "label").agg(count(lit(1)).as("nij")))
+      // C(x,2) margins in exact DECIMAL(38,0) (the q217 cast-before-
+      // multiply discipline): int64 x·(x−1) wraps past x ≈ 3e9, and
+      // `div` on DECIMAL operands returns LONG in Spark (wrapping again
+      // past ~4.3e9), so the halving is done FIRST on the even factor in
+      // int64 (exact, no overflow) and the one multiply runs in decimal —
+      // the product of two int64-range factors is < 1e38, always
+      // representable. DuckDB's twin computes the same value in HUGEINT.
+      def c2(x: String): String =
+        s"CAST(CASE WHEN $x % 2 = 0 THEN $x div 2 ELSE $x END AS DECIMAL(38,0))" +
+          s" * (CASE WHEN $x % 2 = 0 THEN $x - 1 ELSE ($x - 1) div 2 END)"
       val aM = ct.groupBy("cid").agg(sum("nij").cast("long").as("ai"))
-        .agg(sum(expr("ai * (ai - 1) div 2")).cast(DecimalType(38, 0)).as("sa"),
+        .agg(sum(expr(c2("ai"))).cast(DecimalType(38, 0)).as("sa"),
           count(lit(1)).as("k_clusters"))
       val bM = ct.groupBy("label").agg(sum("nij").cast("long").as("bj"))
-        .agg(sum(expr("bj * (bj - 1) div 2")).cast(DecimalType(38, 0)).as("sb"),
+        .agg(sum(expr(c2("bj"))).cast(DecimalType(38, 0)).as("sb"),
           count(lit(1)).as("n_labels"))
       val cells = ct.agg(
-        sum(expr("nij * (nij - 1) div 2")).cast(DecimalType(38, 0)).as("sij"),
+        sum(expr(c2("nij"))).cast(DecimalType(38, 0)).as("sij"),
         sum("nij").cast("long").as("n"))
       val pur = ct.groupBy("cid").agg(max("nij").as("mx"))
         .agg(sum("mx").cast("long").as("pure"))
       cells.crossJoin(broadcast(aM)).crossJoin(broadcast(bM))
         .crossJoin(broadcast(pur))
-        .withColumn("t", expr("CAST(n AS DECIMAL(38,0)) * (n - 1) div 2")
-          .cast(DecimalType(38, 0)))
+        .withColumn("t", expr(c2("n")).cast(DecimalType(38, 0)))
         .select(col("n"), col("k_clusters"), col("n_labels"),
           expr("(pure * 1000000) div n").as("purity_micro"),
           when(col("t") * (col("sa") + col("sb")) - col("sa") * col("sb") * 2 === 0,
@@ -1358,15 +1368,18 @@ object Similarity {
                   .cast("double"), 6)).as("ari"))
     },
     Some(s"""WITH $contingencySql,
-            am AS (SELECT CAST(SUM(ai * (ai - 1) // 2) AS HUGEINT) AS sa,
+            am AS (SELECT CAST(SUM(CAST(ai AS HUGEINT) * (ai - 1) // 2)
+                     AS HUGEINT) AS sa,
                      COUNT(*) AS k_clusters
                    FROM (SELECT cid, CAST(SUM(nij) AS BIGINT) AS ai
                          FROM ct GROUP BY 1)),
-            bm AS (SELECT CAST(SUM(bj * (bj - 1) // 2) AS HUGEINT) AS sb,
+            bm AS (SELECT CAST(SUM(CAST(bj AS HUGEINT) * (bj - 1) // 2)
+                     AS HUGEINT) AS sb,
                      COUNT(*) AS n_labels
                    FROM (SELECT label, CAST(SUM(nij) AS BIGINT) AS bj
                          FROM ct GROUP BY 1)),
-            cl AS (SELECT CAST(SUM(nij * (nij - 1) // 2) AS HUGEINT) AS sij,
+            cl AS (SELECT CAST(SUM(CAST(nij AS HUGEINT) * (nij - 1) // 2)
+                     AS HUGEINT) AS sij,
                      CAST(SUM(nij) AS BIGINT) AS n FROM ct),
             pu AS (SELECT CAST(SUM(mx) AS BIGINT) AS pure FROM
                      (SELECT cid, MAX(nij) AS mx FROM ct GROUP BY 1)),

@@ -30,9 +30,12 @@ import graft.operators.Ops.{asciiLower, asciiLowerSql, fanOut}
   * callers that replay must pass epochs; ad-hoc callers pass none and
   * own their delivery semantics.
   *
-  * Store layout: `counters.parquet` (term, c) ≤ K rows;
-  * `meta.parquet` (n_total, last_epoch). Commits use the
-  * [[CardinalityStore]] rename-aside swap (never absent mid-commit).
+  * Store layout: `state/counters.parquet` (term, c) ≤ K rows;
+  * `state/meta.parquet` (n_total, last_epoch) — both files committed as
+  * ONE atomic [[StoreCommit]] directory rename, so a crash can never
+  * land counters including a batch next to a stale `last_epoch` (the
+  * torn-commit window that would let an at-least-once replay pass the
+  * epoch guard and double-count).
   */
 object TopKStore {
 
@@ -66,24 +69,30 @@ object TopKStore {
       .filter(col("c") > 0)
   }
 
+  /** Committed counter table (rolls forward a crashed commit first). */
+  def counters(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${StoreCommit.resolve(spark, dir)}/counters.parquet")
+
   /** The counter table the store WOULD hold after `batch` lands (pure
     * form): stored counters + batch exact counts, summed per term, MG-
     * reduced back to ≤ K. O(K + batch vocab); the lake is never reread.
     */
   def updatedCounters(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
-    val stored = spark.read.parquet(s"$dir/counters.parquet")
-    val merged = stored.unionByName(termCounts(batch))
+    val merged = counters(spark, dir).unionByName(termCounts(batch))
       .groupBy("term").agg(sum("c").cast("long").as("c"))
     mgReduce(merged, K)
   }
 
   def build(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val stage = StoreCommit.stagePath(dir)
     mgReduce(termCounts(docs), K)
-      .write.mode("overwrite").parquet(s"$dir/counters.parquet")
-    docs.sparkSession.createDataFrame(Seq(
+      .write.mode("overwrite").parquet(s"$stage/counters.parquet")
+    spark.createDataFrame(Seq(
         (tokenTotal(docs), -1L)))
       .toDF("n_total", "last_epoch")
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+      .write.mode("overwrite").parquet(s"$stage/meta.parquet")
+    StoreCommit.commit(spark, dir)
   }
 
   private def tokenTotal(docs: DataFrame): Long =
@@ -99,32 +108,18 @@ object TopKStore {
     */
   def update(spark: SparkSession, dir: String, batch: DataFrame,
              epoch: Long = -1L): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta.parquet").collect()(0)
+    val state = StoreCommit.resolve(spark, dir)
+    val meta = spark.read.parquet(s"$state/meta.parquet").collect()(0)
     val (nTotal, lastEpoch) = (meta.getLong(0), meta.getLong(1))
     if (epoch >= 0 && epoch <= lastEpoch) return
+    val stage = StoreCommit.stagePath(dir)
     updatedCounters(spark, dir, batch)
-      .write.mode("overwrite").parquet(s"$dir/counters.parquet.tmp")
+      .write.mode("overwrite").parquet(s"$stage/counters.parquet")
     spark.createDataFrame(Seq((nTotal + tokenTotal(batch),
         if (epoch >= 0) epoch else lastEpoch)))
       .toDF("n_total", "last_epoch")
-      .write.mode("overwrite").parquet(s"$dir/meta.parquet.tmp")
-    swap(spark, s"$dir/counters.parquet")
-    swap(spark, s"$dir/meta.parquet")
-  }
-
-  /** [[CardinalityStore]]'s crash-narrowed rename-aside commit. */
-  private def swap(spark: SparkSession, dstPath: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(dstPath)
-    val tmp = new org.apache.hadoop.fs.Path(dstPath + ".tmp")
-    val old = new org.apache.hadoop.fs.Path(dstPath + ".old")
-    val fs = dst.getFileSystem(conf)
-    fs.delete(old, true)
-    if (fs.exists(dst) && !fs.rename(dst, old))
-      throw new java.io.IOException(s"TopKStore: rename $dst -> $old failed")
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"TopKStore: rename $tmp -> $dst failed")
-    fs.delete(old, true)
+      .write.mode("overwrite").parquet(s"$stage/meta.parquet")
+    StoreCommit.commit(spark, dir)
   }
 
   /** The candidate set for an exact recount (q106's two-pass composition:
@@ -133,7 +128,7 @@ object TopKStore {
     * order-independent COUNTS are needed, not just membership).
     */
   def candidates(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/counters.parquet").select("term")
+    counters(spark, dir).select("term")
 
   /** STREAMING twin — `foreachBatch` merge with the epoch guard wired to
     * the micro-batch id, making at-least-once delivery safe (a replayed

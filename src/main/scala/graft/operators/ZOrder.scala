@@ -108,13 +108,20 @@ object ZOrder {
           expr("x <= mn1 + ((mx1 - mn1) * 55) div 100") &&
           expr("y >= mn2 + ((mx2 - mn2) * 45) div 100") &&
           expr("y <= mn2 + ((mx2 - mn2) * 55) div 100"))
-      val zside = g.agg(count(lit(1)).as("rows_matched"),
-          countDistinct(col("zfile")).as("files_touched"))
-        .select(lit("zorder").as("layout"), col("rows_matched"), col("files_touched"))
-      val lside = g.agg(count(lit(1)).as("rows_matched"),
-          countDistinct(col("lfile")).as("files_touched"))
-        .select(lit("linear").as("layout"), col("rows_matched"), col("files_touched"))
-      zside.unionByName(lside).orderBy("layout")
+      // ONE aggregation computes both layouts' file counts (Spark plans
+      // the two distincts as a single Expand pass — one scan, one
+      // Morton-coding, not two), then the 1-row result unpivots to the
+      // two output rows.
+      val both = g.agg(count(lit(1)).as("rows_matched"),
+        countDistinct(col("zfile")).as("z_files"),
+        countDistinct(col("lfile")).as("l_files"))
+      both.select(explode(array(
+          struct(lit("linear").as("layout"), col("rows_matched"),
+            col("l_files").as("files_touched")),
+          struct(lit("zorder").as("layout"), col("rows_matched"),
+            col("z_files").as("files_touched")))).as("r"))
+        .select(col("r.layout"), col("r.rows_matched"), col("r.files_touched"))
+        .orderBy("layout")
     },
     Some("""WITH base AS (
               SELECT CAST(o_custkey AS BIGINT) AS x,

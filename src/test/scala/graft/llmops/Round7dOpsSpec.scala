@@ -448,11 +448,11 @@ class Round7dOpsSpec extends SparkTestBase {
     CMSStore.update(spark, dir, odd, epoch = 1L)
     def cells(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val warm = cells(spark.read.parquet(s"$dir/counters.parquet"))
+    val warm = cells(CMSStore.counters(spark, dir))
     val cold = cells(CMSStore.sketchTable(CMSStore.termCounts(docs)))
     assert(warm == cold)
     CMSStore.update(spark, dir, odd, epoch = 1L) // at-least-once replay
-    assert(cells(spark.read.parquet(s"$dir/counters.parquet")) == warm,
+    assert(cells(CMSStore.counters(spark, dir)) == warm,
       "replayed epoch must be a store no-op")
   }
 

@@ -50,7 +50,7 @@ class SketchStoresStreamingSpec extends SparkTestBase {
       stream.addData(b1.toSeq); q.processAllAvailable()
       stream.addData(b2.toSeq); q.processAllAvailable()
     } finally q.stop()
-    val warm = spark.read.parquet(s"$dir/counters.parquet").collect()
+    val warm = CMSStore.counters(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val cold = CMSStore.sketchTable(CMSStore.termCounts(docs)).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -18,7 +18,7 @@ class TopKStoreSpec extends SparkTestBase {
     java.nio.file.Files.createTempDirectory("topkstore-spec-").toString
 
   private def counters(dir: String): Map[String, Long] =
-    spark.read.parquet(s"$dir/counters.parquet").collect()
+    TopKStore.counters(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   private def exactCounts(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
