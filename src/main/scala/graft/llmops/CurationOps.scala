@@ -395,7 +395,7 @@ object CurationOps {
     "q96_hard_negatives",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 5)
+      val q = e.filter(col("vec_id") < 5).limit(5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           Similarity.norm(col("embedding")).as("qn"), col("label").as("qlabel"))
       val c = e.select(col("vec_id"), col("embedding").as("ce"),

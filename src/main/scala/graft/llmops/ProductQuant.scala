@@ -236,7 +236,7 @@ object ProductQuant {
       val e = Tables.embeddings(s, d)
       val cb = pqTrain(e, m = 16, k = 64, iters = 3)
       val codes = graft.core.Materialize(pqEncode(e, cb))
-      pqTopK(codes, cb, e.filter(col("vec_id").isin(100L, 101L, 102L)), topK = 5)
+      pqTopK(codes, cb, e.filter(col("vec_id").isin(100L, 101L, 102L)).limit(3), topK = 5)
     },
     None
   )
@@ -260,7 +260,7 @@ object ProductQuant {
     "q196_pq_recall_audit",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val queries = e.filter(col("vec_id").isin(100L, 101L, 102L))
+      val queries = e.filter(col("vec_id").isin(100L, 101L, 102L)).limit(3)
       val exact = Similarity.bruteForceTopK(queries, e, k = 10)
         .select(col("qid"), col("vec_id"))
       val cb = pqTrain(e, m = 16, k = 64, iters = 3)

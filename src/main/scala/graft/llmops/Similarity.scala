@@ -53,6 +53,12 @@ object Similarity {
     * candidates. Query side is tiny → `broadcast`; the candidate scan is
     * embarrassingly parallel; the only shuffle is the per-query top-k
     * (window over qid — |Q| partitions).
+    *
+    * Callers attach a `.limit(|Q|)` CARDINALITY WITNESS to the query side
+    * (their key filters select ≤ |Q| rows by vec_id uniqueness, so the
+    * limit is a semantic no-op): it makes the broadcast side's bound a
+    * planner-visible fact [[graft.plans.PlanGate]] enforces mechanically,
+    * instead of a scaladoc promise.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     // norms are precomputed per VECTOR (O(|Q|+|C|)) before the join, not
@@ -79,7 +85,7 @@ object Similarity {
     "q29_embedding_topk",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      bruteForceTopK(e.filter(col("vec_id") < 3), e, k = 10)
+      bruteForceTopK(e.filter(col("vec_id") < 3).limit(3), e, k = 10)
     },
     Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 3),
@@ -441,7 +447,8 @@ object Similarity {
     (s, d) => {
       val e = Tables.embeddings(s, d)
       val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
-      bruteForceTopK(e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 15)
+      bruteForceTopK(e.filter(col("vec_id") < 10).limit(10),
+        e.filter(col("vec_id") >= 10), k = 15)
         .join(e.select(col("vec_id"), col("label")), "vec_id")
         .groupBy("qid", "label")
         .agg(count(lit(1)).as("votes"))
@@ -547,7 +554,7 @@ object Similarity {
     (s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nv"))
-      val cents = e.filter(col("vec_id") < 4)
+      val cents = e.filter(col("vec_id") < 4).limit(4)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           col("nv").as("nc"))
       val dist2 = col("nv") + col("nc") -
@@ -1024,7 +1031,7 @@ object Similarity {
     "q195_ivf_recall_audit",
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val queries = e.filter(col("vec_id").isin(100L, 101L, 102L))
+      val queries = e.filter(col("vec_id").isin(100L, 101L, 102L)).limit(3)
       val exact = bruteForceTopK(queries, e, k = 10)
         .select(col("qid"), col("vec_id"))
       val centroids = kmeansCentroids(e, k = 8, iters = 3)
@@ -1208,7 +1215,7 @@ object Similarity {
     (s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nv"))
-      val cents = e.filter(col("vec_id") < 4)
+      val cents = e.filter(col("vec_id") < 4).limit(4)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           col("nv").as("nc"))
       val dist2 = col("nv") + col("nc") -
@@ -1277,7 +1284,7 @@ object Similarity {
   private def kmeansVsLabel(s: org.apache.spark.sql.SparkSession, d: String) = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding"), dot(col("embedding"), col("embedding")).as("nv"))
-    val cents = e.filter(col("vec_id") < 4)
+    val cents = e.filter(col("vec_id") < 4).limit(4)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("nv").as("nc"))
     val dist2 = col("nv") + col("nc") -

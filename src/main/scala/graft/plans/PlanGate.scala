@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution._
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+/** Mechanical plan-quality contract — the CI-enforced version of the
+  * scaladoc cardinality arguments this repo attaches to every global
+  * window and cross join. The reference's whole design is deterministic
+  * plumbing that cannot silently degrade (its sink state machine); the
+  * analytics engine's equivalent is a plan contract: no operator shape
+  * that stops scaling at 100 TB may enter the registry unreviewed.
+  *
+  * Violations flagged on the pre-AQE physical plan (`sparkPlan` — the
+  * strategy outcome, before exchange insertion):
+  *
+  *   - `global-window`: a [[WindowExec]] with an EMPTY partitionSpec
+  *     (WindowExec moves ALL input rows to one partition) whose input
+  *     subtree is not structurally BOUNDED (see below). A bounded global
+  *     window sorts a provably small set — fine; an unbounded one sorts
+  *     the corpus in one task.
+  *   - `bnl-join`: a [[BroadcastNestedLoopJoinExec]] whose BUILD side is
+  *     not bounded (broadcasting a data-sized relation, quadratic probe).
+  *   - `cartesian`: a [[CartesianProductExec]] with neither side bounded.
+  *
+  * BOUNDED (recursive): the node is a limit ([[GlobalLimitExec]],
+  * [[LocalLimitExec]], [[TakeOrderedAndProjectExec]], [[CollectLimitExec]],
+  * [[WindowGroupLimitExec]] — rank-limit pushdown output is ≤ its limit
+  * per partition), an ungrouped aggregate (exactly 1 row), a literal
+  * relation ([[LocalTableScanExec]], [[RDDScanExec]], [[RangeExec]] —
+  * driver-embedded data, never a lake scan), or ALL its children are
+  * bounded (narrow/generator/join/union of bounded inputs stays bounded
+  * up to constant factors — generators here explode fixed-width literal
+  * structs, not data-sized arrays).
+  *
+  * The structural rule cannot prove VALUE-DOMAIN bounds (a window over
+  * the distinct values of a probability grid is bounded by the domain,
+  * not the plan shape) — those exemptions live in the gate's caller as
+  * an explicit reviewed whitelist, one justification per name
+  * (PlanGateSpec), not as scaladoc promises.
+  */
+object PlanGate {
+
+  final case class Violation(kind: String, node: String) {
+    override def toString = s"$kind: $node"
+  }
+
+  private def isUngroupedAgg(p: SparkPlan): Boolean = p match {
+    case a: HashAggregateExec       => a.groupingExpressions.isEmpty
+    case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+    case a: SortAggregateExec       => a.groupingExpressions.isEmpty
+    case _                          => false
+  }
+
+  /** Structurally bounded output cardinality (constant-factor, never
+    * corpus-sized) — see object doc for the rule.
+    */
+  def bounded(p: SparkPlan): Boolean = p match {
+    case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec |
+        _: CollectLimitExec | _: WindowGroupLimitExec => true
+    case _: LocalTableScanExec | _: RDDScanExec | _: RangeExec => true
+    case a if isUngroupedAgg(a) => true
+    case other => other.children.nonEmpty && other.children.forall(bounded)
+  }
+
+  /** All contract violations in `df`'s pre-AQE physical plan. */
+  def violations(df: DataFrame): Seq[Violation] = {
+    val out = Seq.newBuilder[Violation]
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        out += Violation("global-window", w.simpleString(100))
+      case j: BroadcastNestedLoopJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        if (!bounded(build)) out += Violation("bnl-join", j.simpleString(100))
+      case c: CartesianProductExec if !bounded(c.left) && !bounded(c.right) =>
+        out += Violation("cartesian", c.simpleString(100))
+      case _ =>
+    }
+    out.result()
+  }
+}

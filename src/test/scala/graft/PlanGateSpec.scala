@@ -1,0 +1,64 @@
+package graft
+
+import graft.plans.PlanGate
+
+/** CI-enforced plan contract over the WHOLE query registry (round-7
+  * verdict item 1): every query's pre-AQE physical plan at sf0.001 must
+  * be free of unpartitioned WindowExec over unbounded input, nested-loop
+  * joins with unbounded build sides, and cartesian products with no
+  * bounded side — the operator shapes that stop scaling at 100 TB.
+  * Structure proves most queries (limits, 1-row aggregates, literal
+  * grids); the rest carry a VALUE-DOMAIN exemption here, each a reviewed
+  * line with its cardinality argument, not a scaladoc promise.
+  */
+class PlanGateSpec extends SparkTestBase {
+
+  /** Value-domain exemptions: global windows whose input cardinality is
+    * bounded by a DOMAIN the plan shape cannot express. Each entry states
+    * the bound. An entry must name the query exactly; remove it and the
+    * gate fails the query again.
+    */
+  private val valueDomainWindows: Map[String, String] = Map(
+    "q157_cumulative_actives" -> ("cumulative window over the per-DAY " +
+      "aggregate — bounded by the calendar-day domain (≤ tens of " +
+      "thousands of rows at any corpus size), never the event stream"),
+    "q176_peak_concurrency" -> ("running-sum window over per-day " +
+      "boundary deltas — day-domain bounded, as q157"),
+    "q161_benford_audit" -> ("global total over the groupBy(first_digit) " +
+      "table — exactly 9 rows by the digit domain"),
+    "q166_ks_distance" -> ("dual CDF windows over the DISTINCT metric " +
+      "values of the two samples — value-domain bounded (the quantized " +
+      "score grid), audited in round-6/7 verdicts"),
+    "q200_pareto_front" -> ("running-max sweep over groupBy(n_tokens) — " +
+      "bounded by the document-LENGTH domain, not the corpus (the " +
+      "operator exists to replace the quadratic dominance anti-join)"),
+    "q203_source_lang_mi" -> ("global sums over the source×lang " +
+      "contingency table — bounded by the label-domain product"),
+    "q217_t_closeness" -> ("srcs × langs cross join — both sides are " +
+      "label-domain aggregates (|sources| × |langs| cells)"),
+    "q235_mann_whitney_auc" -> ("rank-sum window over the DISTINCT " +
+      "value domain of the score grid, audited in the round-7 verdict"))
+
+  test("registry plans: no unbounded global window / BNL join / cartesian") {
+    val dir = sf("sf0.001")
+    val failures = QueryRegistry.all.flatMap { q =>
+      val vs =
+        try PlanGate.violations(q.run(spark, dir))
+        catch { case e: Throwable => Seq(PlanGate.Violation("plan-error", e.getMessage)) }
+      if (vs.isEmpty || valueDomainWindows.contains(q.name)) Nil
+      else Seq(q.name -> vs)
+    }
+    assert(failures.isEmpty, failures.map { case (n, vs) =>
+      s"\n$n:\n  ${vs.mkString("\n  ")}"
+    }.mkString)
+  }
+
+  test("whitelist entries are live (no stale exemptions)") {
+    val dir = sf("sf0.001")
+    valueDomainWindows.keys.foreach { n =>
+      assert(QueryRegistry.all.exists(_.name == n), s"stale whitelist entry: $n")
+      assert(PlanGate.violations(QueryRegistry.byName(n).run(spark, dir)).nonEmpty,
+        s"whitelist entry $n no longer violates — remove the exemption")
+    }
+  }
+}
