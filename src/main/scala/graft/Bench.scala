@@ -14,6 +14,27 @@ object Bench {
     // The earlier min-of-3 hid real regressions on the slow side; the
     // median is robust to a single spike in EITHER direction, and the
     // history file records min/max so the spread itself is auditable.
+    // Container-health calibration (round-7 verdict item 6): the r7
+    // driver run was load-distorted and only a judge-side re-bench could
+    // prove it. A FIXED probe — full lineitem scan + keyed aggregate,
+    // identical work every run — timed (median of 3) right after warm-up
+    // and again after the last query stamps machine speed INTO the
+    // artifact: a calib value ~3x its history line means the whole run is
+    // noisy, and start-vs-end drift shows load arriving mid-run.
+    def calibProbe(): Double = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum("l_quantity"))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val calibStart = calibProbe()
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     // Local-iteration filter (builder tooling; driver sets no env → full
@@ -40,6 +61,7 @@ object Bench {
       }.sorted
       name -> times
     }
+    val calibEnd = calibProbe()
     def median(ts: Seq[Double]): Double = ts(ts.length / 2)
     val results = samples.map { case (n, ts) => n -> median(ts) }.toMap
     def fmt(v: Double): String =
@@ -49,8 +71,10 @@ object Bench {
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     // Full-name artifact line (file + history): every query, 3 decimals.
+    val calibFields =
+      s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},"""
     def fullLine: String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
         s""""queries":${mapOf(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     // The driver records only the LAST ~2000 chars of stdout; at 194
     // queries even short-id entries are ~2.4 kB, which is why BENCH_r06
@@ -64,7 +88,7 @@ object Bench {
       .map { case (k, v) => k.takeWhile(_ != '_') -> v }
       .sortBy(_._1)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
         s""""queries":${mapOf(slowest)},""" +
         s""""n_queries":${results.size},"full":"$out","sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -77,7 +101,7 @@ object Bench {
     val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "/tmp/graft-bench-history.jsonl")
     val histLine =
       s"""{"ts":${System.currentTimeMillis / 1000},"metric":"total",""" +
-        s""""value":${fmt(total)},"unit":"sec",""" +
+        s""""value":${fmt(total)},"unit":"sec",""" + calibFields +
         s""""queries":${mapOf(samples.map { case (n, ts) => n -> median(ts) })},""" +
         s""""min":${mapOf(samples.map { case (n, ts) => n -> ts.head })},""" +
         s""""max":${mapOf(samples.map { case (n, ts) => n -> ts.last })},""" +

@@ -298,6 +298,50 @@ object CurationOps {
     None
   )
 
+  // ---------------------------------------------------------------- q245
+  /** Oracled keep-set audit for q95's semantic dedup — q244's
+    * degenerate-LSH invariant composed one level up: with nBits = 0 the
+    * candidate pairs are ALL pairs (q244 proves that list equals the
+    * exact cosine range search), so the SemDeDup drop rule collapses to
+    * its pure relational form — drop every vector with ANY lower-id
+    * neighbor at cos ≥ τ — and DuckDB replays the whole per-label report.
+    * A broken bucket join, drop-set distinct, or anti-join in
+    * [[semanticDedupReport]] breaks this row for row; only the hyperplane
+    * sign bits stay un-oracled (q32's seeded randomness — its candidate
+    * list is audited by q244). Labels whose every vector is dropped
+    * vanish from the report (the kept-side inner join); the oracle's
+    * HAVING clause mirrors that exactly.
+    */
+  val q245 = QuerySpec(
+    "q245_semantic_dedup_audit",
+    (s, d) => semanticDedupReport(Tables.embeddings(s, d), minCos = 0.2, nBits = 0),
+    Some("""WITH e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                  (x, y) -> x + y)) AS nrm
+              FROM embeddings),
+            p AS (
+              SELECT b.vec_id AS v2,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS dot,
+                a.nrm AS n1, b.nrm AS n2
+              FROM e a JOIN e b ON a.vec_id < b.vec_id),
+            drops AS (
+              SELECT DISTINCT v2 AS vec_id FROM p
+              WHERE CAST(FLOOR(dot / NULLIF(n1 * n2, 0.0) * 10000.0) AS DOUBLE)
+                      / 10000.0 >= 0.2)
+            SELECT em.label, COUNT(*) AS n_vecs,
+              COUNT(CASE WHEN d.vec_id IS NULL THEN 1 END) AS n_kept
+            FROM embeddings em LEFT JOIN drops d USING (vec_id)
+            GROUP BY em.label
+            HAVING COUNT(CASE WHEN d.vec_id IS NULL THEN 1 END) > 0
+            ORDER BY em.label""")
+  )
+
   // ------------------------------------------------- decontamination store
   /** Persisted decontamination store — the train-once-query-many form of
     * q91, the shape a production pipeline actually runs: the benchmark
@@ -1103,5 +1147,5 @@ object CurationOps {
 
   val all: Seq[QuerySpec] =
     Seq(q91, q92, q93, q94, q95, q96, q98, q99, q100, q103, q109, q110, q180,
-      q223)
+      q223, q245)
 }

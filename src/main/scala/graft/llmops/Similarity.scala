@@ -1082,6 +1082,50 @@ object Similarity {
                    true AS recall_ok""")
   )
 
+  // ---------------------------------------------------------------- q244
+  /** Oracled EXACTNESS audit for the hyperplane-LSH machinery — [[q32]]'s
+    * driver-checkable twin (the q195 full-probe pattern): with nBits = 0
+    * every vector lands in the single empty-signature bucket, so
+    * [[lshNearDupPairs]]' candidate join degenerates to ALL pairs and its
+    * output MUST equal the exact all-pairs cosine range search (q141's
+    * oracled arithmetic, unblocked). A UNIVERSAL invariant — valid on any
+    * corpus including fuzz — exercising every part of q32 except the
+    * hyperplane sign bits themselves: the signature pass, the bucket
+    * equi-join, the v1<v2 canonicalization, the exact-cosine verify, and
+    * the micro-floored threshold. DuckDB recomputes the full pair list
+    * independently (the same strict left-fold arithmetic q29/q141
+    * hash-match) and the driver compares row for row.
+    *
+    * Scale shape: one bucket = one join key is audit-only BY DESIGN —
+    * exactly the quadratic q32's nBits>0 bucketing exists to prevent; the
+    * audit runs on the embeddings fixture (2k vectors at sf0.1 → ≤2M
+    * pairs through one codegen'd dot-product pass), never a lake table.
+    */
+  val q244 = QuerySpec(
+    "q244_lsh_exactness_audit",
+    (s, d) => lshNearDupPairs(Tables.embeddings(s, d), minCos = 0.2, nBits = 0),
+    Some("""WITH e AS (
+              SELECT vec_id, embedding,
+                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+                  (x, y) -> x + y)) AS nrm
+              FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS v1, b.vec_id AS v2,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+                  (x, y) -> x + y) AS dot,
+                a.nrm AS n1, b.nrm AS n2
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT v1, v2,
+              CAST(FLOOR(dot / NULLIF(n1 * n2, 0.0) * 10000.0) AS DOUBLE) / 10000.0 AS cos
+            FROM p
+            WHERE CAST(FLOOR(dot / NULLIF(n1 * n2, 0.0) * 10000.0) AS DOUBLE) / 10000.0 >= 0.2
+            ORDER BY v1, v2""")
+  )
+
   // --------------------------------------------------------------- q236
   /** DBSCAN over the embedding lake — density-based clustering composed
     * ENTIRELY from audited primitives: ε-neighbor edges are [[q141]]'s
@@ -1557,5 +1601,5 @@ object Similarity {
 
   val all: Seq[QuerySpec] =
     Seq(q29, q32, q38, q67, q82, q121, q173, q178, q185, q189, q192, q194,
-      q195, q236, q237, q238, q239, q240)
+      q195, q236, q237, q238, q239, q240, q244)
 }

@@ -119,8 +119,53 @@ object Advanced {
           // count(1) would silently count it as one distinct customer
           count(col("o_custkey")).as("exact_cust"),
           sum("__per_key").cast("long").as("n"))
+        // In-query exact-vs-sketch audit (q149's pattern): the estimate
+        // itself is engine-specific (rows-only), but the ≤5% error bound
+        // is an invariant — carried here as a column fuzz must keep TRUE,
+        // and hash-enforced by the oracled twin q246. An all-NULL key
+        // group has exact 0 and HLL 0: equality, not a ratio, is the
+        // vacuous-case contract.
+        .withColumn("err_ok",
+          when(col("exact_cust") === 0L, col("approx_cust") === 0L)
+            .otherwise(
+              abs(col("approx_cust").cast("double") / col("exact_cust") - 1.0) <= 0.05))
         .orderBy("o_orderstatus"),
     None
+  )
+
+  // ---------------------------------------------------------------- q246
+  /** Driver-enforced twin of q36's HLL audit: the same pre-grouped plan,
+    * but the output carries only the ANSI-reproducible side — exact
+    * distinct, group size, and the `err_ok` bound verdict — so DuckDB
+    * recomputes every column and pins err_ok TRUE. The estimate column
+    * stays in q36 (rows-only by nature: HLL++ register layouts are
+    * engine-specific); what becomes hash-enforced here is the CONTRACT
+    * that the sketch tracks the exact count within 5% relative error. A
+    * broken rsd mapping, a lost partial merge, or the round-2 Expand
+    * regression each break this row.
+    */
+  val q246 = QuerySpec(
+    "q246_hll_error_audit",
+    (s, d) =>
+      fanOut(Tables.orders(s, d))
+        .groupBy("o_orderstatus", "o_custkey")
+        .agg(count(lit(1)).as("__per_key"))
+        .groupBy("o_orderstatus")
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("__approx"),
+          count(col("o_custkey")).as("exact_cust"),
+          sum("__per_key").cast("long").as("n"))
+        .select(col("o_orderstatus"), col("exact_cust"), col("n"),
+          when(col("exact_cust") === 0L, col("__approx") === 0L)
+            .otherwise(
+              abs(col("__approx").cast("double") / col("exact_cust") - 1.0) <= 0.05)
+            .as("err_ok"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+              COUNT(DISTINCT o_custkey) AS exact_cust,
+              COUNT(*) AS n,
+              true AS err_ok
+            FROM orders GROUP BY 1 ORDER BY 1""")
   )
 
   // ---------------------------------------------------------------- q37
@@ -679,5 +724,5 @@ object Advanced {
   )
 
   val all: Seq[QuerySpec] = Seq(q34, q35, q36, q37, q39, q40, q41, q81, q114,
-    q115, q122, q125, q176, q190)
+    q115, q122, q125, q176, q190, q246)
 }

@@ -383,4 +383,41 @@ class CurationOpsSpec extends SparkTestBase {
       .collect().map(r2 => (r2.getLong(0), r2.getLong(1)))
     assert(pairs.forall { case (v1, v2) => v1 < v2 })
   }
+
+  test("q245: degenerate semantic dedup matches the brute-force drop rule") {
+    val r = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    // clique of 3 clones (label 0), clique of 2 (label 1), singletons —
+    // the q95 fixture shape, but verified against a brute-force replay of
+    // the drop rule computed here with plain Scala, no Spark machinery
+    val b = Seq.fill(5)(unit())
+    val rows = Seq(
+      (100L, b(0), 0), (101L, b(0), 0), (102L, b(0), 0),
+      (200L, b(1), 1), (201L, b(1), 1),
+      (300L, b(2), 2), (400L, b(3), 3), (500L, b(4), 4))
+    val dir = vecsDir(rows)
+    val out = CurationOps.q245.run(spark, dir).collect()
+      .map(r2 => r2.getInt(0) -> ((r2.getLong(1), r2.getLong(2)))).toMap
+    // brute-force: drop v iff some lower-id u has floor4(cos(u,v)) >= 0.2
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d, nx, ny = 0.0
+      var i = 0
+      while (i < 64) { d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i); i += 1 }
+      math.floor(d / (math.sqrt(nx) * math.sqrt(ny)) * 1e4) / 1e4
+    }
+    val dropped = rows.map(_._1).filter(v => rows.exists { case (u, eu, _) =>
+      u < v && cos(eu, rows.find(_._1 == v).get._2) >= 0.2
+    }).toSet
+    val expected = rows.groupBy(_._3).flatMap { case (label, g) =>
+      val kept = g.count(t => !dropped(t._1))
+      if (kept > 0) Some(label -> ((g.size.toLong, kept.toLong))) else None
+    }
+    assert(out == expected)
+    // the globally lowest id can never be dropped
+    assert(!dropped(rows.map(_._1).min))
+  }
 }

@@ -121,6 +121,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.head.getDouble(2) == 1.0)
   }
 
+  test("q244: degenerate LSH (nBits=0) equals exact all-pairs cosine range") {
+    // the universal invariant the driver oracles: one empty-signature
+    // bucket makes the candidate join all-pairs, so the LSH pipeline's
+    // output must match an INDEPENDENT all-pairs plan (theta join here vs
+    // the bucket equi-join + Materialize inside lshNearDupPairs)
+    val dir = sf("sf0.001")
+    val got = Similarity.q244.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = graft.Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"))
+    val exact = a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        graft.operators.Ops.ffloor(
+          Similarity.cosine(col("e1"), col("e2")), 4).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty)
+    assert(got == exact)
+  }
+
   test("winnowing overlap: doc pair sharing a long span is found, disjoint doc is not") {
     val shared = (1 to 60).map(i => s"tok$i").mkString(" ") // 60-token shared span
     val d = docs(

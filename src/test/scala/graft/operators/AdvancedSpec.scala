@@ -38,6 +38,21 @@ class AdvancedSpec extends SparkTestBase {
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"status ${r.getString(0)}: approx=$approx exact=$exact")
+      // the in-query audit column must agree with the bound it encodes
+      assert(r.getBoolean(4), s"err_ok false for status ${r.getString(0)}")
+    }
+  }
+
+  test("q246: oracled HLL audit — exact side matches countDistinct, err_ok true") {
+    val rows = Advanced.q246.run(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    val expected = graft.Tables.orders(spark, sf("sf0.001"))
+      .groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == expected(r.getString(0)))
+      assert(r.getBoolean(3), s"err_ok false for status ${r.getString(0)}")
     }
   }
 
