@@ -163,17 +163,24 @@ object Similarity {
   /** q32: LSH near-dup pairs — bucket equi-join candidates, exact cosine
     * verify ≥ minCos. Rows-only check (seeded hyperplanes aren't
     * SQL-expressible). At scale: shuffle key = bucket id; candidate count
-    * is sum of per-bucket squares, controlled by nBits.
+    * is sum of per-bucket squares, controlled by nBits. Norms are
+    * computed ONCE per row in the materialized bucket table
+    * ([[cosineFromParts]], q141's discipline) — per-pair `cosine()` would
+    * pay 3 dot products per candidate, tripling the verify cost of every
+    * dense bucket for bit-identical scores (same fold, same values).
     */
   def lshNearDupPairs(vectors: DataFrame, minCos: Double, nBits: Int = 12): DataFrame = {
     // eager materialization: the bucket table feeds both self-join sides;
     // without it the mapPartitions signature pass runs twice (Materialize
     // holds the local-vs-cluster failure-tolerance contract)
-    val b = graft.core.Materialize(lshBuckets(vectors, nBits))
+    val b = graft.core.Materialize(
+      lshBuckets(vectors, nBits).withColumn("nrm", norm(col("embedding"))))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-        graft.operators.Ops.ffloor(cosine(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+        graft.operators.Ops.ffloor(cosineFromParts(
+          dot(col("x.embedding"), col("y.embedding")),
+          col("x.nrm"), col("y.nrm")), 4).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy("v1", "v2")
   }
