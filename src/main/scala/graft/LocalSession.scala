@@ -50,6 +50,17 @@ object LocalSession {
       .config("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec logs "No Partition Defined" once per TASK for every
+    // global window — including the 8 PlanGateSpec-whitelisted
+    // value-domain windows that are provably bounded. Across a 246-query
+    // bench that is ~800 lines (~130 kB) of stderr, which is exactly what
+    // buried the round-7 bench JSON line out of the driver's captured log
+    // tail (BENCH_r07 "parsed": null). The real unbounded-window contract
+    // is enforced mechanically by graft.plans.PlanGate in CI; the log
+    // spam adds nothing, so silence that one logger, not the category.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     spark
   }
 }
