@@ -312,6 +312,49 @@ object TextAnalysis {
     None
   )
 
+  // ---------------------------------------------------------------- q247
+  /** Oracled EXACTNESS audit for the winnowing machinery — [[q57]]'s
+    * driver-checkable twin (the q244 degenerate-config pattern): with
+    * w = 1 the sliding minimum runs over a single span hash, so
+    * [[winnowFingerprints]]' sketch is exactly the distinct 5-gram hash
+    * set per document, and [[winnowingOverlapPairs]]' report collapses to
+    * "pairs sharing ≥ minShared distinct 5-grams under the doc-freq cap"
+    * — which DuckDB replays on the grams themselves (q27's shingle SQL at
+    * k = 5, including the identical QUALIFY cap). Exercises the whole q57
+    * pipeline — span build, window frame + short-doc guard, per-doc
+    * distinct, capKeyFreq, fingerprint equi-join, minShared filter —
+    * leaving only the w>1 min-selection itself un-oracled (its span-
+    * sharing guarantee is asserted in LlmOpsSpec).
+    *
+    * Hash honesty: the audit equates shared-HASH counts (Spark) with
+    * shared-GRAM counts (DuckDB), so an xxhash64 collision between two
+    * distinct observed grams would FAIL the row — the audit errs loud,
+    * never silently green. At ~10⁶ distinct grams the collision odds are
+    * ~10⁻⁷, and the corpora are fixed, so a pass is stable evidence.
+    */
+  val q247 = QuerySpec(
+    "q247_winnowing_exactness_audit",
+    (s, d) => winnowingOverlapPairs(Tables.documents(s, d), window = 5, w = 1),
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
+            g_all AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 3),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_' ||
+                         ts[i+3] || '_' || ts[i+4])) AS g
+                FROM toks)),
+            g AS (
+              SELECT doc_id, g FROM g_all
+              QUALIFY COUNT(*) OVER (PARTITION BY g) <= 1000)
+            SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_fps
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+            ORDER BY d1, d2""")
+  )
+
   // ------------------------------------------------------ PII redaction
   /** Chained global regex redaction: emails, then IPv4, then phone-shaped
     * tokens. Order matters — an email contains digits and dots that the
@@ -742,5 +785,5 @@ object TextAnalysis {
   )
 
   val all: Seq[QuerySpec] =
-    Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80, q112, q126, q214)
+    Seq(q23, q25, q26, q28, q55, q56, q57, q65, q66, q78, q80, q112, q126, q214, q247)
 }
