@@ -452,9 +452,15 @@ object PretrainOps {
               .otherwise(col("tok")).as("tok"))
 
       val t0 = Dedup.tokensWithPos(fanOut(Tables.documents(s, d)))
-      val win1 = graft.core.Materialize(winner(t0))
+      // .limit(1) after each Materialize is a CARDINALITY WITNESS, not a
+      // selection: winner() already ends in limit(1), but localCheckpoint
+      // erases the structural proof (the plan becomes an opaque RDD scan),
+      // and PlanGate deliberately distrusts RDD scans. Restating the 1-row
+      // bound lets the gate prove the downstream crossJoins broadcast a
+      // bounded side. Semantic no-op on a 1-row table.
+      val win1 = graft.core.Materialize(winner(t0)).limit(1)
       val s1 = graft.core.Materialize(mergeRound(t0, win1))
-      val win2 = graft.core.Materialize(winner(s1))
+      val win2 = graft.core.Materialize(winner(s1)).limit(1)
       val s2 = mergeRound(s1, win2)
 
       def report(round: Int, win: DataFrame, after: DataFrame): DataFrame =

@@ -642,7 +642,10 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           dot(col("embedding"), col("embedding")).as("nv")))
       def dmicroTo(cid: Long): DataFrame = {
-        val c = e.filter(col("vec_id") === cid)
+        // limit(1): cardinality witness — vec_id is unique, so the filter
+        // selects exactly one row; the witness survives e's Materialize
+        // (an RDD scan PlanGate distrusts) and proves the broadcast side.
+        val c = e.filter(col("vec_id") === cid).limit(1)
           .select(col("embedding").as("ce"), col("nv").as("nc"))
         e.crossJoin(broadcast(c))
           .select(col("vec_id"),
@@ -665,10 +668,13 @@ object Similarity {
       import s.implicits._
       val rounds = centers.zipWithIndex
         .map { case (cid, i) => (i + 1, cid) }.toDF("sel_round", "cid")
+      // limit(k): witness — isin(centers) selects ≤ k distinct unique ids
+      // and the rounds join is 1:1 on cid, so the center set is ≤ k rows.
       val cents = e.filter(col("vec_id").isin(centers: _*))
         .select(col("vec_id").as("cid"), col("embedding").as("ce"),
           col("nv").as("nc"))
         .join(rounds, "cid")
+        .limit(k)
       val dist2 = col("nv") + col("nc") -
         lit(2.0) * dot(col("embedding"), col("ce"))
       e.crossJoin(broadcast(cents))

@@ -29,11 +29,21 @@ import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
   * [[LocalLimitExec]], [[TakeOrderedAndProjectExec]], [[CollectLimitExec]],
   * [[WindowGroupLimitExec]] — rank-limit pushdown output is ≤ its limit
   * per partition), an ungrouped aggregate (exactly 1 row), a literal
-  * relation ([[LocalTableScanExec]], [[RDDScanExec]], [[RangeExec]] —
-  * driver-embedded data, never a lake scan), or ALL its children are
-  * bounded (narrow/generator/join/union of bounded inputs stays bounded
-  * up to constant factors — generators here explode fixed-width literal
+  * relation ([[LocalTableScanExec]], [[RangeExec]] — driver-embedded
+  * data, never a lake scan), or ALL its children are bounded
+  * (narrow/generator/join/union of bounded inputs stays bounded up to
+  * constant factors — generators here explode fixed-width literal
   * structs, not data-sized arrays).
+  *
+  * [[RDDScanExec]] is deliberately NOT bounded: `graft.core.Materialize`
+  * (localCheckpoint) rewrites ANY subtree — including a corpus-sized
+  * sketch table — into an RDD scan, so trusting RDD scans made every
+  * post-Materialize plan vacuously bounded (and let one genuinely
+  * corpus-shaped rank window ride through the round-7 gate). A
+  * Materialized table that IS provably small re-states its bound at the
+  * call site with a `.limit(n)` cardinality witness (semantic no-op —
+  * e.g. a `limit(1)` winner row or a `k`-row center set), which the
+  * structural rule then sees as [[GlobalLimitExec]].
   *
   * The structural rule cannot prove VALUE-DOMAIN bounds (a window over
   * the distinct values of a probability grid is bounded by the domain,
@@ -60,7 +70,7 @@ object PlanGate {
   def bounded(p: SparkPlan): Boolean = p match {
     case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec |
         _: CollectLimitExec | _: WindowGroupLimitExec => true
-    case _: LocalTableScanExec | _: RDDScanExec | _: RangeExec => true
+    case _: LocalTableScanExec | _: RangeExec => true
     case a if isUngroupedAgg(a) => true
     case other => other.children.nonEmpty && other.children.forall(bounded)
   }
