@@ -356,7 +356,9 @@ object Similarity {
       val e = Tables.embeddings(s, d)
       val centroids = kmeansCentroids(e, k = 8, iters = 3)
       ivfQuery(centroids, ivfAssign(e, centroids),
-        e.filter(col("vec_id").isin(100L, 101L, 102L)), nprobe = 3, topK = 5)
+        // .limit(3): cardinality witness (vec_id unique → ≤3 rows), the
+        // same idiom as q195/q75 — proves the probe-side broadcast bound
+        e.filter(col("vec_id").isin(100L, 101L, 102L)).limit(3), nprobe = 3, topK = 5)
     },
     None
   )
@@ -883,9 +885,13 @@ object Similarity {
 
   /** One exact power-iteration step (see [[q192]] for the arithmetic
     * contract): y = Xv (long), z = Xᵀy (DECIMAL 38,0), max-norm integer
-    * renormalization. Returns the d-row (j, vm) vector, Materialized.
+    * renormalization. Returns the d-row (j, vm) vector, Materialized with
+    * a `.limit(dim)` CARDINALITY WITNESS (semantic no-op — j ranges over
+    * the dim indices, ≤ dim rows by the groupBy("j") key): the witness
+    * survives the checkpoint's opaque RDD scan and proves the next
+    * iteration's `broadcast(v)` side for the plan gate.
     */
-  private def powerIterate(comps: DataFrame, v: DataFrame): DataFrame = {
+  private def powerIterate(comps: DataFrame, v: DataFrame, dim: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val y = comps.join(broadcast(v), "j")
@@ -897,14 +903,14 @@ object Similarity {
     graft.core.Materialize(z.crossJoin(m).select(col("j"),
       (when(col("z") < 0, lit(-1L)).otherwise(lit(1L)) *
         expr("(abs(z) * CAST(1000000 AS DECIMAL(38,0))) div " +
-          "nullif(m, CAST(0 AS DECIMAL(38,0)))")).as("vm")))
+          "nullif(m, CAST(0 AS DECIMAL(38,0)))")).as("vm"))).limit(dim)
   }
 
   /** Dominant-direction vector after two exact iterations from v₀ = 1. */
-  private def powerV2(comps: DataFrame): DataFrame = {
+  private def powerV2(comps: DataFrame, dim: Int): DataFrame = {
     val v0 = comps.select("j").distinct()
       .select(col("j"), lit(1000000L).as("vm"))
-    powerIterate(comps, powerIterate(comps, v0))
+    powerIterate(comps, powerIterate(comps, v0, dim), dim)
   }
 
   /** The oracle-side spelling of [[powerComps]]+[[powerV2]]: CTEs ending
@@ -940,11 +946,13 @@ object Similarity {
   val q192 = QuerySpec(
     "q192_power_iteration",
     (s, d) => {
-      val comps = powerComps(Tables.embeddings(s, d))
+      val e = Tables.embeddings(s, d)
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
+      val comps = powerComps(e)
       val v0 = comps.select("j").distinct()
         .select(col("j"), lit(1000000L).as("vm"))
-      val v1 = powerIterate(comps, v0)
-      val v2 = powerIterate(comps, v1)
+      val v1 = powerIterate(comps, v0, dim)
+      val v2 = powerIterate(comps, v1, dim)
       v1.select(lit(1L).as("iter"), col("j").cast("long").as("dim"), col("vm"))
         .unionByName(v2.select(lit(2L).as("iter"),
           col("j").cast("long").as("dim"), col("vm")))
@@ -979,8 +987,9 @@ object Similarity {
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 0)
       val e = Tables.embeddings(s, d)
+      val dim = e.select(size(col("embedding"))).head.getInt(0)
       val comps = powerComps(e)
-      val v2 = powerV2(comps)
+      val v2 = powerV2(comps, dim)
       val vv = v2.agg(sum(col("vm") * col("vm")).as("vv"))
       val per = comps.join(broadcast(v2), "j")
         .groupBy("vec_id")

@@ -19,9 +19,15 @@ import Ops._
   *
   * Scale notes: all plans are declarative DataFrame ops — Catalyst pushes
   * filters/pruning into the parquet scan, picks partial+final hash
-  * aggregation, and AQE handles skew. Dimension sides of joins
-  * (customer/part/nation at ≤SF·20k rows) are explicitly `broadcast()`;
-  * fact-fact self-joins shuffle on their equi-key only.
+  * aggregation, and AQE handles skew. Dimension sides of joins carry NO
+  * explicit broadcast() hint: base-relation size stats are accurate at
+  * every scale, so Catalyst broadcasts customer/part at test SF and
+  * correctly switches to a shuffle join when the table outgrows
+  * `autoBroadcastJoinThreshold` — an explicit hint would override that
+  * forever and force a driver OOM at 100 TB (SF-proportional tables).
+  * The one exception is q08, whose OPERATOR under test is the explicit
+  * broadcast hint itself. Fact-fact self-joins shuffle on their equi-key
+  * only.
   */
 object Relational {
 
@@ -119,7 +125,7 @@ object Relational {
     "q05_agg_distinct",
     (s, d) =>
       ord(s, d)
-        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(
           countDistinct(col("o_custkey")).as("n_cust"),
@@ -151,7 +157,7 @@ object Relational {
     "q07_join_inner_equi",
     (s, d) =>
       ord(s, d)
-        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("c_nationkey"),
@@ -383,7 +389,7 @@ object Relational {
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       ord(s, d)
-        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_nationkey"), col("o_orderkey"), col("o_totalprice"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

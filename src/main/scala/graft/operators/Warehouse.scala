@@ -58,12 +58,12 @@ object Warehouse {
       val nat = Tables.nation(s, d)
       val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust),
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(cust,
           col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(drevSum.as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("n_name")
@@ -98,7 +98,7 @@ object Warehouse {
       val ord = Tables.orders(s, d).filter(col("o_orderdate") < cut)
       val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(drevSum.as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
@@ -135,9 +135,9 @@ object Warehouse {
       val nat = Tables.nation(s, d)
       val reg = Tables.region(s, d)
       val byNation = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(drevSum.as("revenue"))
       val w = Window.partitionBy("r_name")
@@ -380,7 +380,7 @@ object Warehouse {
         val keys = fact.select(col(fk))
         keys.agg(count(lit(1)).as("n_rows"))
           .crossJoin(
-            keys.join(broadcast(dim.select(col(pk))), col(fk) === col(pk),
+            keys.join(dim.select(col(pk)), col(fk) === col(pk),
                 "left_anti")
               .agg(count(lit(1)).as("n_orphans")))
           .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"),
@@ -439,7 +439,7 @@ object Warehouse {
       val delCust = Tables.customer(s, d)
         .filter(col("c_custkey") % 97 === 0).select("c_custkey")
       val delOrders = Tables.orders(s, d)
-        .join(broadcast(delCust), col("o_custkey") === col("c_custkey"),
+        .join(delCust, col("o_custkey") === col("c_custkey"),
           "left_semi")
       def entry(name: String, full: DataFrame, hit: DataFrame): DataFrame =
         full.agg(count(lit(1)).as("n_rows"))
@@ -448,13 +448,13 @@ object Warehouse {
             ffloor(col("n_delete").cast("double") / col("n_rows"), 6)
               .as("delete_frac"))
       entry("customer", Tables.customer(s, d),
-          Tables.customer(s, d).join(broadcast(delCust), Seq("c_custkey"), "left_semi"))
+          Tables.customer(s, d).join(delCust, Seq("c_custkey"), "left_semi"))
         .unionAll(entry("orders", Tables.orders(s, d), delOrders))
         .unionAll(entry("lineitem", Tables.lineitem(s, d),
           Tables.lineitem(s, d).join(delOrders.select("o_orderkey"),
             col("l_orderkey") === col("o_orderkey"), "left_semi")))
         .unionAll(entry("events", Tables.events(s, d),
-          Tables.events(s, d).join(broadcast(delCust),
+          Tables.events(s, d).join(delCust,
             col("user_id") === col("c_custkey"), "left_semi")))
         .orderBy("table_name")
     },

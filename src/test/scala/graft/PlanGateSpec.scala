@@ -60,6 +60,67 @@ class PlanGateSpec extends SparkTestBase {
       "(source × distinct value) contingency table — value-domain " +
       "bounded, audited as such in the round-7 verdict's window audit"))
 
+  /** Reviewed broadcast-hint exemptions ([[PlanGate.hintViolations]]):
+    * explicit broadcast() hints whose bound the plan cannot express.
+    * Base-relation hints were REMOVED instead of listed (stats-driven
+    * selection self-corrects at scale; a hint overrides it forever) —
+    * every entry here is a hint that is load-bearing (stats would
+    * over-estimate the side) AND whose side is bounded by something
+    * outside the plan: an eval corpus, an ingest batch, a query, a
+    * label domain.
+    */
+  private val reviewedBroadcastHints: Map[String, String] = Map(
+    "q08_join_broadcast" -> ("the OPERATOR under test is the explicit " +
+      "broadcast hint itself (SURVEY §2.8 Q8); the side is the " +
+      "brand-filtered part dimension"),
+    "q58_decontamination" -> ("broadcast side is the EVAL suite's " +
+      "distinct gram set — bounded by the evaluation corpus, fixed and " +
+      "tiny relative to the training corpus being swept; stats " +
+      "over-estimate a Deduplicate, so the hint is load-bearing"),
+    "q91_bloom_decontamination" -> "same eval-gram-set bound as q58",
+    "q100_contamination_by_suite" -> "same eval-gram-set bound as q58",
+    "q109_span_decontamination" -> "same eval-gram-set bound as q58",
+    "q73_incremental_exact_dedup" -> ("broadcast side is the ingest " +
+      "micro-batch (and its fingerprints) probed against the landed " +
+      "store — batch-bounded by admission control, the incremental-" +
+      "dedup design point (store ≫ batch is the whole asymmetry)"),
+    "q74_incremental_neardup" -> ("batch-bounded like q73: the batch " +
+      "signatures/bands and the candidate ids they select"),
+    "q148_bm25_store" -> ("broadcast side is the query-term posting " +
+      "slice of the landed BM25 store (3 terms) — query-bounded, the " +
+      "same bound class as q165's whitelisted windows"),
+    "q196_pq_recall_audit" -> ("broadcast sides are the |Q|-row query " +
+      "trio and the ≤ |Q|·shortlist PQ candidate ids — rerank-contract " +
+      "bounded (shortlist = 50, |Q| = 3)"),
+    "q206_token_waterfill" -> ("source-domain water-filling tables — " +
+      "the same label-domain bound as its window exemption above"),
+    "q215_centroid_outliers" -> ("label×dim-grain Materialized " +
+      "component sums — value-domain bounded; the checkpoint hides the " +
+      "aggregate grain from the mechanical rule"))
+
+  test("registry plans: no unreviewed broadcast hints") {
+    val dir = sf("sf0.001")
+    val failures = QueryRegistry.all.flatMap { q =>
+      val vs =
+        try PlanGate.hintViolations(q.run(spark, dir))
+        catch { case e: Throwable => Seq(PlanGate.Violation("plan-error", e.getMessage)) }
+      if (vs.isEmpty || reviewedBroadcastHints.contains(q.name)) Nil
+      else Seq(q.name -> vs)
+    }
+    assert(failures.isEmpty, failures.map { case (n, vs) =>
+      s"\n$n:\n  ${vs.mkString("\n  ")}"
+    }.mkString)
+  }
+
+  test("broadcast-hint whitelist entries are live") {
+    val dir = sf("sf0.001")
+    reviewedBroadcastHints.keys.foreach { n =>
+      assert(QueryRegistry.all.exists(_.name == n), s"stale hint whitelist entry: $n")
+      assert(PlanGate.hintViolations(QueryRegistry.byName(n).run(spark, dir)).nonEmpty,
+        s"hint whitelist entry $n no longer violates — remove the exemption")
+    }
+  }
+
   test("registry plans: no unbounded global window / BNL join / cartesian") {
     val dir = sf("sf0.001")
     val failures = QueryRegistry.all.flatMap { q =>
