@@ -623,7 +623,13 @@ object CorpusPipeline {
       val shared = norm.groupBy("fp").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > 1)
         .select(col("fp"), lit(1).as("__dup"))
-      norm.join(broadcast(shared), Seq("fp"), "left")
+      // No broadcast hint: `shared` is the duplicated-fingerprint table,
+      // which grows with the corpus (every repeated document adds a row) —
+      // corpus-grain, not a label domain. Catalyst's stats broadcast it at
+      // test SF and correctly switch to a shuffle join at scale; an
+      // explicit hint here would pin a driver-OOM shape at 100 TB
+      // (round-9 hint-gate tightening).
+      norm.join(shared, Seq("fp"), "left")
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -280,8 +280,9 @@ object CurationOps {
     * SQL-expressible); SemDedupSpec asserts planted-duplicate behavior,
     * determinism, and the keep-one-per-clique invariant on exact clones.
     */
-  def semanticDedupReport(vectors: DataFrame, minCos: Double, nBits: Int): DataFrame = {
-    val pairs = Similarity.lshNearDupPairs(vectors, minCos, nBits)
+  def semanticDedupReport(vectors: DataFrame, minCos: Double, nBits: Int,
+                          auditOnly: Boolean = false): DataFrame = {
+    val pairs = Similarity.lshNearDupPairs(vectors, minCos, nBits, auditOnly)
     val drops = pairs.select(col("v2").as("vec_id")).distinct()
     vectors
       .join(drops, Seq("vec_id"), "left_anti")
@@ -314,7 +315,8 @@ object CurationOps {
     */
   val q245 = QuerySpec(
     "q245_semantic_dedup_audit",
-    (s, d) => semanticDedupReport(Tables.embeddings(s, d), minCos = 0.2, nBits = 0),
+    (s, d) => semanticDedupReport(Tables.embeddings(s, d), minCos = 0.2, nBits = 0,
+      auditOnly = true),
     Some("""WITH e AS (
               SELECT vec_id, embedding,
                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -509,7 +511,12 @@ object CurationOps {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select("shingle")
-    val covered = grams.join(broadcast(hot), "shingle")
+    // No broadcast hint: the hot-gram set is GRAM-grain — distinct
+    // 3-grams with df ≥ minDf grow with the corpus (Heaps' law), exactly
+    // the vocab-shaped domain the round-9 hint gate exists to keep off
+    // the driver. Stats broadcast it while it is small and shuffle when
+    // it is not.
+    val covered = grams.join(hot, "shingle")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(2))).as("pos"))
       .distinct()
@@ -769,17 +776,23 @@ object CurationOps {
     (model, meta)
   }
 
-  /** Score a batch of (doc_id, text) rows against a broadcast NB model:
+  /** Score a batch of (doc_id, text) rows against an NB model:
     * per-doc tf → left join model → OOV tokens take the default prior
     * odds → micro-nat sum → length-normalized score. The one scan + one
     * (doc_id, tok) aggregate shape of q103's scoring half.
+    *
+    * The model join carries NO broadcast hint: the model is TOKEN-grain
+    * — its vocabulary grows with the training corpus by Heaps' law, the
+    * exact domain class the round-9 hint gate made whitelist-only.
+    * Stats broadcast a small model and shuffle a lake-scale one; the
+    * equi-join on `tok` is the scalable shape either way.
     */
   private[llmops] def nbScore(batch: DataFrame, model: DataFrame,
                               defaultLlr: Column): DataFrame =
     batch.select(col("doc_id"),
         explode(split(graft.operators.Ops.asciiLower(col("text")), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .join(broadcast(model), Seq("tok"), "left")
+      .join(model, Seq("tok"), "left")
       .select(col("doc_id"), col("tf"),
         coalesce(col("llr_micro"), defaultLlr).as("llr"))
       .groupBy("doc_id")

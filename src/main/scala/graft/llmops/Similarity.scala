@@ -169,7 +169,18 @@ object Similarity {
     * pay 3 dot products per candidate, tripling the verify cost of every
     * dense bucket for bit-identical scores (same fold, same values).
     */
-  def lshNearDupPairs(vectors: DataFrame, minCos: Double, nBits: Int = 12): DataFrame = {
+  def lshNearDupPairs(vectors: DataFrame, minCos: Double, nBits: Int = 12,
+                      auditOnly: Boolean = false): DataFrame = {
+    // nBits = 0 collapses every vector into ONE bucket: the candidate
+    // join is all-pairs QUADRATIC. That config exists solely for the
+    // q244/q245 exactness audits (one bucket ⇒ pair list provably equals
+    // the exact cosine range search) and must be unreachable by accident
+    // on a lake-scale table — callers opt in with auditOnly = true
+    // (round-9 verdict item 3).
+    require(nBits > 0 || auditOnly,
+      "lshNearDupPairs: nBits = 0 is the all-pairs audit configuration " +
+        "(quadratic candidate join); pass auditOnly = true on a bounded " +
+        "fixture to use it")
     // eager materialization: the bucket table feeds both self-join sides;
     // without it the mapPartitions signature pass runs twice (Materialize
     // holds the local-vs-cluster failure-tolerance contract)
@@ -1125,7 +1136,8 @@ object Similarity {
     */
   val q244 = QuerySpec(
     "q244_lsh_exactness_audit",
-    (s, d) => lshNearDupPairs(Tables.embeddings(s, d), minCos = 0.2, nBits = 0),
+    (s, d) => lshNearDupPairs(Tables.embeddings(s, d), minCos = 0.2, nBits = 0,
+      auditOnly = true),
     Some("""WITH e AS (
               SELECT vec_id, embedding,
                 sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -2,8 +2,9 @@ package graft.plans
 
 /** Diagnostic sweep (runMain graft.plans.BroadcastAudit <sfDir>): print
   * every registry query with [[PlanGate.hintViolations]] — the explicit
-  * broadcast() hints whose side is neither structurally bounded nor a
-  * key-domain aggregate. The CI-enforced version (with the reviewed
+  * broadcast() hints whose side is not structurally bounded (since
+  * round 9 there is no key-domain auto-pass; every such hint must be
+  * whitelisted by name). The CI-enforced version (with the reviewed
   * whitelist) lives in PlanGateSpec; this main exists for ad-hoc sweeps
   * while developing a query.
   */

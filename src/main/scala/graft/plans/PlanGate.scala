@@ -91,33 +91,29 @@ object PlanGate {
     case other => other.children.nonEmpty && other.children.forall(lBounded)
   }
 
-  /** A grouped aggregate anywhere beneath the hint: the hinted side is a
-    * key-domain table (per-label/per-term/per-source grain). Such
-    * broadcasts are the STANDARD pattern for derived small tables whose
-    * size the optimizer's stats over-estimate — the hint is load-bearing
-    * and the domain bound is the reviewer's call, so they pass the
-    * mechanical rule (the grain is visible in the plan; a corpus-grain
-    * broadcast has no aggregate beneath it at all).
-    */
-  private def lDomainAgg(p: LogicalPlan): Boolean = p match {
-    case a: LAggregate => a.groupingExpressions.nonEmpty
-    case other => other.children.exists(lDomainAgg)
-  }
-
   /** `bcast-hint` violations: explicit broadcast() hints whose side is
-    * neither structurally bounded nor a key-domain aggregate. Catalyst's
-    * own stats-driven broadcasts are out of scope — those self-correct
-    * when a table outgrows `autoBroadcastJoinThreshold`; an explicit hint
-    * overrides stats FOREVER, so a hint on a corpus-grain relation is a
-    * driver OOM at 100 TB that no local test can see (the class the
-    * round-7 review caught by hand on a corpus-row broadcast).
+    * not structurally bounded. Catalyst's own stats-driven broadcasts are
+    * out of scope — those self-correct when a table outgrows
+    * `autoBroadcastJoinThreshold`; an explicit hint overrides stats
+    * FOREVER, so a hint on a corpus-grain relation is a driver OOM at
+    * 100 TB that no local test can see (the class the round-7 review
+    * caught by hand on a corpus-row broadcast).
+    *
+    * Round-9 tightening: the previous key-domain-aggregate auto-pass
+    * (any grouped aggregate beneath the hint) is GONE. It proved only
+    * that the GRAIN was visible in the plan, not that the domain is
+    * small — a per-term aggregate (vocab grows with the corpus by
+    * Heaps' law) passed mechanically. Every hinted side that is not
+    * structurally bounded now requires a per-name entry in
+    * PlanGateSpec's `reviewedBroadcastHints` whitelist stating its
+    * domain bound, the same review contract as the window whitelist.
     */
   def hintViolations(df: DataFrame): Seq[Violation] = {
     val out = Seq.newBuilder[Violation]
     df.queryExecution.analyzed.foreach {
       case h: ResolvedHint if h.hints.strategy.contains(
           org.apache.spark.sql.catalyst.plans.logical.BROADCAST) =>
-        if (!lBounded(h.child) && !lDomainAgg(h.child))
+        if (!lBounded(h.child))
           out += Violation("bcast-hint", h.child.nodeName)
       case _ =>
     }

@@ -68,6 +68,15 @@ class PlanGateSpec extends SparkTestBase {
     * over-estimate the side) AND whose side is bounded by something
     * outside the plan: an eval corpus, an ingest batch, a query, a
     * label domain.
+    *
+    * Round 9 (verdict item 1): the gate's grouped-aggregate auto-pass is
+    * deleted, so every key-domain-aggregate hint now sits here with its
+    * GRAIN argument — the review proves the domain is small, not merely
+    * visible. The sweep that populated these entries also found four
+    * hints whose grain is NOT bounded (q83's duplicated-fingerprint
+    * table: corpus-grain; q98's hot-gram set and q103/q180's NB token
+    * model: vocab-grain by Heaps' law) — those were DE-HINTED, not
+    * listed, so stats decide (broadcast small, shuffle at scale).
     */
   private val reviewedBroadcastHints: Map[String, String] = Map(
     "q08_join_broadcast" -> ("the OPERATOR under test is the explicit " +
@@ -96,7 +105,50 @@ class PlanGateSpec extends SparkTestBase {
       "the same label-domain bound as its window exemption above"),
     "q215_centroid_outliers" -> ("label×dim-grain Materialized " +
       "component sums — value-domain bounded; the checkpoint hides the " +
-      "aggregate grain from the mechanical rule"))
+      "aggregate grain from the mechanical rule"),
+    // Former key-domain-aggregate auto-passes, each reviewed with its
+    // grain argument when the auto-pass was deleted (round 9, verdict
+    // item 1):
+    "q70_length_outlier_trim" -> ("per-LANG p95 cutoffs — language " +
+      "label domain (dozens of values at any corpus size)"),
+    "q71_temperature_mixture" -> ("per-LANG temperature rates — " +
+      "language label domain"),
+    "q80_vocab_coverage" -> ("per-LANG token totals — language label " +
+      "domain"),
+    "q107_bm25" -> ("document frequencies of the 3 QUERY terms (the " +
+      "term column is isin-filtered before the aggregate) — " +
+      "query-bounded, ≤ |query| rows"),
+    "q122_event_transitions" -> ("per-from_type transition totals — " +
+      "event_type label domain"),
+    "q137_token_entropy" -> ("per-SOURCE token totals — source label " +
+      "domain"),
+    "q140_neyman_sample" -> ("per-SOURCE Neyman weights and rates — " +
+      "source label domain"),
+    "q164_cusum_changepoint" -> ("per-event_type series totals — " +
+      "event_type label domain"),
+    "q165_rank_fusion" -> ("document frequencies of the 3 QUERY terms " +
+      "(tf is isin-filtered to the query before the aggregate) — " +
+      "query-bounded, as q107"),
+    "q174_mad_outliers" -> ("per-event_type median and MAD — " +
+      "event_type label domain (three hints, one grain)"),
+    "q183_weekly_seasonality" -> ("per-event_type totals joined to the " +
+      "event_type×7-dow grid — label-domain bounded"),
+    "q202_scalar_quant_audit" -> ("per-DIM min/max ranges — bounded by " +
+      "the embedding dimensionality (fixed by the model, not the " +
+      "corpus)"),
+    "q211_rbo_rank_agreement" -> ("query-term document frequencies and " +
+      "the 1-row depth table — query-bounded, as q107/q165"),
+    "q217_t_closeness" -> ("per-LANG and per-SOURCE marginals of the " +
+      "source×lang contingency grid — label-domain product, the same " +
+      "bound as its window exemption above"),
+    "q221_bloom_bits_audit" -> ("the Bloom store's word table — FIXED " +
+      "sketch size (m/64 rows, set at store build time, independent of " +
+      "corpus size)"),
+    "q228_w1_drift" -> ("per-SOURCE totals and the distinct-value " +
+      "spine of the quantized score grid — label/value-domain bounded, " +
+      "the same bound as its window exemption above"),
+    "q231_cms_audit" -> ("the CMS store's counter table — FIXED sketch " +
+      "size (depth×width counters, set at store build time)"))
 
   test("registry plans: no unreviewed broadcast hints") {
     val dir = sf("sf0.001")

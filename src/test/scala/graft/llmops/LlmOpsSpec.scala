@@ -249,6 +249,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(m("docs_in") == 3L && m("too_short") == 1L)
   }
 
+  test("degenerate audit configs are gated behind auditOnly (round-9 item 3)") {
+    // The q244/q245/q247 exactness audits deliberately use quadratic
+    // all-pairs configurations (nBits = 0 one-bucket LSH, w = 1
+    // non-winnowing); a production caller reaching them by accident on a
+    // lake-scale table must fail fast, not run O(n²).
+    val d = docs((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i k"))
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.9f, 0.1f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    intercept[IllegalArgumentException] {
+      Similarity.lshNearDupPairs(vecs, minCos = 0.2, nBits = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.winnowingOverlapPairs(d, window = 5, w = 1)
+    }
+    intercept[IllegalArgumentException] {
+      CurationOps.semanticDedupReport(vecs, minCos = 0.2, nBits = 0)
+    }
+    // the opted-in audit path still runs
+    assert(TextAnalysis.winnowingOverlapPairs(d, window = 5, w = 1,
+      minShared = 1, auditOnly = true).count() >= 0)
+  }
+
   test("langIdScore picks the profile with most hits") {
     val d = docs((1L, "der hund und die katze"), (2L, "the cat and the dog"))
     val out = TextAnalysis.langIdScore(d,
