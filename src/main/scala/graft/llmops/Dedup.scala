@@ -159,28 +159,35 @@ object Dedup {
     * materialized ONCE via [[graft.core.Materialize]] (localCheckpoint
     * locally; reliable checkpoint / replicated persist under cluster
     * config — see that object for the failure-tolerance contract).
+    *
+    * Factored as a reusable table (d1 < d2, jaccard ≥ minJac) because
+    * the q248 store-boundary audit joins it as its exact verify stage
+    * (its oracle replays the identical SQL with a pair-class predicate).
     */
+  private[llmops] def exactTrigramJaccardPairs(docs: DataFrame,
+                                               minJac: Double): DataFrame = {
+    val bg = graft.core.Materialize(
+      capKeyFreq(shingles(docs, 3), MaxShingleDocFreq, col("shingle")))
+    val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
+    val inter = bg.as("a")
+      .join(bg.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    // ffloor, not round: round(double) is not engine-portable (Ops.scala)
+    val jac = ffloor(
+      col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJac)
+  }
+
   val q27 = QuerySpec(
     "q27_ngram_jaccard",
-    (s, d) => {
-      val bg = graft.core.Materialize(
-        capKeyFreq(shingles(Tables.documents(s, d), 3), MaxShingleDocFreq, col("shingle")))
-      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
-      val inter = bg.as("a")
-        .join(bg.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-      // ffloor, not round: round(double) is not engine-portable (Ops.scala)
-      val jac = ffloor(
-        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
-      inter
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.1)
-        .orderBy("d1", "d2")
-    },
+    (s, d) => exactTrigramJaccardPairs(Tables.documents(s, d), 0.1)
+      .orderBy("d1", "d2"),
     Some(s"""WITH toks AS (
               SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
               WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),

@@ -219,14 +219,26 @@ object IncrementalDedup {
     * the candidate set (small) broadcasts onto the store's signature
     * scan — the store is read twice, shuffled never.
     */
+  /** Band-collision candidates of a batch against the persisted bucket
+    * table: (d1 = batch doc, d2 = store doc). The batch bands broadcast
+    * (batch-bounded by admission control); the store bucket table never
+    * shuffles. Shared by [[neardupAgainstStore]] (production verify:
+    * signature-agreement estimate) and the q248 degenerate audit (exact
+    * Jaccard verify) so the audit exercises the identical candidate
+    * plumbing the production increment runs.
+    */
+  def candidatesAgainstStore(storeBuckets: DataFrame,
+                             batchBands: DataFrame): DataFrame =
+    storeBuckets
+      .join(broadcast(batchBands), Seq("band_idx", "band_hash"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+
   def neardupAgainstStore(storeBuckets: DataFrame, storeSigs: DataFrame,
                           batchSigs: DataFrame, minSim: Double): DataFrame = {
     val bBands = Dedup.bandHashes(batchSigs)
       .select(col("doc_id").as("d1"), col("band_idx"), col("band_hash"))
-    val cand = storeBuckets
-      .join(broadcast(bBands), Seq("band_idx", "band_hash"))
-      .select(col("d1"), col("doc_id").as("d2"))
-      .distinct()
+    val cand = candidatesAgainstStore(storeBuckets, bBands)
     storeSigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
       .join(broadcast(cand), "d2")
       .join(broadcast(batchSigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))), "d1")
@@ -289,7 +301,8 @@ object IncrementalDedup {
   /** q74: the near-dup incremental path on the same split. Deterministic
     * (seed-42 MinHash) but hash-seeded → rows-only driver check; pair
     * semantics vs the batch-inclusive q30 run are asserted in
-    * IncrementalDedupSpec.
+    * IncrementalDedupSpec, and the store-boundary plumbing is
+    * driver-oracled by [[q248]]'s degenerate-config audit twin.
     */
   val q74 = QuerySpec(
     "q74_incremental_neardup",
@@ -306,5 +319,122 @@ object IncrementalDedup {
     None
   )
 
-  val all: Seq[QuerySpec] = Seq(q73, q74)
+  // --------------------------------------------------------------- q248
+  /** AUDIT-ONLY degenerate band table: every document lands in ONE
+    * bucket (band_idx 0, band_hash 0), so [[candidatesAgainstStore]]
+    * degenerates to ALL batch × store pairs — the q244 nBits = 0 trick
+    * applied to the MinHash banding. Quadratic by construction, hence
+    * gated behind an explicit auditOnly opt-in (round-9 verdict item 3)
+    * exactly like `lshNearDupPairs(nBits = 0)`.
+    */
+  private[llmops] def oneBucketBands(docs: DataFrame,
+                                     auditOnly: Boolean = false): DataFrame = {
+    require(auditOnly,
+      "oneBucketBands: single-bucket banding makes the store increment " +
+        "all-pairs quadratic (audit configuration); pass auditOnly = " +
+        "true on a bounded fixture to use it")
+    // Materialized so the literal band keys are OPAQUE to Catalyst:
+    // without the RDD boundary, constant folding erases the
+    // `band_idx = band_idx AND band_hash = band_hash` equality and
+    // replans [[candidatesAgainstStore]] as a nested-loop cross join —
+    // a different operator than the production BroadcastHashJoin the
+    // audit exists to exercise (q244's bucket table applies the same
+    // discipline for the same reason).
+    graft.core.Materialize(
+      docs.select(col("doc_id"), lit(0).as("band_idx"), lit(0L).as("band_hash")))
+  }
+
+  /** One degenerate store build + first (cold) increment per (JVM,
+    * sf-dir), memoized like ClusterStore's: write store₀'s one-bucket
+    * band table to parquet, run batch₁'s increment against the COLD
+    * store (materialized eagerly, before the append can be seen), then
+    * APPEND batch₁'s bands — the same mode("append") path
+    * [[appendToStore]] uses — so the per-call increment (batch₂) runs
+    * against the WARM store₀ ∪ batch₁ state. Splits: store₀ =
+    * doc_id % 5 ∈ {2,3,4}, batch₁ = 1, batch₂ = 0.
+    */
+  private val auditBuilt =
+    scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
+  private def auditStore(s: SparkSession, d: String): (String, DataFrame) =
+    auditBuilt.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-neardup-audit-").toString
+      val ids = Tables.documents(s, d).select("doc_id")
+      oneBucketBands(ids.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+          auditOnly = true)
+        .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+      // Materialize is EAGER (localCheckpoint): inc1 is pinned against the
+      // pre-append bucket state; a lazy read here would silently see the
+      // appended batch₁ rows and corrupt the cold-increment half.
+      val inc1 = graft.core.Materialize(candidatesAgainstStore(
+        s.read.parquet(s"$dir/buckets.parquet"),
+        oneBucketBands(ids.filter(col("doc_id") % 5 === 1), auditOnly = true)
+          .select(col("doc_id").as("d1"), col("band_idx"), col("band_hash"))))
+      oneBucketBands(ids.filter(col("doc_id") % 5 === 1), auditOnly = true)
+        .write.mode("append").parquet(s"$dir/buckets.parquet")
+      (dir, inc1)
+    })
+
+  /** q248: driver-oracled audit twin for [[q74]] — the q244/q245
+    * degenerate-config pattern pushed ACROSS THE STORE BOUNDARY (round-9
+    * verdict item 2). With one-bucket banding the persisted-store
+    * increment's candidate set is provably all cross-increment pairs, so
+    * after an EXACT verify (capped-trigram Jaccard — [[Dedup
+    * .exactTrigramJaccardPairs]], q27's table) the warm-incremented
+    * verdicts must equal the exact relational near-dup list on
+    * old ∪ new restricted to cross-class pairs: {batch₁ × store₀} ∪
+    * {batch₂ × (store₀ ∪ batch₁)} ≡ "the two ends fall in different
+    * classes". DuckDB replays q27's SQL plus that class predicate, so a
+    * store-plumbing bug — rows lost in the parquet round-trip, a torn
+    * append, a mis-keyed candidate join, batch self-pairs leaking in —
+    * breaks the hash. Only the seeded signature estimate itself stays
+    * rows-only (q74), exactly the residue the verdict allows.
+    */
+  val q248 = QuerySpec(
+    "q248_incremental_neardup_audit",
+    (s, d) => {
+      val (dir, inc1) = auditStore(s, d)
+      val docs = Tables.documents(s, d)
+      val inc2 = candidatesAgainstStore(
+        s.read.parquet(s"$dir/buckets.parquet"),
+        oneBucketBands(docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
+            auditOnly = true)
+          .select(col("doc_id").as("d1"), col("band_idx"), col("band_hash")))
+      val cand = inc1.union(inc2)
+        .select(least(col("d1"), col("d2")).as("d1"),
+          greatest(col("d1"), col("d2")).as("d2"))
+      Dedup.exactTrigramJaccardPairs(docs, 0.1)
+        .join(cand, Seq("d1", "d2"), "left_semi")
+        .orderBy("d1", "d2")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            trigrams_all AS (
+              SELECT DISTINCT doc_id, bg FROM (
+                SELECT doc_id,
+                  unnest(list_transform(range(1, len(ts) - 1),
+                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
+                FROM toks)),
+            trigrams AS (
+              SELECT doc_id, bg FROM trigrams_all
+              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= 1000),
+            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+              FROM trigrams a JOIN trigrams b
+                ON a.bg = b.bg AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT d1, d2,
+              CAST(FLOOR(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 AS jaccard
+            FROM pairs
+            JOIN sizes s1 ON d1 = s1.doc_id
+            JOIN sizes s2 ON d2 = s2.doc_id
+            WHERE CAST(FLOOR(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.1
+              AND (CASE WHEN d1 % 5 = 1 THEN 1 WHEN d1 % 5 = 0 THEN 2 ELSE 0 END)
+               <> (CASE WHEN d2 % 5 = 1 THEN 1 WHEN d2 % 5 = 0 THEN 2 ELSE 0 END)
+            ORDER BY d1, d2""")
+  )
+
+  val all: Seq[QuerySpec] = Seq(q73, q74, q248)
 }

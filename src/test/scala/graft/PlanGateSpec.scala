@@ -95,6 +95,10 @@ class PlanGateSpec extends SparkTestBase {
       "dedup design point (store ≫ batch is the whole asymmetry)"),
     "q74_incremental_neardup" -> ("batch-bounded like q73: the batch " +
       "signatures/bands and the candidate ids they select"),
+    "q248_incremental_neardup_audit" -> ("batch-bounded like q74 — the " +
+      "same candidatesAgainstStore broadcast of the increment's band " +
+      "rows; the degenerate one-bucket config is audit-only and " +
+      "require-gated (oneBucketBands auditOnly)"),
     "q148_bm25_store" -> ("broadcast side is the query-term posting " +
       "slice of the landed BM25 store (3 terms) — query-bounded, the " +
       "same bound class as q165's whitelisted windows"),
