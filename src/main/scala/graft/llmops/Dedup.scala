@@ -216,26 +216,59 @@ object Dedup {
   )
 
   // --------------------------------------------------------------- q108
-  /** Incremental cluster maintenance — q101's warm-start form, the
-    * operator a continuously-ingesting pipeline runs when a batch lands:
-    * seed the fixpoint with the ALREADY-CONVERGED labels of the landed
-    * corpus (q73/q74's store-split idiom: store = doc_id % 5 ≠ 0, batch =
-    * the rest), add the batch's edges, propagate. Old components start
-    * collapsed, so the loop pays rounds proportional to how far the BATCH
-    * chains old components together — not to the corpus diameter — while
-    * converging to exactly the full-recompute labels (seed labels are
-    * member ids, so the fixpoint is the merged-component minimum; proof
-    * sketch at [[ccFixpoint]]). The oracle is therefore q101's recursive
-    * CTE verbatim: any warm-start shortcut that changed ANY label would
-    * hash-mismatch the cold answer.
+  /** Incremental cluster maintenance — the operator a continuously-
+    * ingesting pipeline runs when a batch lands: take the ALREADY-
+    * CONVERGED labels of the landed corpus (q73/q74's store-split idiom:
+    * store = doc_id % 5 ≠ 0, batch = the rest), compute only the
+    * BATCH-INCIDENT edges, and merge via the contracted delta fixpoint
+    * ([[connectedComponentsDelta]], round-9 verdict item 4 — the rounds
+    * AND the edge build now track the delta, replacing the former
+    * seeded fixpoint over the full old ∪ delta edge list that re-ran
+    * the corpus-wide 5-gram join a second time). Converges to exactly
+    * the full-recompute labels (stored labels are component minima, so
+    * the contracted fixpoint's min is the merged component's true
+    * minimum; proof at [[connectedComponentsDelta]]). The oracle is
+    * therefore q101's recursive CTE verbatim: any incremental shortcut
+    * that changed ANY label would hash-mismatch the cold answer.
     */
   val q108 = QuerySpec(
     "q108_incremental_cc",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val stored = connectedComponents(
-        neardupEdges(docs.filter(col("doc_id") % 5 =!= 0)))
-      connectedComponentsSeeded(neardupEdges(docs), stored)._1
+      val isBatch = col("doc_id") % 5 === 0
+      // ONE tokenize/shingle pass and ONE df aggregate feed both edge
+      // builds: the store build needs the STORE-corpus df cap, the delta
+      // build the FULL-corpus cap — both fall out of a single
+      // count/count-if aggregate, and one materialized keep-join carries
+      // both keep flags (two caps, one shuffle, one checkpoint).
+      val grams = shingles(graft.operators.Ops.fanOut(docs), 5)
+      val caps = grams.groupBy("shingle").agg(
+        count(lit(1)).as("__df_full"),
+        count(when(!isBatch, lit(1))).as("__df_store"))
+      val g2 = graft.core.Materialize(
+        grams.join(caps, "shingle")
+          .filter(col("__df_full").between(2, 50) ||
+            col("__df_store").between(2, 50))
+          .select(col("doc_id"), col("shingle"),
+            col("__df_full").between(2, 50).as("__keep_full"),
+            col("__df_store").between(2, 50).as("__keep_store")))
+      val g2s = g2.filter(col("__keep_store") && !isBatch)
+      val halfS = g2s.as("a").join(g2s.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val storeEdges = graft.core.Materialize(
+        halfS.union(halfS.select(col("dst").as("src"), col("src").as("dst"))))
+      val stored = connectedComponents(storeEdges)
+      val g2f = g2.filter(col("__keep_full"))
+      val halfD = g2f.filter(isBatch).as("a").join(g2f.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
+        .distinct()
+      val deltaEdges = graft.core.Materialize(
+        halfD.union(halfD.select(col("dst").as("src"), col("src").as("dst"))))
+      connectedComponentsDelta(deltaEdges, stored)
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $neardupEdgesCtes,
@@ -605,14 +638,49 @@ object Dedup {
     * Shared by q69/q72 (bounded-K labels) and q101 (fixpoint CC); both
     * directions present so one join step propagates along every edge.
     */
-  def neardupEdges(docs: DataFrame): DataFrame = {
-    val grams = shingles(fanOut(docs), 5)
+  def neardupEdges(docs: DataFrame): DataFrame =
+    neardupEdgesFromGrams(shingles(fanOut(docs), 5))
+
+  /** [[neardupEdges]] from a pre-built (doc_id, shingle) table — callers
+    * that need several edge sets over overlapping corpora (q108's store
+    * build + delta build) tokenize ONCE and slice the shared gram table
+    * instead of paying the explode-and-shingle pass per edge set.
+    */
+  private[llmops] def neardupEdgesFromGrams(grams: DataFrame): DataFrame = {
     val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, 50)).select("shingle")
     val g2 = graft.core.Materialize(grams.join(keep, "shingle"))
     val half = g2.as("a").join(g2.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    graft.core.Materialize(
+      half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
+  }
+
+  /** Batch-incident subset of [[neardupEdges]]: only pairs with at least
+    * one endpoint satisfying `isBatch` (a predicate over the gram table's
+    * doc_id). The df-cap is computed over the FULL corpus gram table, so
+    * the emitted edges are EXACTLY the full edge set's batch-incident
+    * slice — what [[connectedComponentsDelta]] needs to converge to the
+    * cold-recompute answer. The full gram aggregate is unavoidable (the
+    * cap is corpus-global, as the oracle defines it); the saving is the
+    * pair JOIN, whose probe side shrinks from the corpus to the batch.
+    */
+  def neardupEdgesDelta(docs: DataFrame, isBatch: org.apache.spark.sql.Column): DataFrame =
+    neardupEdgesDeltaFromGrams(shingles(fanOut(docs), 5), isBatch)
+
+  /** Delta variant of [[neardupEdgesFromGrams]]. */
+  private[llmops] def neardupEdgesDeltaFromGrams(
+      grams: DataFrame, isBatch: org.apache.spark.sql.Column): DataFrame = {
+    val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50)).select("shingle")
+    val g2 = graft.core.Materialize(grams.join(keep, "shingle"))
+    val half = g2.filter(isBatch).as("a")
+      .join(g2.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
       .distinct()
     graft.core.Materialize(
       half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
@@ -777,15 +845,22 @@ object Dedup {
 
   /** Builder diagnostic twin of [[connectedComponents]] returning rounds. */
   def ccProbe(edges: DataFrame): (DataFrame, Int) =
-    ccFixpoint(edges,
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")), 50)
+    ccFixpoint(edges, minNeighborInit(edges), 50)
+
+  /** Fixpoint init one propagation step ahead of self-labels: each node
+    * starts at min(itself, its neighbors) — one aggregate over the edge
+    * list, the same shuffle the self-label `distinct` already paid, but
+    * shallow components (near-dup cliques — the overwhelming majority)
+    * arrive CONVERGED and the fixpoint's first round is already the
+    * verification round. Valid init for [[ccFixpoint]]: the minimum of a
+    * node and its neighbors is a member id of its component.
+    */
+  private def minNeighborInit(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"), least(col("src"), col("dst")).as("lbl"))
+      .groupBy("id").agg(min("lbl").as("lbl"))
 
   def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame =
-    ccFixpoint(edges,
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")),
-      maxRounds)._1
+    ccFixpoint(edges, minNeighborInit(edges), maxRounds)._1
 
   /** Warm-start CC: seed the fixpoint with previously-converged labels
     * ((id, lbl) — q101's output renamed) and run over the UPDATED edge
@@ -804,6 +879,54 @@ object Dedup {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("seed_lbl"), col("id")).as("lbl"))
     ccFixpoint(edges, init, maxRounds)
+  }
+
+  /** DELTA-incremental CC (round-9 verdict item 4): instead of a seeded
+    * fixpoint over ALL old ∪ delta edges, CONTRACT each already-converged
+    * component to its root label and run the fixpoint only on the
+    * batch-incident (delta) edge list mapped through that contraction —
+    * then push merged labels back onto the stored members with one keyed
+    * join. Work is O(delta edges + touched components), never O(old
+    * edges): the landed corpus's edge list is neither rebuilt nor
+    * re-propagated.
+    *
+    * Correctness (same fixpoint invariant as [[ccFixpoint]]): every
+    * stored label is the MIN member id of its component, so contracted
+    * node ids are exactly {component minima} ∪ {unstored delta
+    * endpoints}, and the contracted fixpoint's min over a merged
+    * component equals the true min over all underlying members. A
+    * contracted self-loop (delta edge inside one old component) adds no
+    * information and is dropped. Old components untouched by the delta
+    * keep their labels through the left-join coalesce; delta endpoints
+    * with no stored label (batch docs, old docs whose first edge is to
+    * the batch) surface through the anti-join branch.
+    *
+    * `deltaEdges` must be SYMMETRIC and batch-incident (≥1 endpoint in
+    * the increment); `stored` is (doc_id, cluster) converged labels.
+    */
+  def connectedComponentsDelta(deltaEdges: DataFrame, stored: DataFrame,
+                               maxRounds: Int = 50): DataFrame = {
+    // stored feeds FOUR consumers (both contraction sides, the remap
+    // join, the anti-join); one lineage cut here stops each from
+    // re-executing the label table's final pointer-hop join.
+    val storedM = graft.core.Materialize(stored)
+    val seed = storedM.select(col("doc_id").as("__sid"), col("cluster").as("__slbl"))
+    val srcMapped = deltaEdges
+      .join(seed, col("src") === col("__sid"), "left")
+      .select(coalesce(col("__slbl"), col("src")).as("src"), col("dst"))
+    val contracted = srcMapped
+      .join(seed, col("dst") === col("__sid"), "left")
+      .select(col("src"), coalesce(col("__slbl"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val inc = connectedComponents(contracted, maxRounds)
+    val mergeMap = inc.select(col("doc_id").as("__root"), col("cluster").as("__new"))
+    val remapped = storedM
+      .join(mergeMap, col("cluster") === col("__root"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("cluster")).as("cluster"))
+    val newNodes = inc
+      .join(storedM.select(col("doc_id").as("__d")), col("doc_id") === col("__d"),
+        "left_anti")
+    remapped.union(newNodes.select(col("doc_id"), col("cluster")))
   }
 
   /** q101: fixpoint near-dup components over the same capped edge list as
