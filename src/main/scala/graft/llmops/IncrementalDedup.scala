@@ -353,6 +353,15 @@ object IncrementalDedup {
     * against the WARM store₀ ∪ batch₁ state. Splits: store₀ =
     * doc_id % 5 ∈ {2,3,4}, batch₁ = 1, batch₂ = 0.
     */
+  /** The audit's corpus slice: a fixed doc_id bound, NOT SF-relative, so
+    * the quadratic all-pairs configuration stays bounded on any table the
+    * query is pointed at (q244's bounded-fixture discipline — its 2k
+    * embeddings play the same role). sf0.01's 500 docs sit entirely
+    * inside the bound, so the driver's correctness run audits the full
+    * corpus; at larger SFs the audit window is the first 2000 docs.
+    */
+  private val AuditDocLimit = 2000L
+
   private val auditBuilt =
     scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
   private def auditStore(s: SparkSession, d: String): (String, DataFrame) =
@@ -360,6 +369,7 @@ object IncrementalDedup {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-neardup-audit-").toString
       val ids = Tables.documents(s, d).select("doc_id")
+        .filter(col("doc_id") < AuditDocLimit)
       oneBucketBands(ids.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
           auditOnly = true)
         .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
@@ -394,7 +404,7 @@ object IncrementalDedup {
     "q248_incremental_neardup_audit",
     (s, d) => {
       val (dir, inc1) = auditStore(s, d)
-      val docs = Tables.documents(s, d)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < AuditDocLimit)
       val inc2 = candidatesAgainstStore(
         s.read.parquet(s"$dir/buckets.parquet"),
         oneBucketBands(docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
@@ -409,7 +419,8 @@ object IncrementalDedup {
     },
     Some(s"""WITH toks AS (
               SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+              WHERE doc_id < 2000
+                AND len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
             trigrams_all AS (
               SELECT DISTINCT doc_id, bg FROM (
                 SELECT doc_id,
