@@ -658,34 +658,6 @@ object Dedup {
       half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
   }
 
-  /** Batch-incident subset of [[neardupEdges]]: only pairs with at least
-    * one endpoint satisfying `isBatch` (a predicate over the gram table's
-    * doc_id). The df-cap is computed over the FULL corpus gram table, so
-    * the emitted edges are EXACTLY the full edge set's batch-incident
-    * slice — what [[connectedComponentsDelta]] needs to converge to the
-    * cold-recompute answer. The full gram aggregate is unavoidable (the
-    * cap is corpus-global, as the oracle defines it); the saving is the
-    * pair JOIN, whose probe side shrinks from the corpus to the batch.
-    */
-  def neardupEdgesDelta(docs: DataFrame, isBatch: org.apache.spark.sql.Column): DataFrame =
-    neardupEdgesDeltaFromGrams(shingles(fanOut(docs), 5), isBatch)
-
-  /** Delta variant of [[neardupEdgesFromGrams]]. */
-  private[llmops] def neardupEdgesDeltaFromGrams(
-      grams: DataFrame, isBatch: org.apache.spark.sql.Column): DataFrame = {
-    val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 50)).select("shingle")
-    val g2 = graft.core.Materialize(grams.join(keep, "shingle"))
-    val half = g2.filter(isBatch).as("a")
-      .join(g2.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
-      .distinct()
-    graft.core.Materialize(
-      half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
-  }
-
   /** Cluster labels for every doc with ≥1 candidate edge — the K-round
     * min-label propagation described at [[q69]], shared by q69 (label
     * dump) and q72 (canonical selection). Returns (doc_id, cluster).
