@@ -88,6 +88,37 @@ class DedupGraphSpec extends SparkTestBase {
       s"warm start must track the change, not the corpus: $warmRounds vs $coldRounds")
   }
 
+  test("connectedComponentsDelta: chained merges across contracted components") {
+    // The contraction's hardest case: the delta must merge THREE old
+    // components through a CHAIN of batch docs attached to different
+    // members — correctness requires the virtual connectivity that
+    // contracting to roots provides (members of one component touched by
+    // different batch docs share no delta edge, only a root).
+    //   old: A = {0,1}, B = {10,11}, C = {20,21}  (each a shared-gram pair)
+    //   batch: 30 bridges 1–10, 31 bridges 11–20 → one merged component.
+    val a = "a1 a2 a3 a4 a5"; val b = "b1 b2 b3 b4 b5"; val c = "c1 c2 c3 c4 c5"
+    val dir2 = docsDir(Seq(
+      row(0, a + " u1 u2 u3 u4 u5"), row(1, a + " e1 e2 e3 e4 e5"),
+      row(10, b + " f1 f2 f3 f4 f5"), row(11, b + " g1 g2 g3 g4 g5"),
+      row(20, c + " h1 h2 h3 h4 h5"), row(21, c + " i1 i2 i3 i4 i5"),
+      row(30, "e1 e2 e3 e4 e5 f1 f2 f3 f4 f5"),   // bridges 1 (A) – 10 (B)
+      row(31, "g1 g2 g3 g4 g5 h1 h2 h3 h4 h5")))  // bridges 11 (B) – 20 (C)
+    val docs = graft.Tables.documents(spark, dir2)
+    val isBatch = col("doc_id") >= 30
+    val all = Dedup.neardupEdges(docs)
+    val cold = Dedup.connectedComponents(all)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stored = Dedup.connectedComponents(
+      Dedup.neardupEdges(docs.filter(col("doc_id") < 30)))
+    val delta = Dedup.connectedComponentsDelta(
+        all.filter(col("src") >= 30 || col("dst") >= 30), stored)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(delta == cold,
+      s"delta labels must equal the cold recompute: $delta vs $cold")
+    assert(cold.values.toSet == Set(0L),
+      s"fixture should merge everything into component 0: $cold")
+  }
+
   test("q102: containment flags a short doc embedded in a long one that Jaccard misses") {
     // short doc (12 tokens) fully contained in a 120-token host:
     // containment(short→host) = 1.0 while Jaccard ≈ 10/118 < 0.1 (below
