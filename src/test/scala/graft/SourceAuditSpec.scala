@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI-mechanized form of the per-round anti-pattern scan: every
+  * driver-side `.collect()` and every `crossJoin(` in MAIN source must be
+  * accounted for in the reviewed tallies below. A new site anywhere —
+  * even one — fails this spec until its bound is reviewed and the tally
+  * updated, the same review contract PlanGateSpec applies to plan shapes.
+  *
+  * Why a tally and not a line whitelist: line numbers churn on every
+  * edit, but the INVARIANT is per-file ("this file drives its k-row
+  * centroid loop from a limit(k) collect, and nothing else collects"),
+  * so a per-file count plus its bound-class justification is both stable
+  * and reviewable. The physical-plan side of the same contract (a
+  * cartesian with no bounded side, an unbounded broadcast) is enforced
+  * by PlanGate on every registry query; this spec closes the gap for
+  * code paths a registry plan walk cannot see (store mains, tooling,
+  * foreachBatch bodies).
+  *
+  * Counts are raw textual occurrences (code or scaladoc) — comments
+  * count too, deliberately: the tally is a tripwire that forces a human
+  * review on ANY change to a file's collect/crossJoin surface, not a
+  * semantic analysis.
+  */
+class SourceAuditSpec extends AnyFunSuite {
+
+  private val mainRoot = java.nio.file.Paths.get("src/main/scala/graft")
+
+  private def occurrences(needle: String): Map[String, Int] = {
+    val it = java.nio.file.Files.walk(mainRoot).iterator()
+    val b = Map.newBuilder[String, Int]
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.toString.endsWith(".scala")) {
+        val text = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val n = text.sliding(needle.length).count(_ == needle)
+        if (n > 0) b += mainRoot.relativize(p).toString -> n
+      }
+    }
+    b.result()
+  }
+
+  /** file → (reviewed count, bound argument). Every `.collect()` call in
+    * main source pulls a DRIVER-side result; each entry states why that
+    * pull is bounded at any corpus size (or is tooling, not an operator).
+    */
+  private val reviewedCollects: Map[String, (Int, String)] = Map(
+    "llmops/CMSStore.scala" -> (2, "ungrouped-aggregate total (1 row) + " +
+      "1-row store meta read"),
+    "llmops/TopKStore.scala" -> (2, "ungrouped-aggregate total (1 row) + " +
+      "1-row store meta read"),
+    "llmops/Similarity.scala" -> (3, "k-row centroid/seed pulls behind " +
+      "explicit limit(k) / k-means k — model-size, never corpus-size"),
+    "llmops/ProductQuant.scala" -> (1, "query batch behind " +
+      "limit(maxQueryBatch + 1) with a require on the size"),
+    "llmops/CorpusPipeline.scala" -> (1, "fixed decile-grid bound list " +
+      "(9 values by the quantile-grid domain)"),
+    "llmops/CorpusStats.scala" -> (1, "fixed decile-grid bound list, " +
+      "as CorpusPipeline"),
+    "llmops/SelectionOps.scala" -> (1, "greedy top-1 pick behind " +
+      "limit(1) per round of a bounded-round loop"),
+    "operators/Quantiles.scala" -> (2, "group list behind " +
+      "limit(maxGroups + 1) with require, + fixed quantile grid"),
+    "sink/OffsetNamedSink.scala" -> (1, "per-micro-batch file manifest " +
+      "— batch-bounded by admission control"),
+    "Bench.scala" -> (2, "bench warm-up probes (tooling main, not an " +
+      "operator)"),
+    "Profile.scala" -> (1, "profiling tool main"),
+    "CurateDemo.scala" -> (2, "demo main"))
+
+  /** file → reviewed `crossJoin(` occurrence count. The class argument,
+    * once for all entries: every production crossJoin here pairs a 1-row
+    * ungrouped aggregate (global total / min / moments) or a
+    * label-domain / query-bounded side, and the PHYSICAL shape is gated
+    * by PlanGate's cartesian rule on every registry plan; this tally
+    * exists so a NEW cross join cannot land without review.
+    */
+  private val reviewedCrossJoins: Map[String, Int] = Map(
+    "ScaleSmoke.scala" -> 2,
+    "llmops/VocabStore.scala" -> 2,
+    "llmops/RetrievalOps.scala" -> 2,
+    "llmops/Similarity.scala" -> 15,
+    "llmops/CurationOps.scala" -> 6,
+    "llmops/TextAnalysis.scala" -> 2,
+    "llmops/Dedup.scala" -> 7,
+    "llmops/ShardOps.scala" -> 1,
+    "llmops/CorpusPipeline.scala" -> 1,
+    "llmops/SelectionOps.scala" -> 1,
+    "llmops/TopKStore.scala" -> 4,
+    "llmops/PretrainOps.scala" -> 12,
+    "llmops/CorpusStats.scala" -> 10,
+    "llmops/FeatureStats.scala" -> 1,
+    "llmops/BloomStore.scala" -> 2,
+    "operators/Warehouse.scala" -> 4,
+    "operators/ZOrder.scala" -> 2)
+
+  test("every main-source .collect() site is reviewed") {
+    val actual = occurrences(".collect()")
+    val expected = reviewedCollects.map { case (f, (n, _)) => f -> n }
+    assert(actual == expected,
+      s"""collect() surface changed — review the new/removed site's bound
+         |and update reviewedCollects.
+         |unexpected: ${(actual.toSet -- expected.toSet).toSeq.sorted}
+         |missing:    ${(expected.toSet -- actual.toSet).toSeq.sorted}""".stripMargin)
+  }
+
+  test("every main-source crossJoin site is reviewed") {
+    val actual = occurrences("crossJoin(")
+    assert(actual == reviewedCrossJoins,
+      s"""crossJoin surface changed — review the new/removed site (is one
+         |side a 1-row aggregate or label-domain table?) and update
+         |reviewedCrossJoins.
+         |unexpected: ${(actual.toSet -- reviewedCrossJoins.toSet).toSeq.sorted}
+         |missing:    ${(reviewedCrossJoins.toSet -- actual.toSet).toSeq.sorted}""".stripMargin)
+  }
+}
