@@ -96,6 +96,31 @@ class SourceAuditSpec extends AnyFunSuite {
     "operators/Warehouse.scala" -> 4,
     "operators/ZOrder.scala" -> 2)
 
+  /** file → reviewed `mapPartitions` occurrence count. Class argument:
+    * mapPartitions drops out of whole-stage codegen and hides its
+    * expression from Catalyst, so it is reserved for dense fixed-width
+    * signature math (hyperplane/PQ codebook distance loops) and byte-level
+    * media header parsing — never tokenization or relational logic the
+    * optimizer could fuse.
+    */
+  private val reviewedMapPartitions: Map[String, Int] = Map(
+    "llmops/Similarity.scala" -> 8,
+    "llmops/ProductQuant.scala" -> 3,
+    "llmops/VideoMeta.scala" -> 2,
+    "llmops/ImageMeta.scala" -> 2,
+    "llmops/AudioMeta.scala" -> 2,
+    "llmops/Multimodal.scala" -> 3)
+
+  test("every main-source mapPartitions site is reviewed") {
+    val actual = occurrences("mapPartitions")
+    assert(actual == reviewedMapPartitions,
+      s"""mapPartitions surface changed — review the new/removed site (is
+         |it dense fixed-width math or byte parsing, not relational
+         |logic?) and update reviewedMapPartitions.
+         |unexpected: ${(actual.toSet -- reviewedMapPartitions.toSet).toSeq.sorted}
+         |missing:    ${(reviewedMapPartitions.toSet -- actual.toSet).toSeq.sorted}""".stripMargin)
+  }
+
   test("every main-source .collect() site is reviewed") {
     val actual = occurrences(".collect()")
     val expected = reviewedCollects.map { case (f, (n, _)) => f -> n }
