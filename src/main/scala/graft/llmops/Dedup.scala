@@ -221,15 +221,23 @@ object Dedup {
     * CONVERGED labels of the landed corpus (q73/q74's store-split idiom:
     * store = doc_id % 5 ≠ 0, batch = the rest), compute only the
     * BATCH-INCIDENT edges, and merge via the contracted delta fixpoint
-    * ([[connectedComponentsDelta]], round-9 verdict item 4 — the rounds
-    * AND the edge build now track the delta, replacing the former
-    * seeded fixpoint over the full old ∪ delta edge list that re-ran
-    * the corpus-wide 5-gram join a second time). Converges to exactly
-    * the full-recompute labels (stored labels are component minima, so
-    * the contracted fixpoint's min is the merged component's true
-    * minimum; proof at [[connectedComponentsDelta]]). The oracle is
-    * therefore q101's recursive CTE verbatim: any incremental shortcut
-    * that changed ANY label would hash-mismatch the cold answer.
+    * ([[connectedComponentsDelta]], round-9 verdict item 4). The pair
+    * JOIN's probe side and the fixpoint's graph now track the batch;
+    * what does NOT shrink — honestly — is the corpus-global df
+    * aggregate (the oracle defines the cap over old ∪ new, so one full
+    * gram pass is irreducible in this oracle form) and the in-query
+    * store rebuild itself (DuckDB cannot read the persisted store, so
+    * q108 recomputes `stored` where production loads it — q119). At the
+    * bench's fixed 20% batch fraction those two floors dominate and the
+    * delta form measures even with the old seeded-fixpoint form
+    * (interleaved A/B at sf0.1 and 10×, STATUS round-9 item 4); its win
+    * scales with the store/batch asymmetry production actually has.
+    * Converges to exactly the full-recompute labels (stored labels are
+    * component minima, so the contracted fixpoint's min is the merged
+    * component's true minimum; proof at [[connectedComponentsDelta]]).
+    * The oracle is therefore q101's recursive CTE verbatim: any
+    * incremental shortcut that changed ANY label would hash-mismatch
+    * the cold answer.
     */
   val q108 = QuerySpec(
     "q108_incremental_cc",
