@@ -143,7 +143,7 @@ object BloomStore {
   private val builtFor = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storeDir(s: SparkSession, d: String): String =
     builtFor.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bloomstore-").toString
+      val dir = graft.core.TempDirs.scratch("graft-bloomstore-")
       build(Tables.documents(s, d).filter(col("doc_id") % 2 === 0), dir)
       dir
     })

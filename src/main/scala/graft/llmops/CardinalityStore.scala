@@ -112,7 +112,7 @@ object CardinalityStore {
   private val builtFor = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storeDir(s: SparkSession, d: String): String =
     builtFor.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-cardstore-").toString
+      val dir = graft.core.TempDirs.scratch("graft-cardstore-")
       build(Tables.events(s, d).filter(col("user_id") % 5 =!= 0), dir)
       dir
     })

@@ -216,8 +216,7 @@ object ClusterStore {
   private val builtFor = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storeDir(s: SparkSession, d: String): String =
     builtFor.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-clusterstore-")
-        .toString
+      val dir = graft.core.TempDirs.scratch("graft-clusterstore-")
       build(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0), dir)
       dir
     })

@@ -695,8 +695,7 @@ object CorpusStats {
   private val idfBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
   private def idfStoreDir(s: org.apache.spark.sql.SparkSession, d: String): String =
     idfBuilt.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-idfstore-")
-        .toString
+      val dir = graft.core.TempDirs.scratch("graft-idfstore-")
       IdfStore.build(Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0), dir)
       dir
     })

@@ -232,9 +232,16 @@ object Dedup {
     * delta form measures even with the old seeded-fixpoint form
     * (interleaved A/B at sf0.1 and 10×, STATUS round-9 item 4); its win
     * scales with the store/batch asymmetry production actually has.
-    * Converges to exactly the full-recompute labels (stored labels are
-    * component minima, so the contracted fixpoint's min is the merged
-    * component's true minimum; proof at [[connectedComponentsDelta]]).
+    * Converges to exactly the full-recompute labels PROVIDED no
+    * shingle's df crosses the [2,50] cap between the store corpus and
+    * the full corpus (batch occurrences pushing a store-rare gram over
+    * 50 leave store–store edges in `stored` that the cold recompute's
+    * full-corpus cap excludes — an over-merge inherited unchanged from
+    * the pre-delta seeded form, and absent at every tested SF/seed:
+    * the oracle hashes would catch a crossing). Within that cap
+    * invariant the equality is exact: stored labels are component
+    * minima, so the contracted fixpoint's min is the merged
+    * component's true minimum (proof at [[connectedComponentsDelta]]).
     * The oracle is therefore q101's recursive CTE verbatim: any
     * incremental shortcut that changed ANY label would hash-mismatch
     * the cold answer.
@@ -649,10 +656,13 @@ object Dedup {
   def neardupEdges(docs: DataFrame): DataFrame =
     neardupEdgesFromGrams(shingles(fanOut(docs), 5))
 
-  /** [[neardupEdges]] from a pre-built (doc_id, shingle) table — callers
-    * that need several edge sets over overlapping corpora (q108's store
-    * build + delta build) tokenize ONCE and slice the shared gram table
-    * instead of paying the explode-and-shingle pass per edge set.
+  /** [[neardupEdges]] from a pre-built (doc_id, shingle) table. Exists to
+    * keep [[neardupEdges]]' contract (cap → keep-join → ordered pair join
+    * → symmetrize) factored from the gram SOURCE, so a caller with its own
+    * tokenize pass can reuse the edge construction. q108 does NOT route
+    * through it: its dual-cap form needs store- and full-corpus keep flags
+    * off one shared df aggregate, which this single-cap shape cannot
+    * express, so it inlines the same skeleton with two caps.
     */
   private[llmops] def neardupEdgesFromGrams(grams: DataFrame): DataFrame = {
     val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))

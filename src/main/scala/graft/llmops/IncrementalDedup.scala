@@ -347,10 +347,18 @@ object IncrementalDedup {
   /** One degenerate store build + first (cold) increment per (JVM,
     * sf-dir), memoized like ClusterStore's: write store₀'s one-bucket
     * band table to parquet, run batch₁'s increment against the COLD
-    * store (materialized eagerly, before the append can be seen), then
-    * APPEND batch₁'s bands — the same mode("append") path
-    * [[appendToStore]] uses — so the per-call increment (batch₂) runs
-    * against the WARM store₀ ∪ batch₁ state. Splits: store₀ =
+    * store — and SNAPSHOT that increment to parquet BEFORE the append,
+    * a synchronous write action that executes the candidate join
+    * regardless of the Materialize mode (under `persist`,
+    * Materialize is lazy and a deferred inc₁ scan would see the
+    * appended batch₁ rows — the round-9 ADVICE corruption path) —
+    * then APPEND batch₁'s bands via the same mode("append") path
+    * [[appendToStore]] uses, so the per-call increment (batch₂) runs
+    * against the WARM store₀ ∪ batch₁ state. The memo holds only the
+    * fixture DIRECTORY (parquet bytes are session-independent, so a
+    * later SparkSession in the same JVM re-reads them safely instead
+    * of inheriting a dead session's DataFrame handle); the temp dir
+    * is removed by a JVM shutdown hook. Splits: store₀ =
     * doc_id % 5 ∈ {2,3,4}, batch₁ = 1, batch₂ = 0.
     */
   /** The audit's corpus slice: a fixed doc_id bound, NOT SF-relative, so
@@ -363,26 +371,28 @@ object IncrementalDedup {
   private val AuditDocLimit = 2000L
 
   private val auditBuilt =
-    scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
-  private def auditStore(s: SparkSession, d: String): (String, DataFrame) =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def auditStore(s: SparkSession, d: String): String =
     auditBuilt.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-neardup-audit-").toString
+      val dir = graft.core.TempDirs.scratch("graft-neardup-audit-")
       val ids = Tables.documents(s, d).select("doc_id")
         .filter(col("doc_id") < AuditDocLimit)
       oneBucketBands(ids.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
           auditOnly = true)
         .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
-      // Materialize is EAGER (localCheckpoint): inc1 is pinned against the
-      // pre-append bucket state; a lazy read here would silently see the
-      // appended batch₁ rows and corrupt the cold-increment half.
-      val inc1 = graft.core.Materialize(candidatesAgainstStore(
+      // Snapshot the cold increment to parquet BEFORE the append: the
+      // write is a synchronous action, so inc₁ is pinned against the
+      // pre-append bucket state in every Materialize mode (a lazy
+      // `persist` handle could otherwise first execute AFTER the append
+      // and see batch₁-vs-batch₁ pairs the oracle excludes).
+      candidatesAgainstStore(
         s.read.parquet(s"$dir/buckets.parquet"),
         oneBucketBands(ids.filter(col("doc_id") % 5 === 1), auditOnly = true)
-          .select(col("doc_id").as("d1"), col("band_idx"), col("band_hash"))))
+          .select(col("doc_id").as("d1"), col("band_idx"), col("band_hash")))
+        .write.mode("overwrite").parquet(s"$dir/inc1.parquet")
       oneBucketBands(ids.filter(col("doc_id") % 5 === 1), auditOnly = true)
         .write.mode("append").parquet(s"$dir/buckets.parquet")
-      (dir, inc1)
+      dir
     })
 
   /** q248: driver-oracled audit twin for [[q74]] — the q244/q245
@@ -403,7 +413,8 @@ object IncrementalDedup {
   val q248 = QuerySpec(
     "q248_incremental_neardup_audit",
     (s, d) => {
-      val (dir, inc1) = auditStore(s, d)
+      val dir = auditStore(s, d)
+      val inc1 = s.read.parquet(s"$dir/inc1.parquet")
       val docs = Tables.documents(s, d).filter(col("doc_id") < AuditDocLimit)
       val inc2 = candidatesAgainstStore(
         s.read.parquet(s"$dir/buckets.parquet"),

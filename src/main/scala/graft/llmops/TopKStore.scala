@@ -145,7 +145,7 @@ object TopKStore {
   private val builtFor = scala.collection.concurrent.TrieMap.empty[String, String]
   private def storeDir(s: SparkSession, d: String): String =
     builtFor.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-topkstore-").toString
+      val dir = graft.core.TempDirs.scratch("graft-topkstore-")
       build(Tables.documents(s, d).filter(col("doc_id") % 2 === 0), dir)
       dir
     })
