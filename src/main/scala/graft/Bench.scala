@@ -78,11 +78,25 @@ object Bench {
     def mapOf(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
+    // Mechanized noise adjudication (round-9 verdict item 3): compare this
+    // run's calib-normalized medians against the best of the last 5
+    // same-SF history lines, BEFORE this run appends its own line.
+    // Report-only — the judge reads `norm_regressions` instead of
+    // re-benching by hand; an empty map is the expected healthy state.
+    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "/tmp/graft-bench-history.jsonl")
+    val norms = samples.map { case (n, ts) =>
+      n -> (if (calibMedian > 0) median(ts) / calibMedian else 0.0) }
+    val normRegs = BenchGate.regressions(norms.toMap, BenchGate.loadHistory(hist, sfDir))
+    val normRegsJson = normRegs.toSeq.sortBy(_._1).map { case (q, (cur, best)) =>
+      "\"" + q + "\":{\"norm\":" + fmt(cur) + ",\"best\":" + fmt(best) +
+        ",\"ratio\":" + fmt(cur / best) + "}"
+    }.mkString("{", ",", "}")
     // Full-name artifact line (file + history): every query, 3 decimals.
     val calibFields =
       s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},"""
     def fullLine: String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
+        s""""norm_regressions":$normRegsJson,""" +
         s""""queries":${mapOf(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     // The driver records only the LAST ~2000 chars of stdout; at 194
     // queries even short-id entries are ~2.4 kB, which is why BENCH_r06
@@ -97,6 +111,7 @@ object Bench {
       .sortBy(_._1)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
+        s""""norm_regressions":$normRegsJson,""" +
         s""""queries":${mapOf(slowest)},""" +
         s""""n_queries":${results.size},"full":"$out","sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -106,7 +121,6 @@ object Bench {
     // on driver log tail length: one full-name line per run, stamped with
     // epoch seconds, medians in "queries" plus per-query "min"/"max" so a
     // noisy sample is distinguishable from a real shift after the fact.
-    val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "/tmp/graft-bench-history.jsonl")
     val histLine =
       s"""{"ts":${System.currentTimeMillis / 1000},"metric":"total",""" +
         s""""value":${fmt(total)},"unit":"sec",""" + calibFields +
@@ -114,8 +128,7 @@ object Bench {
         s""""min":${mapOf(samples.map { case (n, ts) => n -> ts.head })},""" +
         s""""max":${mapOf(samples.map { case (n, ts) => n -> ts.last })},""" +
         s""""calib_median":${fmt(calibMedian)},""" +
-        s""""norm":${mapOf(samples.map { case (n, ts) =>
-          n -> (if (calibMedian > 0) median(ts) / calibMedian else 0.0) })},""" +
+        s""""norm":${mapOf(norms)},""" +
         s""""sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(hist),
       (histLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),

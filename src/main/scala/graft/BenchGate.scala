@@ -1,0 +1,81 @@
+package graft
+
+/** Mechanized bench adjudication (round-9 verdict item 3): three judge
+  * rounds were spent re-adjudicating driver-machine noise that the
+  * calib-normalized history (`Bench` writes `norm` = query_median /
+  * calib_median per run) already measures. This compares each query's
+  * CURRENT calib-normalized median against the BEST norm that query
+  * achieved in the last [[HistoryWindow]] same-SF history lines and
+  * reports the ones that look genuinely slower — report-only: the list
+  * lands in the bench artifact as `norm_regressions` so the judge reads
+  * an adjudication instead of performing one; it fails nothing.
+  *
+  * Why best-of-window, not last: the container's noise is one-sided
+  * spikes (GC/JIT/load), so a query's best recent norm is its cleanest
+  * recent measurement; a real code regression moves the floor, noise
+  * does not. Why norm, not seconds: a 2× slower container doubles every
+  * query AND the calibration probe, leaving norms unchanged — exactly
+  * the r9-vs-r10 adjudication (243.6 s vs 180.2 s, zero code change)
+  * performed by hand.
+  *
+  * Thresholds: a query is reported when `norm >= RatioThreshold × best`
+  * AND `norm >= MinNorm`. The ratio matches the spread TimeQ interleaved
+  * sampling showed (±20-30% run-to-run at sf0.1, so 1.5× clears noise);
+  * the absolute floor skips sub-second queries (norm 2 ≈ 0.6 s at this
+  * machine's calib ~0.3 s) where scheduler jitter dominates and a "2×
+  * regression" is 300 ms.
+  */
+object BenchGate {
+  val HistoryWindow = 5
+  val RatioThreshold = 1.5
+  val MinNorm = 2.0
+
+  private val normRe = """"norm":\{([^}]*)\}""".r
+  private val sfRe = """"sf":"([^"]*)"""".r
+
+  /** Parse one history line into (sf, query → norm). Tolerant: a line
+    * without a norm map (pre-round-9 history) parses to None.
+    */
+  def parseHistLine(line: String): Option[(String, Map[String, Double])] =
+    for {
+      sfm <- sfRe.findFirstMatchIn(line)
+      nm <- normRe.findFirstMatchIn(line)
+      entries <- scala.util.Try {
+        nm.group(1).split(",").iterator.filter(_.nonEmpty).map { kv =>
+          val i = kv.lastIndexOf(':')
+          kv.take(i).stripPrefix("\"").stripSuffix("\"") -> kv.drop(i + 1).toDouble
+        }.toMap
+      }.toOption
+    } yield sfm.group(1) -> entries
+
+  /** query → (current norm, best historical norm) for every query whose
+    * current norm clears both thresholds against the best of `history`.
+    * Queries absent from all history lines (new this round) are never
+    * reported — there is no baseline to regress from.
+    */
+  def regressions(current: Map[String, Double],
+                  history: Seq[Map[String, Double]],
+                  ratio: Double = RatioThreshold,
+                  minNorm: Double = MinNorm): Map[String, (Double, Double)] =
+    current.flatMap { case (q, norm) =>
+      history.flatMap(_.get(q)).minOption
+        .filter(best => best > 0 && norm >= minNorm && norm >= ratio * best)
+        .map(best => q -> (norm, best))
+    }
+
+  /** The last [[HistoryWindow]] history lines for `sfDir` from the
+    * append-only history file; missing/unreadable file → empty (first
+    * run on a machine has no baseline, and the gate must never make the
+    * bench itself fail).
+    */
+  def loadHistory(histPath: String, sfDir: String): Seq[Map[String, Double]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(histPath)
+      if (!java.nio.file.Files.exists(p)) Nil
+      else java.nio.file.Files.readAllLines(p).asScala.toSeq
+        .flatMap(parseHistLine)
+        .collect { case (sf, norms) if sf == sfDir => norms }
+        .takeRight(HistoryWindow)
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+}

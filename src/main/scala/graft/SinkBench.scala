@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -52,21 +50,21 @@ object SinkBench {
     val results = Seq[(String, () => OffsetNamedSink.BatchResult)](
       "json" -> (() => ParityPipeline.writeMicroBatch(
         df, cfg, DefaultPartitioner, JsonFormat(),
-        Files.createTempDirectory("sb-json").toString, to_json(payloadStruct))),
+        graft.core.TempDirs.scratch("sb-json"), to_json(payloadStruct))),
       "json_gzip" -> (() => ParityPipeline.writeMicroBatch(
         df, cfg, DefaultPartitioner, JsonFormat(Gzip),
-        Files.createTempDirectory("sb-jsongz").toString, to_json(payloadStruct))),
+        graft.core.TempDirs.scratch("sb-jsongz"), to_json(payloadStruct))),
       "parquet" -> (() => ParityPipeline.writeMicroBatch(
         df.select("topic", "partition", "offset", "boolean", "int", "long", "float", "double"),
         cfg, DefaultPartitioner, ParquetFormat(),
-        Files.createTempDirectory("sb-parquet").toString, lit(null))),
+        graft.core.TempDirs.scratch("sb-parquet"), lit(null))),
       "avro_deflate" -> (() => ParityPipeline.writeMicroBatch(
         df, cfg, DefaultPartitioner, AvroFormat("deflate"),
-        Files.createTempDirectory("sb-avro").toString, payloadStruct)),
+        graft.core.TempDirs.scratch("sb-avro"), payloadStruct)),
       "bytes" -> (() => ParityPipeline.writeMicroBatch(
         df.withColumn("value", encode(col("long").cast("string"), "UTF-8")),
         cfg, DefaultPartitioner, ByteArrayFormat(),
-        Files.createTempDirectory("sb-bytes").toString, col("value")))
+        graft.core.TempDirs.scratch("sb-bytes"), col("value")))
     ).map { case (name, run) =>
       val t0 = System.nanoTime()
       val res = run()

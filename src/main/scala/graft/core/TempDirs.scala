@@ -20,8 +20,11 @@ object TempDirs {
   locally {
     sys.addShutdownHook {
       registered.forEach { root =>
+        // Files.walk's lazy traversal surfaces I/O problems as
+        // UncheckedIOException, not IOException — catch NonFatal so one
+        // bad root cannot abort best-effort cleanup of the rest.
         try deleteRecursively(root)
-        catch { case _: java.io.IOException => () } // best-effort at exit
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }
@@ -41,4 +44,15 @@ object TempDirs {
     registered.add(dir)
     dir.toString
   }
+
+  /** Test seam: run the shutdown hook's per-root body against ONE root
+    * now (same recursive, best-effort semantics). Scoped to a single
+    * directory — NOT the whole queue — so a unit test can verify the
+    * hook's deletion logic without destroying other suites' memoized
+    * fixtures mid-run. Deletion is idempotent; a vanished root is a
+    * no-op, matching the hook's exit-time behavior.
+    */
+  private[graft] def deleteTreeNow(root: Path): Unit =
+    try deleteRecursively(root)
+    catch { case scala.util.control.NonFatal(_) => () }
 }

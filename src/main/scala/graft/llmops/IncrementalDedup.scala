@@ -375,25 +375,36 @@ object IncrementalDedup {
   private def auditStore(s: SparkSession, d: String): String =
     auditBuilt.getOrElseUpdate(d, {
       val dir = graft.core.TempDirs.scratch("graft-neardup-audit-")
-      val ids = Tables.documents(s, d).select("doc_id")
-        .filter(col("doc_id") < AuditDocLimit)
-      oneBucketBands(ids.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
-          auditOnly = true)
-        .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
-      // Snapshot the cold increment to parquet BEFORE the append: the
-      // write is a synchronous action, so inc₁ is pinned against the
-      // pre-append bucket state in every Materialize mode (a lazy
-      // `persist` handle could otherwise first execute AFTER the append
-      // and see batch₁-vs-batch₁ pairs the oracle excludes).
-      candidatesAgainstStore(
-        s.read.parquet(s"$dir/buckets.parquet"),
-        oneBucketBands(ids.filter(col("doc_id") % 5 === 1), auditOnly = true)
-          .select(col("doc_id").as("d1"), col("band_idx"), col("band_hash")))
-        .write.mode("overwrite").parquet(s"$dir/inc1.parquet")
-      oneBucketBands(ids.filter(col("doc_id") % 5 === 1), auditOnly = true)
-        .write.mode("append").parquet(s"$dir/buckets.parquet")
+      buildAuditFixture(s, d, dir)
       dir
     })
+
+  /** The memo body, extracted so the persist-mode regression test
+    * ([[IncrementalDedupSpec]] "inc1 snapshot pins the pre-append
+    * store state under the lazy persist Materialize mode") can build a
+    * fresh fixture under any `spark.graft.materialize.mode` without
+    * going through (or polluting) the per-(JVM, dir) memo.
+    */
+  private[llmops] def buildAuditFixture(s: SparkSession, d: String,
+                                        dir: String): Unit = {
+    val ids = Tables.documents(s, d).select("doc_id")
+      .filter(col("doc_id") < AuditDocLimit)
+    oneBucketBands(ids.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1),
+        auditOnly = true)
+      .write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+    // Snapshot the cold increment to parquet BEFORE the append: the
+    // write is a synchronous action, so inc₁ is pinned against the
+    // pre-append bucket state in every Materialize mode (a lazy
+    // `persist` handle could otherwise first execute AFTER the append
+    // and see batch₁-vs-batch₁ pairs the oracle excludes).
+    candidatesAgainstStore(
+      s.read.parquet(s"$dir/buckets.parquet"),
+      oneBucketBands(ids.filter(col("doc_id") % 5 === 1), auditOnly = true)
+        .select(col("doc_id").as("d1"), col("band_idx"), col("band_hash")))
+      .write.mode("overwrite").parquet(s"$dir/inc1.parquet")
+    oneBucketBands(ids.filter(col("doc_id") % 5 === 1), auditOnly = true)
+      .write.mode("append").parquet(s"$dir/buckets.parquet")
+  }
 
   /** q248: driver-oracled audit twin for [[q74]] — the q244/q245
     * degenerate-config pattern pushed ACROSS THE STORE BOUNDARY (round-9

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench-noise adjudicator's contract: a container slowdown (every
+  * query AND the calibration probe scale together → norms unchanged)
+  * reports nothing; a genuine per-query norm shift ≥ 1.5× its best
+  * recent norm reports exactly that query; sub-floor queries and
+  * queries with no history baseline never report.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private def histLine(sf: String, norms: (String, Double)*): String = {
+    val m = norms.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+    s"""{"ts":1,"metric":"total","value":1.0,"unit":"sec","queries":{},""" +
+      s""""min":{},"max":{},"calib_median":0.3,"norm":{$m},"sf":"$sf"}"""
+  }
+
+  test("parseHistLine extracts sf and the norm map; pre-norm lines parse to None") {
+    val parsed = BenchGate.parseHistLine(
+      histLine("/d/sf0.1", "q1_a" -> 2.5, "q2_b" -> 10.0))
+    assert(parsed.contains("/d/sf0.1" -> Map("q1_a" -> 2.5, "q2_b" -> 10.0)))
+    // round-8-era line without a norm map: tolerated, skipped
+    assert(BenchGate.parseHistLine(
+      """{"ts":1,"value":1.0,"queries":{"q1":0.5},"sf":"/d/sf0.1"}""").isEmpty)
+    assert(BenchGate.parseHistLine("not json at all").isEmpty)
+  }
+
+  test("uniform container slowdown reports nothing; a real norm shift reports its query") {
+    val history = Seq(Map("q1" -> 4.0, "q2" -> 6.0), Map("q1" -> 5.0, "q2" -> 7.0))
+    // healthy run, norms at historical floor → empty
+    assert(BenchGate.regressions(Map("q1" -> 4.2, "q2" -> 6.1), history).isEmpty)
+    // q1 norm doubled vs its best (4.0) → reported with (current, best)
+    val regs = BenchGate.regressions(Map("q1" -> 8.4, "q2" -> 6.1), history)
+    assert(regs == Map("q1" -> (8.4, 4.0)))
+  }
+
+  test("best-of-window beats last-run: one noisy history line does not raise the bar") {
+    // best is 4.0 even though the LAST line spiked to 9.0; current 5.0
+    // is within 1.5× of best → not a regression (the exact r9 shape)
+    val history = Seq(Map("q1" -> 4.0), Map("q1" -> 9.0))
+    assert(BenchGate.regressions(Map("q1" -> 5.0), history).isEmpty)
+    assert(BenchGate.regressions(Map("q1" -> 6.1), history) == Map("q1" -> (6.1, 4.0)))
+  }
+
+  test("sub-floor queries and queries without history never report") {
+    val history = Seq(Map("q_fast" -> 0.5))
+    // 4× slower but below MinNorm=2.0 → scheduler-jitter territory, skip
+    assert(BenchGate.regressions(Map("q_fast" -> 1.9), history).isEmpty)
+    // brand-new query: no baseline, never reported
+    assert(BenchGate.regressions(Map("q_new" -> 50.0), history).isEmpty)
+  }
+
+  test("loadHistory filters by sf, keeps the window, survives a missing file") {
+    val dir = graft.core.TempDirs.scratch("benchgate-spec-")
+    val p = java.nio.file.Paths.get(dir, "hist.jsonl")
+    val lines =
+      (1 to 7).map(i => histLine("/d/sf0.1", "q1" -> i.toDouble)) ++
+        Seq(histLine("/d/sf0.01", "q1" -> 99.0), "garbage line")
+    java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes)
+    val h = BenchGate.loadHistory(p.toString, "/d/sf0.1")
+    // window = last 5 same-sf lines: norms 3..7; the sf0.01 and garbage
+    // lines are excluded
+    assert(h == (3 to 7).map(i => Map("q1" -> i.toDouble)))
+    assert(BenchGate.loadHistory("/nonexistent/h.jsonl", "/d/sf0.1").isEmpty)
+  }
+}

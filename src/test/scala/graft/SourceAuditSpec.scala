@@ -111,6 +111,54 @@ class SourceAuditSpec extends AnyFunSuite {
     "llmops/AudioMeta.scala" -> 2,
     "llmops/Multimodal.scala" -> 3)
 
+  /** file → (reviewed combined `collect_list`+`collect_set` occurrence
+    * count, per-group bound argument). An unbounded array aggregate over
+    * a skewed group is a single-executor OOM at 100 TB that neither
+    * PlanGate's window rule nor the collect tally can see — the
+    * accumulation happens inside a perfectly ordinary hash aggregate.
+    * Every entry therefore states what bounds ONE group's array:
+    * doc-length, a pre-agg row cap, a session window, or (exactly once,
+    * reviewed) the operator's own SQL semantics.
+    */
+  private val reviewedArrayAggs: Map[String, (Int, String)] = Map(
+    "llmops/CurationOps.scala" -> (3, "per-doc (pos, tok) reassembly " +
+      "after boilerplate/decontamination stripping — one group = one " +
+      "document, array ≤ the document's token count, the same bound " +
+      "every shingle window already carries (1 scaladoc mention)"),
+    "llmops/PretrainOps.scala" -> (3, "per-doc (pos, tok) rebuild for " +
+      "span corruption + per-(doc, chunk) CDC token lists — both " +
+      "doc-length-bounded (1 scaladoc mention)"),
+    "llmops/CorpusStats.scala" -> (1, "per-doc (df, shingle) list — " +
+      "array ≤ shingles per document ≤ doc length"),
+    "llmops/FeatureStats.scala" -> (1, "per-doc (df, shingle) list for " +
+      "the rarity-ordered prefix — doc-length-bounded"),
+    "streaming/StatefulOps.scala" -> (2, "session-scoped: batch form " +
+      "pre-filters rn <= 8 BEFORE the agg (list ≤ 8 structs); streaming " +
+      "form is session_window-scoped — gap × per-user arrival rate " +
+      "within the watermark horizon — and slice-capped to 8 at emission " +
+      "(1 scaladoc mention)"),
+    "operators/Extras.scala" -> (2, "q44 string_agg parity: per-nation " +
+      "name list is SF-PROPORTIONAL by string_agg's own SQL semantics — " +
+      "the one reviewed corpus-proportional array agg; safe only under " +
+      "a selective pre-filter (q44's acctbal > 9000), exactly like any " +
+      "engine's string_agg (1 scaladoc mention)"))
+
+  test("every main-source collect_list/collect_set site is reviewed") {
+    val actual = {
+      val l = occurrences("collect_list")
+      val s = occurrences("collect_set")
+      (l.keySet ++ s.keySet).map(f =>
+        f -> (l.getOrElse(f, 0) + s.getOrElse(f, 0))).toMap
+    }
+    val expected = reviewedArrayAggs.map { case (f, (n, _)) => f -> n }
+    assert(actual == expected,
+      s"""array-agg surface changed — review the new/removed site's
+         |PER-GROUP bound (doc-length? pre-agg cap? session window?) and
+         |update reviewedArrayAggs.
+         |unexpected: ${(actual.toSet -- expected.toSet).toSeq.sorted}
+         |missing:    ${(expected.toSet -- actual.toSet).toSeq.sorted}""".stripMargin)
+  }
+
   test("every main-source mapPartitions site is reviewed") {
     val actual = occurrences("mapPartitions")
     assert(actual == reviewedMapPartitions,
