@@ -30,6 +30,30 @@ object BenchGate {
   val RatioThreshold = 1.5
   val MinNorm = 2.0
 
+  /** Norms assume ONE machine speed for the whole run (one calib_median
+    * divides every query). When the start and end probes disagree by
+    * more than this ratio, load arrived or left MID-RUN and per-query
+    * norms are not comparable — queries that happened to run during the
+    * loaded half inflate and flood `norm_regressions` with ghosts (the
+    * first post-gate run showed exactly this: calib 0.431 → 0.155, 42
+    * flags, every spot-checked query at its round-10 quiet time). The
+    * artifact therefore carries `calib_stable`; regressions from an
+    * unstable run are still listed (report-only honesty) but the flag
+    * tells the reader to re-bench quietly before believing any of them.
+    *
+    * Threshold is EMPIRICAL, set from this machine's 10-line history:
+    * start/end ratio is structurally ~2 even on clean runs (the end
+    * probe benefits from 250 queries of page-cache/JIT warm-up), so a
+    * generic "within 2x" rule would flag every run. Healthy-calibration
+    * runs measured 1.82-2.22; the three runs whose totals were later
+    * adjudicated as load-distorted measured 2.59 / 2.78 / 3.11. 2.5
+    * separates the clusters.
+    */
+  val CalibStableRatio = 2.5
+  def calibStable(calibStart: Double, calibEnd: Double): Boolean =
+    calibStart > 0 && calibEnd > 0 &&
+      math.max(calibStart, calibEnd) / math.min(calibStart, calibEnd) <= CalibStableRatio
+
   private val normRe = """"norm":\{([^}]*)\}""".r
   private val sfRe = """"sf":"([^"]*)"""".r
 

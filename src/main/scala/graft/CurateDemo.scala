@@ -49,7 +49,7 @@ object CurateDemo {
     // bounded-K is the oracle twin), keep each cluster's min-id
     // representative. Docs with no candidate edges are their own cluster
     // (left anti on the non-representative set).
-    val clusters = llmops.Dedup.connectedComponents(
+    val clusters = llmops.DedupGraph.connectedComponents(
       llmops.Dedup.neardupEdges(raw))
     val dropDocs = clusters.filter(col("doc_id") =!= col("cluster"))
       .select("doc_id")
@@ -67,7 +67,7 @@ object CurateDemo {
     // NB classifier gate (q103's model as a persisted store): train on
     // the seed sources once, score every survivor against the broadcast
     // model, drop the low-scoring tail
-    val nbDir = java.nio.file.Files.createTempDirectory("curate-nb").toString
+    val nbDir = graft.core.TempDirs.scratch("curate-nb")
     llmops.CurationOps.NBModelStore.build(raw, nbDir)
     val nbScores = llmops.CurationOps.NBModelStore
       .scoreBatch(spark, nbDir,
@@ -93,7 +93,7 @@ object CurateDemo {
 
     // day-2 story: land the curated batch's SIGNATURES so tomorrow's
     // increment dedups against it without rescanning (IncrementalDedup)
-    val storeDir = java.nio.file.Files.createTempDirectory("curate-store").toString
+    val storeDir = graft.core.TempDirs.scratch("curate-store")
     llmops.IncrementalDedup.buildStore(sampled.drop("text_norm"), storeDir)
     val (exactHits, nearHits) = llmops.IncrementalDedup.dedupeBatch(
       spark, storeDir, sampled.drop("text_norm").limit(50)) // re-offer 50 landed docs
@@ -136,7 +136,7 @@ object CurateDemo {
     // land the curated corpus z-ordered on (doc_id, n_chars): every file
     // gets a tight min/max envelope on BOTH columns, so snapshot reads
     // filtered by either prune at row-group grain (operators/ZOrder)
-    val lakeDir = java.nio.file.Files.createTempDirectory("curate-lake").toString
+    val lakeDir = graft.core.TempDirs.scratch("curate-lake")
     operators.ZOrder.clusterBy(
         sampled.select("doc_id", "text_norm", "lang", "source", "n_chars"),
         "doc_id", "n_chars", 8)

@@ -8,21 +8,28 @@ object QueryRegistry {
       graft.operators.Extras.all ++
       graft.operators.Quantiles.all ++
       graft.operators.Warehouse.all ++
+      graft.operators.TimeSeries.all ++
       graft.operators.ZOrder.all ++
       graft.llmops.Dedup.all ++
+      graft.llmops.DedupGraph.all ++
+      graft.llmops.DedupAudit.all ++
       graft.llmops.IncrementalDedup.all ++
       graft.llmops.ClusterStore.all ++
       graft.llmops.CardinalityStore.all ++
       graft.llmops.TextAnalysis.all ++
       graft.llmops.Similarity.all ++
+      graft.llmops.Clustering.all ++
       graft.llmops.ProductQuant.all ++
       graft.llmops.Multimodal.all ++
       graft.llmops.AudioMeta.all ++
       graft.llmops.VideoMeta.all ++
       graft.llmops.CorpusPipeline.all ++
       graft.llmops.PretrainOps.all ++
+      graft.llmops.PretrainViews.all ++
       graft.llmops.CurationOps.all ++
       graft.llmops.CorpusStats.all ++
+      graft.llmops.CorpusSim.all ++
+      graft.llmops.PrivacyOps.all ++
       graft.llmops.ShardOps.all ++
       graft.llmops.VocabStore.all ++
       graft.llmops.FeatureStats.all ++

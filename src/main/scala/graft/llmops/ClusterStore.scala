@@ -33,7 +33,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      (coalesce(label, doc_id) — an edge-free landed doc is its own
   *      super-node) — valid because labels came from real store-era edges,
   *      so contraction is a quotient by genuine connectivity;
-  *   3. run [[Dedup.connectedComponents]] on the contracted edges — a graph
+  *   3. run [[DedupGraph.connectedComponents]] on the contracted edges — a graph
   *      whose size tracks the BATCH (old components are single nodes), so
   *      the fixpoint cost is q101's single-fixpoint cost on a much smaller
   *      graph, never two corpus fixpoints;
@@ -75,7 +75,7 @@ object ClusterStore {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
     val edges = graft.core.Materialize(
       half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
-    Dedup.connectedComponents(edges)
+    DedupGraph.connectedComponents(edges)
       .write.mode("overwrite").parquet(s"$dir/labels.parquet")
   }
 
@@ -124,7 +124,7 @@ object ClusterStore {
       cHalf.union(cHalf.select(col("dst").as("src"), col("src").as("dst"))))
 
     // 3. fixpoint on the contracted graph (size tracks the batch).
-    val merged = Dedup.connectedComponents(cEdges)
+    val merged = DedupGraph.connectedComponents(cEdges)
       .select(col("doc_id").as("snode"), col("cluster").as("merged"))
 
     // 4. expand. Old labels touched by a merge re-map via the

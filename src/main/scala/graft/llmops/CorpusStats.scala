@@ -113,93 +113,6 @@ object CorpusStats {
             ORDER BY c.source""")
   )
 
-  // --------------------------------------------------------------- q139
-  /** Candidate-quality audit: precision/recall of the 3-gram
-    * Jaccard ≥ 0.5 candidate rule against exact-duplicate ground truth —
-    * the measurement that justifies (or indicts) a near-dup threshold
-    * before a multi-PB dedup run. Truth pairs are NEVER materialized:
-    * the truth count is Σ m·(m−1)/2 over fingerprint-group sizes (one
-    * aggregate), and hits are candidate pairs (already bounded by the
-    * capped-shingle join) whose two fingerprints match — two keyed joins
-    * of the SMALL candidate set against the per-doc fingerprint table.
-    */
-  val q139 = QuerySpec(
-    "q139_jaccard_candidate_audit",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val fp = normalize(docs).select(col("doc_id"), md5(col("text_norm")).as("fp"))
-      // q27's capped-shingle candidate join (same plan, same cap).
-      val bg = graft.core.Materialize(graft.operators.Ops.capKeyFreq(
-        Dedup.shingles(docs, 3), Dedup.MaxShingleDocFreq, col("shingle")))
-      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
-      val jac = ffloor(
-        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
-      val cand = bg.as("a")
-        .join(bg.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        // sizes is corpus-cardinality (one row per doc) — must NOT be
-        // broadcast at 100 TB; the candidate side is the small one, so let
-        // these be keyed shuffles (AQE will pick the join side at runtime).
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-      val nTruth = fp.groupBy("fp").agg(count(lit(1)).as("m"))
-        .agg(sum(col("m") * (col("m") - 1) / 2).cast("long").as("n_truth"))
-      val hits = cand
-        .join(fp.select(col("doc_id").as("d1"), col("fp").as("f1")), "d1")
-        .join(fp.select(col("doc_id").as("d2"), col("fp").as("f2")), "d2")
-        .agg(count(lit(1)).as("n_cand"),
-          count(when(col("f1") === col("f2"), lit(1))).as("n_hit"))
-      hits.crossJoin(nTruth)
-        .select(col("n_cand"), col("n_truth"), col("n_hit"),
-          ffloor(col("n_hit").cast("double") / nullif(col("n_cand"), lit(0L)), 6)
-            .as("precision"),
-          ffloor(col("n_hit").cast("double") / nullif(col("n_truth"), lit(0L)), 6)
-            .as("recall"))
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
-            trigrams_all AS (
-              SELECT DISTINCT doc_id, bg FROM (
-                SELECT doc_id,
-                  unnest(list_transform(range(1, len(ts) - 1),
-                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
-                FROM toks)),
-            trigrams AS (
-              SELECT doc_id, bg FROM trigrams_all
-              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= 1000),
-            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
-            cand AS (
-              SELECT d1, d2 FROM (
-                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-                FROM trigrams a JOIN trigrams b
-                  ON a.bg = b.bg AND a.doc_id < b.doc_id
-                GROUP BY 1, 2) p
-              JOIN sizes s1 ON d1 = s1.doc_id
-              JOIN sizes s2 ON d2 = s2.doc_id
-              WHERE CAST(FLOOR(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter)
-                * 10000.0) AS DOUBLE) / 10000.0 >= 0.5),
-            fp AS (
-              SELECT doc_id, md5(regexp_replace(${asciiLowerSql("text")},
-                '$WhitespaceClass', ' ', 'g')) AS fp
-              FROM documents),
-            truth AS (
-              SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS n_truth
-              FROM (SELECT COUNT(*) AS m FROM fp GROUP BY fp)),
-            hits AS (
-              SELECT COUNT(*) AS n_cand,
-                COUNT(CASE WHEN a.fp = b.fp THEN 1 END) AS n_hit
-              FROM cand JOIN fp a ON d1 = a.doc_id JOIN fp b ON d2 = b.doc_id)
-            SELECT n_cand, n_truth, n_hit,
-              CAST(FLOOR(CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) * 1000000.0) AS DOUBLE) / 1000000.0 AS precision,
-              CAST(FLOOR(CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) * 1000000.0) AS DOUBLE) / 1000000.0 AS recall
-            FROM hits, truth""")
-  )
-
   // --------------------------------------------------------------- q140
   /** Neyman (variance-optimal) stratified allocation + hash-threshold
     * sample: stratum h gets sampling mass ∝ N_h·S_h (size × std-dev of
@@ -289,56 +202,6 @@ object CorpusStats {
             GROUP BY d.source ORDER BY d.source""")
   )
 
-  // --------------------------------------------------------------- q141
-  /** Blocked exact cosine range search: all pairs within a label block
-    * with cosine ≥ τ (0.25 here) — the "find everything semantically identical to
-    * anything" primitive behind semantic-dedup verification and
-    * retrieval-index QA. The label equi-join keys the shuffle and bounds
-    * the quadratic strictly per block (the unblocked 100 TB path is
-    * q32/q95's hyperplane-LSH bucketing — same shape, hash-derived
-    * blocks); norms are computed ONCE per row before the pair join, and
-    * the dot product is the codegen'd strict left-fold (FloatVectorDot),
-    * so scores are bit-stable and DuckDB-oracle-able like q29.
-    */
-  val q141 = QuerySpec(
-    "q141_cosine_range_search",
-    (s, d) => {
-      val e = Tables.embeddings(s, d).select(
-        col("label"), col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"))
-      val a = e.select(col("label"), col("vec_id").as("id1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))
-      val b = e.select(col("label"), col("vec_id").as("id2"),
-        col("embedding").as("e2"), col("nrm").as("n2"))
-      val cos = ffloor(Similarity.cosineFromParts(
-        Similarity.dot(col("e1"), col("e2")), col("n1"), col("n2")), 6)
-      a.join(b, Seq("label")).filter(col("id1") < col("id2"))
-        .select(col("label"), col("id1"), col("id2"), cos.as("cos"))
-        .filter(col("cos") >= 0.25)
-        .orderBy("label", "id1", "id2")
-    },
-    Some("""WITH e AS (
-              SELECT label, vec_id, embedding,
-                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(range(1, len(embedding) + 1),
-                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-                  (x, y) -> x + y)) AS nrm
-              FROM embeddings),
-            pairs AS (
-              SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
-                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(range(1, len(a.embedding) + 1),
-                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-                  (x, y) -> x + y) AS dot,
-                a.nrm AS n1, b.nrm AS n2
-              FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-            SELECT label, id1, id2,
-              CAST(FLOOR(dot / NULLIF(n1 * n2, 0.0) * 1000000.0) AS DOUBLE) / 1000000.0 AS cos
-            FROM pairs
-            WHERE CAST(FLOOR(dot / NULLIF(n1 * n2, 0.0) * 1000000.0) AS DOUBLE) / 1000000.0 >= 0.25
-            ORDER BY label, id1, id2""")
-  )
-
   // --------------------------------------------------------------- q142
   /** Ingestion novelty rate: per arrival bucket (doc_id order is the
     * synthetic ingest order), what fraction of documents carry a
@@ -376,58 +239,6 @@ object CorpusStats {
               CAST(FLOOR(CAST(COUNT(CASE WHEN doc_id = first_id THEN 1 END) AS DOUBLE)
                 / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS novelty_rate
             FROM fl GROUP BY 1 ORDER BY 1""")
-  )
-
-  // --------------------------------------------------------------- q144
-  /** Nearest-neighbor cosine histogram: for every vector, the max cosine
-    * to any other vector in its label block, binned at 0.05 — the
-    * "how close is this corpus to self-duplication in embedding space"
-    * diagnostic that sets the semantic-dedup threshold BEFORE running it
-    * (q95 consumes the cut point this histogram justifies). Same blocked
-    * pair join as q141; per-vector max is a keyed aggregate; the
-    * histogram is ≤41 bins.
-    */
-  val q144 = QuerySpec(
-    "q144_nn_cosine_histogram",
-    (s, d) => {
-      val e = Tables.embeddings(s, d).select(
-        col("label"), col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"))
-      val a = e.select(col("label"), col("vec_id").as("id1"),
-        col("embedding").as("e1"), col("nrm").as("n1"))
-      val b = e.select(col("label"), col("vec_id").as("id2"),
-        col("embedding").as("e2"), col("nrm").as("n2"))
-      val cos = ffloor(Similarity.cosineFromParts(
-        Similarity.dot(col("e1"), col("e2")), col("n1"), col("n2")), 6)
-      val pairs = a.join(b, Seq("label")).filter(col("id1") =!= col("id2"))
-        .select(col("id1").as("vid"), cos.as("cos"))
-        .filter(col("cos").isNotNull)
-      pairs.groupBy("vid").agg(max(col("cos")).as("nn_cos"))
-        .groupBy(floor(col("nn_cos") * 20).cast("int").as("bin"))
-        .agg(count(lit(1)).as("n_vecs"))
-        .orderBy("bin")
-    },
-    Some("""WITH e AS (
-              SELECT label, vec_id, embedding,
-                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(range(1, len(embedding) + 1),
-                    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
-                  (x, y) -> x + y)) AS nrm
-              FROM embeddings),
-            pairs AS (
-              SELECT a.vec_id AS vid,
-                CAST(FLOOR(
-                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                    list_transform(range(1, len(a.embedding) + 1),
-                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-                    (x, y) -> x + y)
-                  / NULLIF(a.nrm * b.nrm, 0.0) * 1000000.0) AS DOUBLE) / 1000000.0 AS cos
-              FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
-            nn AS (
-              SELECT vid, MAX(cos) AS nn_cos FROM pairs
-              WHERE cos IS NOT NULL GROUP BY vid)
-            SELECT CAST(FLOOR(nn_cos * 20) AS INT) AS bin, COUNT(*) AS n_vecs
-            FROM nn GROUP BY 1 ORDER BY 1""")
   )
 
   // --------------------------------------------------------------- q145
@@ -525,112 +336,6 @@ object CorpusStats {
               FROM documents WHERE n_chars > 0)
             SELECT doc_id, source, n_chars, key6 FROM keyed
             ORDER BY key6 DESC, doc_id LIMIT 200""")
-  )
-
-  // --------------------------------------------------------------- q147
-  /** Similarity join via PREFIX FILTERING (PPJoin's candidate rule).
-    * Order every doc's (capped) shingles by global rarity (df asc,
-    * shingle asc); a doc with t shingles exposes only its first
-    * p = t − ⌈τ·t⌉ + 1 as join keys — any pair with J ≥ τ shares
-    * ≥ ⌈τ·t⌉ shingles, so by pigeonhole it MUST collide on a prefix
-    * token (no recall loss). Candidates are verified by per-pair
-    * `array_intersect` over per-doc sorted shingle arrays (PPJoin's
-    * list verify — a pair×shingle re-join was measured 8× worse).
-    * Same output as q27 at τ=0.5 — the DuckDB oracle is the FULL
-    * shared-shingle algorithm, so the compare proves the lossless-prefix
-    * lemma on real data (CorpusStatsSpec additionally asserts prefix
-    * candidate volume < full volume and final-pair equality).
-    *
-    * MEASURED HONESTLY (STATUS.md round 5): on THIS corpus the plain
-    * shared-shingle join (q27) wins at both sf0.1 (1.4s vs 7s warm) and
-    * 10× (23s vs 80s; was 98s with a row_number prefix window, 450+s
-    * with a pair×shingle verify re-join — both replaced) — the synthetic ~30-word vocabulary makes trigram
-    * df nearly uniform, so the rarity prefix prunes little while its
-    * df-join + per-doc rank window cost is paid in full. Prefix
-    * filtering earns its keep on real corpora with Zipfian vocabularies
-    * and longer documents (large t ⇒ τ·t prunes most of the posting
-    * list); q27 remains this engine's default, and this operator is the
-    * verified implementation to reach for when the data is in that
-    * regime — not a claimed win here. The regime claim is itself
-    * TESTED, not asserted: CorpusStatsSpec's deterministic Zipfian
-    * fixture (cube-mapped 400-term vocabulary, heavy head / rare tail)
-    * measures a 282× candidate-PAIR prune (63 vs 17,788) with the
-    * emitted pairs still exactly equal to the full join's.
-    */
-  val q147 = QuerySpec(
-    "q147_prefix_filter_join",
-    (s, d) => {
-      val tau = 0.5
-      val bg = graft.core.Materialize(graft.operators.Ops.capKeyFreq(
-        Dedup.shingles(Tables.documents(s, d), 3), Dedup.MaxShingleDocFreq,
-        col("shingle")))
-      val df = bg.groupBy("shingle").agg(count(lit(1)).as("df"))
-      // ONE per-doc aggregate yields both the rarity-ordered prefix (array
-      // slice — replaces a 4.7M-row row_number window, which was the
-      // dominant cost of the first cut) and the shingle array the verify
-      // intersects. Struct sort_array orders by (df, shingle) — the global
-      // total order the prefix lemma needs.
-      val lists = bg.join(df, "shingle")
-        .groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
-          .as("sdf"), count(lit(1)).cast("int").as("nbg"))
-        .select(col("doc_id"),
-          transform(col("sdf"), s => s.getField("shingle")).as("arr"),
-          col("nbg"),
-          // p = t - ceil(tau*t) + 1; for tau=0.5, ceil(t/2) = (t+1) div 2
-          (col("nbg") - floor((col("nbg") + lit(1)) / lit(2)).cast("int")
-            + lit(1)).as("p"))
-      val prefix = lists
-        .select(col("doc_id"),
-          explode(slice(col("arr"), lit(1), col("p"))).as("shingle"))
-      val cand = prefix.as("a")
-        .join(prefix.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-      // PPJoin-style verify: carry each doc's shingle array into the pair
-      // row and intersect in-expression (codegen'd array_intersect) — two
-      // keyed joins of the candidate set against the doc-bounded array
-      // table, NO per-shingle re-explode (a pair×shingle join re-shuffles
-      // candidates×avg-shingles rows — measured 8× the full join's cost at
-      // 10× duplication before this restructure).
-      val inter = size(array_intersect(col("arr1"), col("arr2")))
-      val jac = ffloor(
-        inter.cast("double") / (col("n1") + col("n2") - inter), 4)
-      cand
-        .join(lists.select(col("doc_id").as("d1"), col("arr").as("arr1"),
-          col("nbg").as("n1")), "d1")
-        .join(lists.select(col("doc_id").as("d2"), col("arr").as("arr2"),
-          col("nbg").as("n2")), "d2")
-        .select(col("d1"), col("d2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= tau)
-        .orderBy("d1", "d2")
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
-            trigrams_all AS (
-              SELECT DISTINCT doc_id, bg FROM (
-                SELECT doc_id,
-                  unnest(list_transform(range(1, len(ts) - 1),
-                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
-                FROM toks)),
-            trigrams AS (
-              SELECT doc_id, bg FROM trigrams_all
-              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= 1000),
-            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
-            pairs AS (
-              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-              FROM trigrams a JOIN trigrams b
-                ON a.bg = b.bg AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT d1, d2,
-              CAST(FLOOR(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 AS jaccard
-            FROM pairs
-            JOIN sizes s1 ON d1 = s1.doc_id
-            JOIN sizes s2 ON d2 = s2.doc_id
-            WHERE CAST(FLOOR(CAST(inter AS DOUBLE) / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.5
-            ORDER BY d1, d2""")
   )
 
   // --------------------------------------------------------------- q148
@@ -1311,53 +1016,6 @@ object CorpusStats {
             FROM ranked GROUP BY source ORDER BY source""")
   )
 
-  // --------------------------------------------------------------- q170
-  /** Differentially-private corpus-stat release: per-source document
-    * counts with Laplace(Δf/ε) noise, ε = 1, sensitivity 1 (one document
-    * moves one count by one) — the mechanism a data consortium uses to
-    * publish corpus composition without revealing any single document's
-    * membership. Noise is DETERMINISTIC inverse-CDF (q117's discipline —
-    * no RNG state, reproducible across engines and retries): u comes from
-    * the salted md5 of the source key mapped to (0,1) strictly interior
-    * (the +0.5/2³² midpoint offset can never hit u = 1 → ln(0)), then
-    * noise = −sign(u−½)·ln(1−2|u−½|). The release is one G-row aggregate
-    * plus per-row expressions; the true count rides along as the audit
-    * column a real release would drop. NOTE: deterministic per-key noise
-    * is the TESTABLE skeleton — a production release draws u fresh per
-    * publication or privacy composes across releases; the scaladoc is the
-    * contract, the inverse-CDF map is the mechanism.
-    */
-  val q170 = QuerySpec(
-    "q170_dp_release",
-    (s, d) => {
-      val u32 = conv(hashFrac(col("source"), "dp"), 16, 10).cast("double")
-      val u = (u32 + lit(0.5)) / lit(4294967296.0)
-      val v = u - lit(0.5)
-      val noise = -signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
-      Tables.documents(s, d)
-        .groupBy("source").agg(count(lit(1)).as("n_docs"))
-        .select(col("source"), col("n_docs"),
-          ffloor(col("n_docs").cast("double") + noise, 4).as("noisy_n_docs"),
-          lit(1.0).as("epsilon"))
-        .orderBy("source")
-    },
-    Some("""WITH c AS (
-              SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
-            u AS (
-              SELECT source, n_docs,
-                (list_reduce(list_transform(range(1, 9),
-                    i -> CAST(strpos('0123456789abcdef',
-                      substr(md5(source || ':dp'), i, 1)) - 1 AS DOUBLE)),
-                  (a, b) -> a * 16.0 + b) + 0.5) / 4294967296.0 - 0.5 AS v
-              FROM c)
-            SELECT source, n_docs,
-              CAST(FLOOR((CAST(n_docs AS DOUBLE)
-                + (-sign(v) * ln(1.0 - 2.0 * abs(v)))) * 10000.0) AS DOUBLE)
-                / 10000.0 AS noisy_n_docs,
-              CAST(1.0 AS DOUBLE) AS epsilon
-            FROM u ORDER BY source""")
-  )
-
   // --------------------------------------------------------------- q179
   /** Positional PHRASE search — exact consecutive-token phrase matching,
     * the inverted-index capability BM25 (q107/q148) cannot express: bag-
@@ -1415,475 +1073,6 @@ object CorpusStats {
             SELECT doc_id, COUNT(*) AS n_matches,
               CAST(MIN(anchor) AS BIGINT) AS first_pos
             FROM m GROUP BY doc_id ORDER BY doc_id""")
-  )
-
-  // --------------------------------------------------------------- q184
-  /** Candidate-threshold ROC SWEEP — q139's single-threshold audit swept
-    * across τ ∈ {0.3, 0.5, 0.7} to expose the precision/recall TRADE-OFF
-    * curve a dedup operator tunes against before a multi-PB run. The
-    * pair set is computed ONCE (q27's capped shared-shingle join, q139's
-    * fingerprint ground truth joined on); the sweep itself is
-    * conditional aggregation into one row UNPIVOTED by `stack` — three
-    * thresholds cost one pair-table pass, not three.
-    */
-  val q184 = QuerySpec(
-    "q184_candidate_threshold_sweep",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val fp = normalize(docs).select(col("doc_id"), md5(col("text_norm")).as("fp"))
-      val bg = graft.core.Materialize(graft.operators.Ops.capKeyFreq(
-        Dedup.shingles(docs, 3), Dedup.MaxShingleDocFreq, col("shingle")))
-      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
-      val jac = ffloor(
-        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
-      val scored = bg.as("a")
-        .join(bg.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), jac.as("jaccard"))
-        // the sweep's SMALLEST τ bounds what the fp joins must touch: the
-        // sub-0.3 tail of the raw pair table (the overwhelming majority on
-        // a shared-vocab corpus) is dead weight for every curve point, so
-        // prune it BEFORE shuffling pairs into the two fingerprint joins
-        .filter(col("jaccard") >= 0.3)
-        .join(fp.select(col("doc_id").as("d1"), col("fp").as("f1")), "d1")
-        .join(fp.select(col("doc_id").as("d2"), col("fp").as("f2")), "d2")
-        .select(col("jaccard"), (col("f1") === col("f2")).as("is_dup"))
-      val nTruth = fp.groupBy("fp").agg(count(lit(1)).as("m"))
-        .agg(sum(col("m") * (col("m") - 1) / 2).cast("long").as("n_truth"))
-      val sweep = scored.agg(
-        count(when(col("jaccard") >= 0.3, 1)).as("c3"),
-        count(when(col("jaccard") >= 0.3 && col("is_dup"), 1)).as("h3"),
-        count(when(col("jaccard") >= 0.5, 1)).as("c5"),
-        count(when(col("jaccard") >= 0.5 && col("is_dup"), 1)).as("h5"),
-        count(when(col("jaccard") >= 0.7, 1)).as("c7"),
-        count(when(col("jaccard") >= 0.7 && col("is_dup"), 1)).as("h7"))
-        .select(expr(
-          "stack(3, 0.3D, c3, h3, 0.5D, c5, h5, 0.7D, c7, h7) AS (thr, n_cand, n_hit)"))
-      sweep.crossJoin(nTruth)
-        .select(col("thr"), col("n_cand"), col("n_truth"), col("n_hit"),
-          ffloor(col("n_hit").cast("double") / nullif(col("n_cand"), lit(0L)), 6)
-            .as("precision"),
-          ffloor(col("n_hit").cast("double") / nullif(col("n_truth"), lit(0L)), 6)
-            .as("recall"))
-        .orderBy("thr")
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
-            trigrams_all AS (
-              SELECT DISTINCT doc_id, bg FROM (
-                SELECT doc_id,
-                  unnest(list_transform(range(1, len(ts) - 1),
-                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
-                FROM toks)),
-            trigrams AS (
-              SELECT doc_id, bg FROM trigrams_all
-              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= 1000),
-            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
-            fp AS (
-              SELECT doc_id, md5(regexp_replace(${asciiLowerSql("text")},
-                '$WhitespaceClass', ' ', 'g')) AS fp
-              FROM documents),
-            scored AS (
-              SELECT CAST(FLOOR(CAST(inter AS DOUBLE)
-                  / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0
-                  AS jaccard,
-                fa.fp = fb.fp AS is_dup
-              FROM (
-                SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-                FROM trigrams a JOIN trigrams b
-                  ON a.bg = b.bg AND a.doc_id < b.doc_id
-                GROUP BY 1, 2) p
-              JOIN sizes s1 ON d1 = s1.doc_id
-              JOIN sizes s2 ON d2 = s2.doc_id
-              JOIN fp fa ON d1 = fa.doc_id
-              JOIN fp fb ON d2 = fb.doc_id
-              WHERE CAST(FLOOR(CAST(inter AS DOUBLE)
-                  / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0
-                  >= 0.3),
-            truth AS (
-              SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS n_truth
-              FROM (SELECT COUNT(*) AS m FROM fp GROUP BY fp)),
-            sweep AS (
-              SELECT t.thr,
-                COUNT(CASE WHEN jaccard >= t.thr THEN 1 END) AS n_cand,
-                COUNT(CASE WHEN jaccard >= t.thr AND is_dup THEN 1 END) AS n_hit
-              FROM scored, (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
-                (CAST(0.7 AS DOUBLE))) t(thr)
-              GROUP BY t.thr)
-            SELECT thr, n_cand, n_truth, n_hit,
-              CAST(FLOOR(CAST(n_hit AS DOUBLE) / NULLIF(n_cand, 0) * 1000000.0) AS DOUBLE) / 1000000.0 AS precision,
-              CAST(FLOOR(CAST(n_hit AS DOUBLE) / NULLIF(n_truth, 0) * 1000000.0) AS DOUBLE) / 1000000.0 AS recall
-            FROM sweep, truth ORDER BY thr""")
-  )
-
-  // --------------------------------------------------------------- q191
-  /** K-ANONYMOUS corpus-composition release — q170's sibling for the
-    * other standard disclosure-control mechanism: publish (source, lang)
-    * cell statistics only where the cell holds ≥ k = 10 documents, and
-    * MERGE all smaller cells into one `__other__` bucket instead of
-    * dropping them (the bucket keeps release totals reconciling with the
-    * corpus — the property auditors check). The suppressed-cell count
-    * rides along so consumers know how much structure the threshold hid;
-    * the `__other__` row is emitted only when something was suppressed.
-    *
-    * Scale shape: one corpus-keyed aggregate to |sources|×|langs| cells,
-    * then a cells-only split/re-aggregate (corpus-independent). Exact
-    * longs throughout — no doubles to diverge.
-    */
-  val q191 = QuerySpec(
-    "q191_kanon_release",
-    (s, d) => {
-      val cells = graft.core.Materialize(
-        Tables.documents(s, d)
-          .groupBy("source", "lang")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_chars")).cast("long").as("n_chars")))
-      val released = cells.filter(col("n_docs") >= 10)
-        .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
-          lit(0L).as("n_merged_cells"))
-      val other = cells.filter(col("n_docs") < 10)
-        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
-          sum(col("n_chars")).cast("long").as("n_chars"),
-          count(lit(1)).as("n_merged_cells"))
-        .filter(col("n_merged_cells") > 0)
-        .select(lit("__other__").as("source"), lit("__other__").as("lang"),
-          col("n_docs"), col("n_chars"), col("n_merged_cells"))
-      released.unionByName(other).orderBy("source", "lang")
-    },
-    Some("""WITH cells AS (
-              SELECT source, lang, COUNT(*) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS n_chars
-              FROM documents GROUP BY 1, 2),
-            released AS (
-              SELECT source, lang, n_docs, n_chars,
-                CAST(0 AS BIGINT) AS n_merged_cells
-              FROM cells WHERE n_docs >= 10),
-            other AS (
-              SELECT '__other__' AS source, '__other__' AS lang,
-                CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-                COUNT(*) AS n_merged_cells
-              FROM cells WHERE n_docs < 10
-              HAVING COUNT(*) > 0)
-            SELECT * FROM released UNION ALL SELECT * FROM other
-            ORDER BY source, lang""")
-  )
-
-  // --------------------------------------------------------------- q193
-  /** TF-WEIGHTED COSINE similarity join over 5-gram term vectors — the
-    * weighted sibling of q27's set-Jaccard: set measures treat a gram
-    * repeated 40× in a template the same as one occurrence, so template
-    * families with repeated boilerplate segments and genuinely-similar
-    * prose score alike; the tf-weighted inner product separates them.
-    * Same inverted-index shape as every candidate op here: pairs exist
-    * ONLY via the shared-gram equi-join (df-capped [2,50] — one
-    * boilerplate gram can never fan out), the dot product is the
-    * gram-keyed pair aggregate, and norms join back per doc. Exact
-    * integer tf products; the single sqrt(na·nb) + divide is the one
-    * IEEE sequence, identical in both engines, then ffloor'd.
-    * Norms are over the SAME capped universe as the dot product (q27's
-    * reduced-universe discipline) so the measure is a true cosine there.
-    */
-  val q193 = QuerySpec(
-    "q193_sparse_cosine_join",
-    (s, d) => {
-      val tf = Dedup.shingles(Tables.documents(s, d), 5, dedup = false)
-        .groupBy("doc_id", "shingle").agg(count(lit(1)).as("tf"))
-      val keep = tf.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 50)).select("shingle")
-      val kept = graft.core.Materialize(tf.join(keep, "shingle"))
-      val norms = kept.groupBy("doc_id")
-        .agg(sum(col("tf") * col("tf")).as("nrm"))
-      kept.as("a")
-        .join(kept.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-        .join(norms.select(col("doc_id").as("d1"), col("nrm").as("n1")), "d1")
-        .join(norms.select(col("doc_id").as("d2"), col("nrm").as("n2")), "d2")
-        .select(col("d1"), col("d2"), col("dot"),
-          ffloor(col("dot").cast("double") /
-            sqrt(col("n1").cast("double") * col("n2").cast("double")), 4)
-            .as("cosine"))
-        .filter(col("cosine") >= 0.6)
-        .orderBy("d1", "d2")
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
-              FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 5),
-            grams AS (
-              SELECT doc_id,
-                unnest(list_transform(range(1, len(ts) - 3),
-                  i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2] || '_'
-                    || ts[i+3] || '_' || ts[i+4])) AS g
-              FROM toks),
-            tf AS (SELECT doc_id, g, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
-            keep AS (SELECT g FROM tf GROUP BY g
-                     HAVING COUNT(*) BETWEEN 2 AND 50),
-            kept AS (SELECT t.doc_id, t.g, t.tf FROM tf t JOIN keep USING (g)),
-            norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nrm
-                      FROM kept GROUP BY 1),
-            pairs AS (
-              SELECT a.doc_id AS d1, b.doc_id AS d2,
-                CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
-              FROM kept a JOIN kept b
-                ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT d1, d2, dot,
-              CAST(FLOOR(CAST(dot AS DOUBLE) /
-                sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE))
-                * 10000.0) AS DOUBLE) / 10000.0 AS cosine
-            FROM pairs
-            JOIN norms n1 ON d1 = n1.doc_id
-            JOIN norms n2 ON d2 = n2.doc_id
-            WHERE CAST(FLOOR(CAST(dot AS DOUBLE) /
-                sqrt(CAST(n1.nrm AS DOUBLE) * CAST(n2.nrm AS DOUBLE))
-                * 10000.0) AS DOUBLE) / 10000.0 >= 0.6
-            ORDER BY d1, d2""")
-  )
-
-  // --------------------------------------------------------------- q216
-  /** L-DIVERSITY audit on q191's release grain — the disclosure-control
-    * check k-anonymity alone misses: a source cell can be large (k-safe)
-    * yet have every member share the same sensitive value (here: lang),
-    * so membership still discloses the attribute. Per source: distinct
-    * sensitive values (distinct l-diversity, threshold l ≥ 3) and the
-    * Shannon entropy of the value distribution in micro-nats (entropy
-    * l-diversity, threshold ln 2 — effective diversity ≥ 2). Entropy
-    * follows q137's contract: per-cell n_sl·floor(ln(n_s/n_sl)·1e6)
-    * exact-long contributions, ONE double division per source at the
-    * end, booleans compared on the ffloored value both engines share.
-    * One corpus aggregate to the G×L cell table; everything after runs
-    * on cells (windows partition by source — G·L rows).
-    */
-  val q216 = QuerySpec(
-    "q216_l_diversity",
-    (s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      val cells = Tables.documents(s, d)
-        .groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
-        .withColumn("n_s", sum("n_sl").over(w))
-      cells
-        .withColumn("contrib",
-          col("n_sl") * floor(log(col("n_s").cast("double") /
-            col("n_sl").cast("double")) * lit(1e6)).cast("long"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("l_distinct"),
-          sum("n_sl").cast("long").as("n_docs"),
-          ffloor(sum("contrib").cast("double") /
-            (max("n_s").cast("double") * lit(1e6)), 6).as("entropy_nats"))
-        .withColumn("distinct_ok", col("l_distinct") >= 3)
-        .withColumn("entropy_ok", col("entropy_nats") >= 0.693147)
-        .orderBy("source")
-    },
-    Some("""WITH cells AS (
-              SELECT source, lang, COUNT(*) AS n_sl FROM documents
-              GROUP BY 1, 2),
-            m AS (
-              SELECT source, lang, n_sl,
-                CAST(SUM(n_sl) OVER (PARTITION BY source) AS BIGINT) AS n_s
-              FROM cells),
-            c AS (
-              SELECT source, n_sl, n_s,
-                n_sl * CAST(FLOOR(ln(CAST(n_s AS DOUBLE) / CAST(n_sl AS DOUBLE))
-                  * 1000000.0) AS BIGINT) AS contrib
-              FROM m)
-            SELECT source, COUNT(*) AS l_distinct,
-              CAST(SUM(n_sl) AS BIGINT) AS n_docs,
-              CAST(FLOOR(CAST(SUM(contrib) AS DOUBLE)
-                / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) * 1000000.0) AS DOUBLE)
-                / 1000000.0 AS entropy_nats,
-              COUNT(*) >= 3 AS distinct_ok,
-              CAST(FLOOR(CAST(SUM(contrib) AS DOUBLE)
-                / (CAST(MAX(n_s) AS DOUBLE) * 1000000.0) * 1000000.0) AS DOUBLE)
-                / 1000000.0 >= 0.693147 AS entropy_ok
-            FROM c GROUP BY source ORDER BY source""")
-  )
-
-  // --------------------------------------------------------------- q217
-  /** T-CLOSENESS audit — the third leg of the disclosure-control tripod
-    * (q191 k-anonymity: cells big enough; q216 l-diversity: values varied
-    * enough; here: the in-cell sensitive distribution must be CLOSE to
-    * the corpus-wide one, or membership in the cell still shifts an
-    * attacker's posterior). For the categorical sensitive attribute
-    * (lang) the distance is total variation — EMD under uniform ground
-    * distance — TVD(source) = ½·Σ_lang |n_sl/n_s − n_l/N|.
-    *
-    * Exactness: each |·| term is brought to the common denominator
-    * n_s·N, so the sum Σ|n_sl·N − n_l·n_s| is EXACT integer arithmetic
-    * (DECIMAL(38,0)/HUGEINT — n_sl·N overflows int64 once counts pass
-    * ~3·10⁹, which 100 TB corpora do); the t ≤ 0.2 gate cross-multiplies
-    * (5·Σ ≤ 2·n_s·N) so the BOOLEAN never touches IEEE, and the reported
-    * tvd pays one final double division, ffloored (Ops.scala contract).
-    *
-    * Scale shape: one corpus aggregate to the G×L cell table; the
-    * missing-cell grid (a source with zero docs of some lang still
-    * contributes |0 − n_l/N|) is sources × langs — both margin tables are
-    * group-bounded, so the grid, the broadcasts, and every window live on
-    * cells, never the corpus.
-    */
-  val q217 = QuerySpec(
-    "q217_t_closeness",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_sl"))
-      val langs = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
-      val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
-      val total = docs.agg(count(lit(1)).as("n"))
-      srcs.crossJoin(broadcast(langs))
-        .join(cells, Seq("source", "lang"), "left")
-        .na.fill(0L, Seq("n_sl"))
-        .crossJoin(broadcast(total))
-        .withColumn("num",
-          abs(col("n_sl").cast(DecimalType(38, 0)) * col("n") -
-            col("n_l").cast(DecimalType(38, 0)) * col("n_s")))
-        .groupBy("source")
-        .agg(max("n_s").cast("long").as("n_docs"),
-          sum("num").cast(DecimalType(38, 0)).as("l1"),
-          (max("n_s").cast(DecimalType(38, 0)) * max("n"))
-            .cast(DecimalType(38, 0)).as("den"))
-        .select(col("source"), col("n_docs"),
-          ffloor(col("l1").cast("double") /
-            (col("den").cast("double") * lit(2.0)), 6).as("tvd"),
-          (col("l1") * 5 <= col("den") * 2).as("t_ok"))
-        .orderBy("source")
-    },
-    Some("""WITH cells AS (
-              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl
-              FROM documents GROUP BY 1, 2),
-            langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
-                      FROM documents GROUP BY 1),
-            srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
-                     FROM documents GROUP BY 1),
-            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-            grid AS (
-              SELECT s.source, s.n_s, l.lang, l.n_l,
-                COALESCE(c.n_sl, 0) AS n_sl, t.n
-              FROM srcs s CROSS JOIN langs l CROSS JOIN tot t
-              LEFT JOIN cells c ON c.source = s.source AND c.lang = l.lang),
-            agg AS (
-              SELECT source, MAX(n_s) AS n_docs,
-                CAST(SUM(ABS(CAST(n_sl AS HUGEINT) * n
-                  - CAST(n_l AS HUGEINT) * n_s)) AS HUGEINT) AS l1,
-                CAST(MAX(n_s) AS HUGEINT) * MAX(n) AS den
-              FROM grid GROUP BY source)
-            SELECT source, n_docs,
-              CAST(FLOOR(CAST(l1 AS DOUBLE) / (CAST(den AS DOUBLE) * 2.0)
-                * 1000000.0) AS DOUBLE) / 1000000.0 AS tvd,
-              l1 * 5 <= den * 2 AS t_ok
-            FROM agg ORDER BY source""")
-  )
-
-  // --------------------------------------------------------------- q224
-  /** POISSON-BOOTSTRAP confidence intervals — the error bars every corpus
-    * scorecard should carry and almost none do: per-source mean doc
-    * length with a ~90% CI from B = 32 resamples. The classical
-    * bootstrap's "draw n rows with replacement" is undistributable (it
-    * needs global coordination per resample); the Poisson bootstrap
-    * (Chamandy et al., Google 2012) replaces it with an independent
-    * per-row replicate weight w ~ Poisson(1) — so each replica is ONE
-    * more term in the same map-side-combined aggregate, no resample ever
-    * materialized.
-    *
-    * Determinism (q170's no-RNG discipline): w is inverse-CDF over the
-    * 32-bit integer of an md5 slice of (doc_id, ':boot:', b) against
-    * PRECOMPUTED integer thresholds ⌊2³²·F(k)⌋ — both engines derive the
-    * identical weight from data alone. The ≥6 tail (P ≈ 6·10⁻⁴)
-    * collapses to w = 6: a < 10⁻⁴ unit-weight bias, far under replica
-    * noise, and bit-reproducible. Replica means are exact-long weighted
-    * sums with ONE ffloored division; the CI bounds are the rank-2 and
-    * rank-31 replica means (≈ 90% coverage at B = 32), picked by a
-    * window over the 32·G replica table with the replica id as
-    * tiebreak.
-    *
-    * Scale shape: the corpus pays one narrow ×32 flatMap (explode of a
-    * 32-element sequence + per-row md5) feeding a (source, b) aggregate
-    * whose map-side partials bound the shuffle at 32·G rows; everything
-    * after lives on 32·G. This is the textbook way to put error bars on
-    * any 100 TB aggregate without a second corpus format.
-    */
-  val q224 = QuerySpec(
-    "q224_bootstrap_ci",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val t = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
-        4279248373L, 4292415291L)
-      val u32 = conv(substring(md5(concat(col("doc_id").cast("string"),
-        lit(":boot:"), col("b").cast("string"))), 1, 8), 16, 10).cast("long")
-      val wgt = when(col("u") < t(0), 0L).when(col("u") < t(1), 1L)
-        .when(col("u") < t(2), 2L).when(col("u") < t(3), 3L)
-        .when(col("u") < t(4), 4L).when(col("u") < t(5), 5L).otherwise(6L)
-      val reps = docs
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          explode(sequence(lit(0), lit(31))).as("b"))
-        .withColumn("u", u32)
-        .select(col("source"), col("b"), wgt.as("w"), col("n_chars"))
-        .groupBy("source", "b")
-        .agg(sum("w").cast("long").as("wsum"),
-          sum(col("w") * col("n_chars")).cast("long").as("wchars"))
-        .select(col("source"), col("b"),
-          when(col("wsum") > 0,
-            ffloor(col("wchars").cast("double") / col("wsum").cast("double"), 6))
-            .otherwise(lit(0.0)).as("rmean"))
-      val rw = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("rmean", "b")
-      val ci = reps.withColumn("rn", row_number().over(rw))
-        .groupBy("source")
-        .agg(max(when(col("rn") === 2, col("rmean"))).as("ci_lo"),
-          max(when(col("rn") === 31, col("rmean"))).as("ci_hi"))
-      docs.groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          ffloor(sum("n_chars").cast("double") / count(lit(1)).cast("double"), 6)
-            .as("mean_chars"))
-        .join(ci, "source")
-        .select(col("source"), col("n_docs"), col("mean_chars"),
-          col("ci_lo"), col("ci_hi"))
-        .orderBy("source")
-    },
-    Some("""WITH reps AS (
-              SELECT source, b,
-                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':boot:'
-                  || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS u,
-                n_chars
-              FROM documents CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb),
-            wts AS (
-              SELECT source, b, n_chars,
-                CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
-                     WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
-                     WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
-                     ELSE 6 END AS w
-              FROM reps),
-            rmeans AS (
-              SELECT source, b,
-                CASE WHEN SUM(w) > 0
-                  THEN CAST(FLOOR(CAST(SUM(w * n_chars) AS DOUBLE)
-                    / CAST(SUM(w) AS DOUBLE) * 1000000.0) AS DOUBLE) / 1000000.0
-                  ELSE 0.0 END AS rmean
-              FROM wts GROUP BY 1, 2),
-            ranked AS (
-              SELECT source, rmean,
-                ROW_NUMBER() OVER (PARTITION BY source ORDER BY rmean, b) AS rn
-              FROM rmeans),
-            ci AS (
-              SELECT source,
-                MAX(CASE WHEN rn = 2 THEN rmean END) AS ci_lo,
-                MAX(CASE WHEN rn = 31 THEN rmean END) AS ci_hi
-              FROM ranked GROUP BY 1),
-            pt AS (
-              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(FLOOR(CAST(SUM(n_chars) AS DOUBLE)
-                  / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS DOUBLE)
-                  / 1000000.0 AS mean_chars
-              FROM documents GROUP BY 1)
-            SELECT p.source, p.n_docs, p.mean_chars, c.ci_lo, c.ci_hi
-            FROM pt p JOIN ci c USING (source) ORDER BY p.source""")
   )
 
   // --------------------------------------------------------------- q228
@@ -1980,7 +1169,6 @@ object CorpusStats {
             FROM agg ORDER BY source""")
   )
 
-  val all: Seq[QuerySpec] = Seq(q136, q137, q139, q140, q141, q142, q144, q145,
-    q146, q147, q148, q149, q154, q155, q158, q159, q160, q162, q165, q166,
-    q167, q170, q179, q184, q191, q193, q216, q217, q224, q228)
+  val all: Seq[QuerySpec] = Seq(q136, q137, q140, q142, q145, q146, q148,
+    q149, q154, q155, q158, q159, q160, q162, q165, q166, q167, q179, q228)
 }

@@ -215,87 +215,6 @@ object Dedup {
             ORDER BY d1, d2""")
   )
 
-  // --------------------------------------------------------------- q108
-  /** Incremental cluster maintenance — the operator a continuously-
-    * ingesting pipeline runs when a batch lands: take the ALREADY-
-    * CONVERGED labels of the landed corpus (q73/q74's store-split idiom:
-    * store = doc_id % 5 ≠ 0, batch = the rest), compute only the
-    * BATCH-INCIDENT edges, and merge via the contracted delta fixpoint
-    * ([[connectedComponentsDelta]], round-9 verdict item 4). The pair
-    * JOIN's probe side and the fixpoint's graph now track the batch;
-    * what does NOT shrink — honestly — is the corpus-global df
-    * aggregate (the oracle defines the cap over old ∪ new, so one full
-    * gram pass is irreducible in this oracle form) and the in-query
-    * store rebuild itself (DuckDB cannot read the persisted store, so
-    * q108 recomputes `stored` where production loads it — q119). At the
-    * bench's fixed 20% batch fraction those two floors dominate and the
-    * delta form measures even with the old seeded-fixpoint form
-    * (interleaved A/B at sf0.1 and 10×, STATUS round-9 item 4); its win
-    * scales with the store/batch asymmetry production actually has.
-    * Converges to exactly the full-recompute labels PROVIDED no
-    * shingle's df crosses the [2,50] cap between the store corpus and
-    * the full corpus (batch occurrences pushing a store-rare gram over
-    * 50 leave store–store edges in `stored` that the cold recompute's
-    * full-corpus cap excludes — an over-merge inherited unchanged from
-    * the pre-delta seeded form, and absent at every tested SF/seed:
-    * the oracle hashes would catch a crossing). Within that cap
-    * invariant the equality is exact: stored labels are component
-    * minima, so the contracted fixpoint's min is the merged
-    * component's true minimum (proof at [[connectedComponentsDelta]]).
-    * The oracle is therefore q101's recursive CTE verbatim: any
-    * incremental shortcut that changed ANY label would hash-mismatch
-    * the cold answer.
-    */
-  val q108 = QuerySpec(
-    "q108_incremental_cc",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val isBatch = col("doc_id") % 5 === 0
-      // ONE tokenize/shingle pass and ONE df aggregate feed both edge
-      // builds: the store build needs the STORE-corpus df cap, the delta
-      // build the FULL-corpus cap — both fall out of a single
-      // count/count-if aggregate, and one materialized keep-join carries
-      // both keep flags (two caps, one shuffle, one checkpoint).
-      val grams = shingles(graft.operators.Ops.fanOut(docs), 5)
-      val caps = grams.groupBy("shingle").agg(
-        count(lit(1)).as("__df_full"),
-        count(when(!isBatch, lit(1))).as("__df_store"))
-      val g2 = graft.core.Materialize(
-        grams.join(caps, "shingle")
-          .filter(col("__df_full").between(2, 50) ||
-            col("__df_store").between(2, 50))
-          .select(col("doc_id"), col("shingle"),
-            col("__df_full").between(2, 50).as("__keep_full"),
-            col("__df_store").between(2, 50).as("__keep_store")))
-      val g2s = g2.filter(col("__keep_store") && !isBatch)
-      val halfS = g2s.as("a").join(g2s.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-        .distinct()
-      val storeEdges = graft.core.Materialize(
-        halfS.union(halfS.select(col("dst").as("src"), col("src").as("dst"))))
-      val stored = connectedComponents(storeEdges)
-      val g2f = g2.filter(col("__keep_full"))
-      val halfD = g2f.filter(isBatch).as("a").join(g2f.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
-        .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
-        .distinct()
-      val deltaEdges = graft.core.Materialize(
-        halfD.union(halfD.select(col("dst").as("src"), col("src").as("dst"))))
-      connectedComponentsDelta(deltaEdges, stored)
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
-            reach(id, lbl) AS (
-              SELECT src AS id, src AS lbl FROM edges
-              UNION
-              SELECT e.dst AS id, r.lbl AS lbl
-              FROM edges e JOIN reach r ON r.id = e.src)
-            SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach
-            GROUP BY id ORDER BY doc_id""")
-  )
-
   // --------------------------------------------------------------- q102
   /** CONTAINMENT near-dup pairs — the asymmetric companion to q27's
     * Jaccard. Jaccard misses the most common real-corpus duplication mode:
@@ -730,7 +649,7 @@ object Dedup {
   /** K=3 unrolled label rounds (l0..l3) on top of [[neardupEdgesCtes]] —
     * the q69/q72 oracle form.
     */
-  private lazy val neardupLabelsCtes: String = s"""$neardupEdgesCtes,
+  private[llmops] lazy val neardupLabelsCtes: String = s"""$neardupEdgesCtes,
             l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
             l1 AS (SELECT id, MIN(lbl) AS lbl FROM (
                      SELECT id, lbl FROM l0
@@ -753,191 +672,6 @@ object Dedup {
     (s, d) => neardupLabels(Tables.documents(s, d)).orderBy("doc_id"),
     Some(s"""WITH $neardupLabelsCtes
             SELECT id AS doc_id, lbl AS cluster FROM l3 ORDER BY doc_id""")
-  )
-
-  // --------------------------------------------------------------- q101
-  /** TRUE connected components — min-label propagation run to a FIXPOINT,
-    * the production form q69's scaladoc promises ("production runs the
-    * same loop to a fixpoint"). q69's bounded K=3 is the exactly-checkable
-    * contract; this operator is what a curation run actually ships when
-    * dup chains can exceed K hops (A~B~C~...~Z truncation chains), and the
-    * q69/q101 pair mirrors q59/q61: oracle twin + production twin, both
-    * oracled.
-    *
-    * LOOP SHAPE (the Pregel idiom without a framework): each round is one
-    * keyed join + min-aggregate over the LABEL table — which holds only
-    * edge-endpoint docs, a vanishing fraction of a real corpus — followed
-    * by a lineage cut ([[graft.core.Materialize]]: localCheckpoint locally,
-    * reliable checkpoint/replicated persist under cluster config — a
-    * 100-round lineage would otherwise stack-overflow the planner).
-    * Convergence detection costs ONE tiny aggregate per round, not a join:
-    * labels only ever DECREASE under min-propagation, so the label-sum is
-    * strictly monotone and `sum(lbl)` (decimal — no Long overflow at any
-    * corpus size) is unchanged iff no label moved. Rounds needed = graph
-    * diameter; near-dup clusters are shallow cliques, so 2–3 rounds
-    * typical, `maxRounds` guards pathological chains. At 100 TB each round
-    * shuffles the endpoint set only — never the corpus, never the edges'
-    * text.
-    *
-    * Contrast with alternating large-star/small-star (the O(log n)-round
-    * CC of Kiveris et al.): that wins when components have LARGE diameter
-    * (web graphs); for shingle-candidate graphs the diameter is small and
-    * plain min-propagation does fewer total shuffles with simpler rounds.
-    */
-  /** The shared fixpoint engine: min-label propagation from an arbitrary
-    * initial labeling. Returns the labels AND the round count (the last
-    * round is the no-change verification round) so warm-start callers can
-    * measure how much a seed saves. Initial labels must each be the id of
-    * SOME member of their component (self-labels and previously-converged
-    * component minima both qualify) — then the fixpoint is the component
-    * minimum over member ids, independent of the seeding.
-    */
-  private[llmops] def ccFixpoint(edges: DataFrame, init: DataFrame,
-                                 maxRounds: Int): (DataFrame, Int) = {
-    var labels = graft.core.Materialize(init)
-    def labelSum(l: DataFrame): java.math.BigDecimal = {
-      // empty label table (no edges at all) sums to NULL → zero, so the
-      // loop converges on the first round instead of NPE-ing
-      val s = l.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
-        .head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      round += 1
-      // Propagate one edge hop, checkpointed (the per-round lineage cut).
-      val prop = graft.core.Materialize(
-        labels.union(
-            edges.join(labels, edges("src") === labels("id"))
-              .select(edges("dst").as("id"), labels("lbl")))
-          .groupBy("id").agg(min("lbl").as("lbl")))
-      // Pointer doubling: follow lbl -> lbl(lbl) in the same round.
-      // Labels are monotone non-increasing and every label is itself a
-      // node id, so the hop only lowers labels toward the component
-      // minimum — chains collapse in O(log diameter) rounds instead of
-      // O(diameter). Fewer rounds = fewer driver-synchronized jobs, the
-      // real per-round cost of any distributed fixpoint (measured: 8
-      // rounds at sf0.1 without the hop). The hop is a self-join of the
-      // CHECKPOINTED table — tiny, unambiguous, constant plan depth.
-      val next = prop.join(
-          prop.select(col("id").as("__lid"), col("lbl").as("__lbl2")),
-          col("lbl") === col("__lid"), "left")
-        .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
-    }
-    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster")), round)
-  }
-
-  /** Builder diagnostic twin of [[connectedComponents]] returning rounds. */
-  def ccProbe(edges: DataFrame): (DataFrame, Int) =
-    ccFixpoint(edges, minNeighborInit(edges), 50)
-
-  /** Fixpoint init one propagation step ahead of self-labels: each node
-    * starts at min(itself, its neighbors) — one aggregate over the edge
-    * list, the same shuffle the self-label `distinct` already paid, but
-    * shallow components (near-dup cliques — the overwhelming majority)
-    * arrive CONVERGED and the fixpoint's first round is already the
-    * verification round. Valid init for [[ccFixpoint]]: the minimum of a
-    * node and its neighbors is a member id of its component.
-    */
-  private def minNeighborInit(edges: DataFrame): DataFrame =
-    edges.select(col("src").as("id"), least(col("src"), col("dst")).as("lbl"))
-      .groupBy("id").agg(min("lbl").as("lbl"))
-
-  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame =
-    ccFixpoint(edges, minNeighborInit(edges), maxRounds)._1
-
-  /** Warm-start CC: seed the fixpoint with previously-converged labels
-    * ((id, lbl) — q101's output renamed) and run over the UPDATED edge
-    * set. Old components start already collapsed, so rounds needed track
-    * the DIAMETER OF THE CHANGE (how far new edges chain old components
-    * together), not the corpus — the cluster-maintenance analog of
-    * q73/q74's incremental store probes. Converges to exactly the
-    * full-recompute answer: every seed label is a member id of its
-    * component, so the fixpoint is the merged component's true minimum
-    * (see [[ccFixpoint]]).
-    */
-  def connectedComponentsSeeded(edges: DataFrame, seed: DataFrame,
-                                maxRounds: Int = 50): (DataFrame, Int) = {
-    val init = edges.select(col("src").as("id")).distinct()
-      .join(seed.select(col("doc_id").as("id"), col("cluster").as("seed_lbl")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("seed_lbl"), col("id")).as("lbl"))
-    ccFixpoint(edges, init, maxRounds)
-  }
-
-  /** DELTA-incremental CC (round-9 verdict item 4): instead of a seeded
-    * fixpoint over ALL old ∪ delta edges, CONTRACT each already-converged
-    * component to its root label and run the fixpoint only on the
-    * batch-incident (delta) edge list mapped through that contraction —
-    * then push merged labels back onto the stored members with one keyed
-    * join. Work is O(delta edges + touched components), never O(old
-    * edges): the landed corpus's edge list is neither rebuilt nor
-    * re-propagated.
-    *
-    * Correctness (same fixpoint invariant as [[ccFixpoint]]): every
-    * stored label is the MIN member id of its component, so contracted
-    * node ids are exactly {component minima} ∪ {unstored delta
-    * endpoints}, and the contracted fixpoint's min over a merged
-    * component equals the true min over all underlying members. A
-    * contracted self-loop (delta edge inside one old component) adds no
-    * information and is dropped. Old components untouched by the delta
-    * keep their labels through the left-join coalesce; delta endpoints
-    * with no stored label (batch docs, old docs whose first edge is to
-    * the batch) surface through the anti-join branch.
-    *
-    * `deltaEdges` must be SYMMETRIC and batch-incident (≥1 endpoint in
-    * the increment); `stored` is (doc_id, cluster) converged labels.
-    */
-  def connectedComponentsDelta(deltaEdges: DataFrame, stored: DataFrame,
-                               maxRounds: Int = 50): DataFrame = {
-    // stored feeds FOUR consumers (both contraction sides, the remap
-    // join, the anti-join); one lineage cut here stops each from
-    // re-executing the label table's final pointer-hop join.
-    val storedM = graft.core.Materialize(stored)
-    val seed = storedM.select(col("doc_id").as("__sid"), col("cluster").as("__slbl"))
-    val srcMapped = deltaEdges
-      .join(seed, col("src") === col("__sid"), "left")
-      .select(coalesce(col("__slbl"), col("src")).as("src"), col("dst"))
-    val contracted = srcMapped
-      .join(seed, col("dst") === col("__sid"), "left")
-      .select(col("src"), coalesce(col("__slbl"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val inc = connectedComponents(contracted, maxRounds)
-    val mergeMap = inc.select(col("doc_id").as("__root"), col("cluster").as("__new"))
-    val remapped = storedM
-      .join(mergeMap, col("cluster") === col("__root"), "left")
-      .select(col("doc_id"), coalesce(col("__new"), col("cluster")).as("cluster"))
-    val newNodes = inc
-      .join(storedM.select(col("doc_id").as("__d")), col("doc_id") === col("__d"),
-        "left_anti")
-    remapped.union(newNodes.select(col("doc_id"), col("cluster")))
-  }
-
-  /** q101: fixpoint near-dup components over the same capped edge list as
-    * q69. Oracled via DuckDB's recursive CTE: `reach` enumerates every
-    * (node, reachable-label) pair — min over it IS the component minimum —
-    * so the oracle states the fixpoint declaratively while Spark iterates
-    * to it; any label q101 gets wrong (loop stopped early, missed an edge
-    * direction) hash-mismatches.
-    */
-  val q101 = QuerySpec(
-    "q101_connected_components",
-    (s, d) => connectedComponents(neardupEdges(Tables.documents(s, d)))
-      .orderBy("doc_id"),
-    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
-            reach(id, lbl) AS (
-              SELECT src AS id, src AS lbl FROM edges
-              UNION
-              SELECT e.dst AS id, r.lbl AS lbl
-              FROM edges e JOIN reach r ON r.id = e.src)
-            SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach
-            GROUP BY id ORDER BY doc_id""")
   )
 
   // ---------------------------------------------------------------- q72
@@ -1111,506 +845,6 @@ object Dedup {
     None
   )
 
-  // --------------------------------------------------------------- q168
-  /** Oracled invariant audit for q113 (round-5 verdict item 4). q113's own
-    * rows can never be hash-compared: its candidate PAIR SET comes from
-    * xxhash64-seeded MinHash band collisions, which no ANSI SQL can
-    * reproduce — that is the documented reason q113 stays rows-only. What
-    * IS cross-engine checkable is (a) the exact containment universe both
-    * engines compute identically (q102's capped-trigram join) and (b) the
-    * sketch's accuracy CONTRACT as a boolean: every LSH candidate's
-    * estimated containment lies within ±0.2 of its exact value (the bound
-    * DedupGraphSpec asserts on fixtures). Spark computes est AND exact and
-    * evaluates the check in-query; the oracle states the expected
-    * invariant (TRUE) plus the independently-computed exact-pair count —
-    * so sketch drift, a broken estimator identity, or a candidate with no
-    * real overlap all turn this row red at the driver gate.
-    */
-  val q168 = QuerySpec(
-    "q168_containment_sketch_audit",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      // Exact side: q102's plan verbatim (capped universe; the cap is
-      // non-binding at gate scale so DuckDB's QUALIFY-capped SQL matches).
-      val bg = graft.core.Materialize(
-        capKeyFreq(shingles(docs, 3), MaxShingleDocFreq, col("shingle")))
-      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
-      val exact = bg.as("a")
-        .join(bg.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"),
-          ffloor(col("inter").cast("double") / col("s1.nbg"), 4).as("c12x"),
-          ffloor(col("inter").cast("double") / col("s2.nbg"), 4).as("c21x"))
-      val nExact = exact
-        .filter(greatest(col("c12x"), col("c21x")) >= 0.5)
-        .agg(count(lit(1)).as("n_exact_pairs"))
-      // Sketch side: audit exactly what q113 ships (same registry entry),
-      // left-joined so a candidate with ZERO real overlap still gets
-      // checked against exact = 0.
-      val audit = q113.run(s, d)
-        .join(exact, Seq("d1", "d2"), "left")
-        .select(greatest(
-          abs(col("est_c_d1_in_d2") - coalesce(col("c12x"), lit(0.0))),
-          abs(col("est_c_d2_in_d1") - coalesce(col("c21x"), lit(0.0)))).as("err"))
-        .agg((count(lit(1)) > 0).as("sketch_checked"),
-          // Vacuously true when q113 yields zero candidates (max over the
-          // empty set is NULL): sketch_checked stays the emptiness signal,
-          // so a no-candidate corpus doesn't spuriously red the bound.
-          coalesce(max(col("err")) <= 0.2, lit(true)).as("sketch_within_bound"))
-      audit.crossJoin(nExact)
-        .select(col("n_exact_pairs"), col("sketch_checked"),
-          col("sketch_within_bound"))
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
-            trigrams_all AS (
-              SELECT DISTINCT doc_id, bg FROM (
-                SELECT doc_id,
-                  unnest(list_transform(range(1, len(ts) - 1),
-                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
-                FROM toks)),
-            trigrams AS (
-              SELECT doc_id, bg FROM trigrams_all
-              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= $MaxShingleDocFreq),
-            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
-            pairs AS (
-              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-              FROM trigrams a JOIN trigrams b
-                ON a.bg = b.bg AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            scored AS (
-              SELECT d1, d2,
-                CAST(FLOOR(CAST(inter AS DOUBLE) / s1.nbg * 10000.0) AS DOUBLE) / 10000.0 AS c12x,
-                CAST(FLOOR(CAST(inter AS DOUBLE) / s2.nbg * 10000.0) AS DOUBLE) / 10000.0 AS c21x
-              FROM pairs
-              JOIN sizes s1 ON d1 = s1.doc_id
-              JOIN sizes s2 ON d2 = s2.doc_id)
-            SELECT (SELECT COUNT(*) FROM scored WHERE GREATEST(c12x, c21x) >= 0.5)
-                     AS n_exact_pairs,
-                   true AS sketch_checked, true AS sketch_within_bound""")
-  )
-
-  // --------------------------------------------------------------- q123
-  /** Fused dedup VERDICT — the per-document keep/drop decision record a
-    * curation run actually writes, combining the two oracled dedup signals
-    * with a priority: byte/head-identical ('exact', q73's head fingerprint,
-    * canonical = lowest doc_id sharing the fingerprint) beats near-dup
-    * cluster membership ('near', q101's component labels, canonical = the
-    * component minimum) beats 'keep'. Every upstream piece is an operator
-    * this inventory already oracles — the fusion itself is two left
-    * broadcast-able joins and one CASE, so the verdict table costs no more
-    * than its inputs. Downstream, `verdict != 'keep'` is the drop list and
-    * `canonical` the redirect target (the q72 manifest idiom, per-doc).
-    */
-  /** The fused per-doc verdict table (doc_id, verdict, canonical) shared by
-    * q123 (the per-doc dump) and q128 (the per-source rate scorecard). */
-  def dedupVerdict(docs: DataFrame): DataFrame = {
-    val fps = CorpusPipeline.normalize(docs)
-      .select(col("doc_id"), IncrementalDedup.fingerprint(Some(8)).as("fp"))
-    val owners = fps.groupBy("fp").agg(min("doc_id").as("dup_of"))
-    val exact = fps.join(owners, "fp").select(col("doc_id"), col("dup_of"))
-    val near = connectedComponents(neardupEdges(docs))
-    docs.select(col("doc_id"))
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("dup_of") < col("doc_id"), lit("exact"))
-          .when(col("cluster") < col("doc_id"), lit("near"))
-          .otherwise(lit("keep")).as("verdict"),
-        when(col("dup_of") < col("doc_id"), col("dup_of"))
-          .when(col("cluster") < col("doc_id"), col("cluster"))
-          .otherwise(col("doc_id")).as("canonical"))
-  }
-
-  val q123 = QuerySpec(
-    "q123_dedup_verdict",
-    (s, d) => dedupVerdict(Tables.documents(s, d)).orderBy("doc_id"),
-    Some(s"""WITH RECURSIVE $dedupVerdictCtes
-            SELECT doc_id, verdict, canonical FROM verdicts
-            ORDER BY doc_id""")
-  )
-
-  /** Shared oracle CTE chain ending in `verdicts(doc_id, verdict,
-    * canonical, source)` — q123/q128's common SQL. */
-  private[llmops] lazy val dedupVerdictCtes: String =
-    s"""$neardupEdgesCtes,
-            reach(id, lbl) AS (
-              SELECT src AS id, src AS lbl FROM edges
-              UNION
-              SELECT e.dst AS id, r.lbl AS lbl
-              FROM edges e JOIN reach r ON r.id = e.src),
-            cc AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach
-                   GROUP BY id),
-            norm AS (
-              SELECT doc_id,
-                md5(array_to_string(
-                  string_split(regexp_replace(${asciiLowerSql("text")}, '[ \t\n\r\f]+', ' ', 'g'), ' ')[1:8],
-                  ' ')) AS fp
-              FROM documents),
-            own AS (SELECT fp, MIN(doc_id) AS dup_of FROM norm GROUP BY fp),
-            ex AS (SELECT n.doc_id, o.dup_of FROM norm n JOIN own o USING (fp)),
-            verdicts AS (
-              SELECT d.doc_id,
-                CASE WHEN e.dup_of < d.doc_id THEN 'exact'
-                     WHEN c.cluster < d.doc_id THEN 'near'
-                     ELSE 'keep' END AS verdict,
-                CASE WHEN e.dup_of < d.doc_id THEN e.dup_of
-                     WHEN c.cluster < d.doc_id THEN c.cluster
-                     ELSE d.doc_id END AS canonical,
-                d.source
-              FROM documents d
-              LEFT JOIN ex e ON d.doc_id = e.doc_id
-              LEFT JOIN cc c ON d.doc_id = c.doc_id)"""
-
-  // --------------------------------------------------------------- q128
-  /** Per-SOURCE duplication scorecard — the governance rollup of q123:
-    * for each ingest source, how much of it is exact-duplicate, how much
-    * near-duplicate, and the combined dup rate. This is the table that
-    * decides source-level crawl/ingest policy (a source running 30%
-    * duplicate is a recrawl bug, not data). One keyed aggregate over the
-    * verdict table joined to the doc→source map; source cardinality is a
-    * report dimension, so the rollup is broadcast-trivial at any scale.
-    */
-  val q128 = QuerySpec(
-    "q128_source_dup_scorecard",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      dedupVerdict(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          count(when(col("verdict") === "exact", 1)).as("n_exact"),
-          count(when(col("verdict") === "near", 1)).as("n_near"),
-          ffloor(count(when(col("verdict") =!= "keep", 1)).cast("double") /
-            count(lit(1)), 4).as("dup_rate"))
-        .orderBy("source")
-    },
-    Some(s"""WITH RECURSIVE $dedupVerdictCtes
-            SELECT source, COUNT(*) AS n_docs,
-              COUNT(CASE WHEN verdict = 'exact' THEN 1 END) AS n_exact,
-              COUNT(CASE WHEN verdict = 'near' THEN 1 END) AS n_near,
-              CAST(FLOOR(CAST(COUNT(CASE WHEN verdict <> 'keep' THEN 1 END) AS DOUBLE)
-                / COUNT(*) * 10000.0) AS DOUBLE) / 10000.0 AS dup_rate
-            FROM verdicts GROUP BY source ORDER BY source""")
-  )
-
-  // --------------------------------------------------------------- q130
-  /** Candidate-graph degree distribution — the health check on the
-    * near-dup edge list itself: how many docs have 1, 2, … candidate
-    * neighbours. A fat tail here means a hot-shingle cap failed (one
-    * boilerplate gram fanning out) BEFORE the pair join pays for it; the
-    * distribution is the evidence the caps work. Degree = outgoing edges
-    * in the symmetric list; two keyed aggregates (node degree, then
-    * degree histogram), both map-side combined.
-    */
-  val q130 = QuerySpec(
-    "q130_degree_distribution",
-    (s, d) =>
-      neardupEdges(Tables.documents(s, d))
-        .groupBy(col("src").as("doc_id"))
-        .agg(count(lit(1)).as("degree"))
-        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
-        .orderBy("degree"),
-    Some(s"""WITH $neardupEdgesCtes,
-            deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
-            SELECT degree, COUNT(*) AS n_docs FROM deg
-            GROUP BY degree ORDER BY degree""")
-  )
-
-  // --------------------------------------------------------------- q131
-  /** Dup-cluster size distribution — the curation summary a dedup run
-    * reports: how many components of each size the corpus collapsed
-    * into (size 2 = simple pairs, big sizes = template families). Rides
-    * q101's fixpoint labels; the rollup is two keyed aggregates over the
-    * label table (component size, then size histogram) — O(edge-incident
-    * docs), map-side combined, nothing corpus-scale.
-    */
-  val q131 = QuerySpec(
-    "q131_cluster_size_distribution",
-    (s, d) =>
-      connectedComponents(neardupEdges(Tables.documents(s, d)))
-        .groupBy("cluster").agg(count(lit(1)).as("csize"))
-        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
-        .orderBy("csize"),
-    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
-            reach(id, lbl) AS (
-              SELECT src AS id, src AS lbl FROM edges
-              UNION
-              SELECT e.dst AS id, r.lbl AS lbl
-              FROM edges e JOIN reach r ON r.id = e.src),
-            cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
-            cs AS (SELECT cluster, COUNT(*) AS csize FROM cc GROUP BY cluster)
-            SELECT csize, COUNT(*) AS n_clusters FROM cs
-            GROUP BY csize ORDER BY csize""")
-  )
-
-  // --------------------------------------------------------------- q172
-  /** Triangle census of the near-dup graph: triangle count, wedge count,
-    * and the global clustering coefficient 3·Δ/wedges — the structural
-    * audit that tells a TEMPLATE FAMILY (docs pairwise similar → dense
-    * triangles, coefficient → 1) apart from a duplication CHAIN
-    * (A~B~C~… truncation ladders — many wedges, no triangles,
-    * coefficient → 0), which decides whether cluster-collapse (q72) or
-    * pairwise-drop is the right dedup action. Enumeration is the
-    * standard oriented-edge join: each triangle a<b<c counted exactly
-    * once via two keyed equi-joins on the HALF edge set; per-node work is
-    * bounded by the gram df cap upstream (a node's degree ≤ Σ per-gram
-    * pairings ≤ grams·(MaxDf−1)), so the join never goes quadratic in the
-    * corpus. Wedges are one keyed degree aggregate, exact longs
-    * throughout.
-    */
-  val q172 = QuerySpec(
-    "q172_triangle_count",
-    (s, d) => {
-      val edges = neardupEdges(Tables.documents(s, d))
-      val half = edges.filter(col("src") < col("dst"))
-      val tri = half.as("e1")
-        .join(half.as("e2"), col("e1.dst") === col("e2.src"))
-        .join(half.as("e3"),
-          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val agg = edges.groupBy("src").agg(count(lit(1)).as("dg"))
-        .agg(count(lit(1)).as("n_nodes"),
-          sum(expr("dg * (dg - 1) div 2")).cast("long").as("n_wedges"))
-      val he = half.agg(count(lit(1)).as("n_edges"))
-      agg.crossJoin(he).crossJoin(tri)
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"),
-          ffloor(lit(3.0) * col("n_triangles") /
-            nullif(col("n_wedges").cast("double"), lit(0.0)), 6).as("global_cc"))
-    },
-    Some(s"""WITH $neardupEdgesCtes,
-            deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src),
-            na AS (SELECT COUNT(*) AS n_nodes,
-                     CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
-                   FROM deg),
-            he AS (SELECT COUNT(*) AS n_edges FROM half),
-            tri AS (SELECT COUNT(*) AS n_triangles
-                    FROM half e1
-                    JOIN half e2 ON e1.dst = e2.src
-                    JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst)
-            SELECT n_nodes, n_edges, n_wedges, n_triangles,
-              CAST(FLOOR(3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0)
-                * 1000000.0) AS DOUBLE) / 1000000.0 AS global_cc
-            FROM na, he, tri""")
-  )
-
-  // --------------------------------------------------------------- q218
-  /** LOCAL clustering-coefficient distribution — q172's global census,
-    * resolved per node and rolled into a decile histogram: c_v =
-    * 2·Δ_v / (deg_v·(deg_v−1)) tells each DOC whether its neighborhood
-    * is a clique (template family member, c→1) or a star/chain hub
-    * (boilerplate bridge or truncation ladder, c→0); the corpus-level
-    * histogram of those values is the structural fingerprint that picks
-    * per-cluster dedup policy where q172's single global number cannot
-    * (a bimodal corpus — half templates, half chains — has the same
-    * global coefficient as a uniformly-mediocre one).
-    *
-    * Exactness: the decile is PURE integer arithmetic,
-    * least(9, (20·Δ_v) div (deg_v·(deg_v−1))) — floor(10·c_v) with the
-    * c_v = 1 clique case folded into the top bucket — so no IEEE op
-    * exists anywhere. Nodes with deg < 2 have no defined coefficient and
-    * are excluded (they are exactly the simple-pair docs q131 already
-    * counts as size-2 clusters).
-    *
-    * Scale shape: the oriented triangle join is q172's (two keyed
-    * equi-joins on the HALF edge set, per-node work bounded by the gram
-    * df cap); per-node Δ is one explode of the 3-node triangle rows +
-    * a keyed count; everything after lives on the node table. Nothing
-    * corpus-scale shuffles twice.
-    */
-  val q218 = QuerySpec(
-    "q218_local_clustering",
-    (s, d) => {
-      val edges = neardupEdges(Tables.documents(s, d))
-      val half = edges.filter(col("src") < col("dst"))
-      val triNodes = half.as("e1")
-        .join(half.as("e2"), col("e1.dst") === col("e2.src"))
-        .join(half.as("e3"),
-          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
-        .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst")))
-          .as("id"))
-        .groupBy("id").agg(count(lit(1)).as("tri"))
-      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= 2)
-        .join(triNodes, Seq("id"), "left")
-        .na.fill(0L, Seq("tri"))
-        .withColumn("cc_decile",
-          least(lit(9), expr("(20 * tri) div (deg * (deg - 1))")))
-        .groupBy("cc_decile")
-        .agg(count(lit(1)).as("n_nodes"),
-          sum("tri").cast("long").as("sum_triangles"),
-          sum("deg").cast("long").as("sum_degree"))
-        .orderBy("cc_decile")
-    },
-    Some(s"""WITH $neardupEdgesCtes,
-            tris AS (
-              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-              FROM half e1
-              JOIN half e2 ON e1.dst = e2.src
-              JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst),
-            tn AS (
-              SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM (
-                SELECT a AS id FROM tris
-                UNION ALL SELECT b FROM tris
-                UNION ALL SELECT c FROM tris)
-              GROUP BY id),
-            deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
-                    FROM edges GROUP BY src),
-            nodes AS (
-              SELECT d.id, d.deg, COALESCE(t.tri, 0) AS tri
-              FROM deg d LEFT JOIN tn t USING (id)
-              WHERE d.deg >= 2)
-            SELECT LEAST(9, (20 * tri) // (deg * (deg - 1))) AS cc_decile,
-              CAST(COUNT(*) AS BIGINT) AS n_nodes,
-              CAST(SUM(tri) AS BIGINT) AS sum_triangles,
-              CAST(SUM(deg) AS BIGINT) AS sum_degree
-            FROM nodes GROUP BY 1 ORDER BY 1""")
-  )
-
-  // --------------------------------------------------------------- q225
-  /** EDGE SUPPORT histogram — the per-EDGE structural audit closing the
-    * per-graph (q172) / per-node (q218) series: an edge's support is its
-    * common-neighbor count (triangles THROUGH the edge), the quantity
-    * graph-sparsification and truss decomposition cut on. A candidate
-    * edge with support 0 is an isolated coincidence (one shared rare
-    * gram — verify before collapsing); high support means the pair sits
-    * inside a mutually-similar family and survives any reasonable
-    * verification. Alongside the count, the neighborhood Jaccard
-    * |N(u)∩N(v)| / |N(u)∪N(v)| in exact integer micros ((cn·10⁶) div
-    * (deg_u+deg_v−cn)) — the link-prediction score — averaged per
-    * support level with one final ffloored division.
-    *
-    * Scale shape: support for ALL edges at once is the same oriented
-    * wedge join q172 pays (half ⋈ edges on the shared endpoint),
-    * aggregated per edge instead of globally; per-node work stays
-    * bounded by the upstream gram df cap. Degrees join keyed; the
-    * histogram lives on the edge table.
-    */
-  val q225 = QuerySpec(
-    "q225_edge_support",
-    (s, d) => {
-      val edges = neardupEdges(Tables.documents(s, d))
-      val half = edges.filter(col("src") < col("dst"))
-      val cn = half.as("e")
-        .join(edges.as("a"), col("e.src") === col("a.src"))
-        .join(edges.as("b"),
-          col("e.dst") === col("b.src") && col("a.dst") === col("b.dst"))
-        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
-        .agg(count(lit(1)).as("cn"))
-      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-      half
-        .join(cn, Seq("src", "dst"), "left")
-        .na.fill(0L, Seq("cn"))
-        .join(deg.select(col("id").as("src"), col("deg").as("deg_u")), "src")
-        .join(deg.select(col("id").as("dst"), col("deg").as("deg_v")), "dst")
-        .withColumn("jac_micro",
-          expr("(cn * 1000000) div (deg_u + deg_v - cn)"))
-        .groupBy("cn")
-        .agg(count(lit(1)).as("n_edges"),
-          ffloor(sum("jac_micro").cast("double") /
-            (count(lit(1)).cast("double") * lit(1e6)), 6).as("avg_jaccard"))
-        .orderBy("cn")
-    },
-    Some(s"""WITH $neardupEdgesCtes,
-            cn AS (
-              SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS cn
-              FROM half e
-              JOIN edges a ON e.src = a.src
-              JOIN edges b ON e.dst = b.src AND a.dst = b.dst
-              GROUP BY 1, 2),
-            deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
-                    FROM edges GROUP BY src),
-            scored AS (
-              SELECT COALESCE(c.cn, 0) AS cn,
-                (COALESCE(c.cn, 0) * 1000000)
-                  // (du.deg + dv.deg - COALESCE(c.cn, 0)) AS jac_micro
-              FROM half h
-              LEFT JOIN cn c ON h.src = c.src AND h.dst = c.dst
-              JOIN deg du ON du.id = h.src
-              JOIN deg dv ON dv.id = h.dst)
-            SELECT cn, CAST(COUNT(*) AS BIGINT) AS n_edges,
-              CAST(FLOOR(CAST(SUM(jac_micro) AS DOUBLE)
-                / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS DOUBLE)
-                / 1000000.0 AS avg_jaccard
-            FROM scored GROUP BY cn ORDER BY cn""")
-  )
-
-  // --------------------------------------------------------------- q175
-  /** Oracled RECALL audit for the MinHash-LSH pipeline — [[q168]]'s
-    * sibling, closing the sketch-audit pair: q168 gates the containment
-    * ESTIMATE's accuracy; this gates q30's candidate RECALL against the
-    * exact high-similarity truth. Ground truth is q27's capped-trigram
-    * exact Jaccard at J ≥ 0.8, where the 16-band×4-row s-curve puts the
-    * per-pair miss probability at (1 − 0.8⁴)¹⁶ ≈ 2·10⁻⁴ — and with the
-    * fixed seed the outcome is deterministic for given data, so
-    * `recall_ok = TRUE` is a stable oracle expectation (verified at both
-    * gate SFs and on fuzz corpora; on a NEW corpus the ~2e-4-per-pair
-    * miss rate means this audit requires fixtures known to be within
-    * the s-curve's high-recall regime — it is a regression gate, not a
-    * universal invariant). DuckDB independently recomputes the
-    * exact pair count; a missing candidate, a broken band hash, or a
-    * signature regression flips the boolean red at the driver gate. The
-    * per-doc `sizes` table is corpus-sized (one row per doc), so the
-    * joins here are deliberately plain keyed joins — no broadcast
-    * hints — matching q139/q168/q184; AQE picks sides at runtime.
-    */
-  val q175 = QuerySpec(
-    "q175_lsh_recall_audit",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val bg = graft.core.Materialize(
-        capKeyFreq(shingles(docs, 3), MaxShingleDocFreq, col("shingle")))
-      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
-      val jac = ffloor(
-        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
-      val exactHigh = bg.as("a")
-        .join(bg.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
-      val cand = q30.run(s, d).select(col("d1"), col("d2"))
-      val missed = exactHigh.join(cand, Seq("d1", "d2"), "left_anti")
-      exactHigh.agg(count(lit(1)).as("n_exact_pairs_08"))
-        .crossJoin(missed.agg((count(lit(1)) === 0).as("recall_ok")))
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
-            trigrams_all AS (
-              SELECT DISTINCT doc_id, bg FROM (
-                SELECT doc_id,
-                  unnest(list_transform(range(1, len(ts) - 1),
-                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
-                FROM toks)),
-            trigrams AS (
-              SELECT doc_id, bg FROM trigrams_all
-              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= $MaxShingleDocFreq),
-            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
-            pairs AS (
-              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-              FROM trigrams a JOIN trigrams b
-                ON a.bg = b.bg AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            hi AS (
-              SELECT d1, d2 FROM pairs
-              JOIN sizes s1 ON d1 = s1.doc_id
-              JOIN sizes s2 ON d2 = s2.doc_id
-              WHERE CAST(FLOOR(CAST(inter AS DOUBLE)
-                / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.8)
-            SELECT (SELECT COUNT(*) FROM hi) AS n_exact_pairs_08,
-                   true AS recall_ok""")
-  )
-
   // --------------------------------------------------------------- q181
   /** REPEATED-SPAN manifest — exact-substring dedup at span granularity
     * (the Lee et al. "Deduplicating Training Data Makes Language Models
@@ -1693,459 +927,6 @@ object Dedup {
             FROM spans GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  // --------------------------------------------------------------- q186
-  /** Character-level EDIT-DISTANCE VERIFY of the near-dup candidates —
-    * the production verify stage that runs after shingle/LSH candidate
-    * generation and before cluster collapse: token-gram candidates can
-    * pair docs that share phrases yet differ everywhere else, and
-    * Levenshtein over a fixed normalized prefix is the cheap
-    * character-level confirmation that they really are edit variants.
-    *
-    * Scale shape: the pair set is the df-capped gram join ([[neardupEdges]]
-    * `half` — never all-pairs), texts arrive by TWO keyed joins of that
-    * small pair set against the corpus, and the Levenshtein itself is
-    * O(P²) per pair with P = 120 a CONSTANT — so verify cost is linear in
-    * candidates regardless of document length (full-text edit distance
-    * is not a scale-safe primitive; prefix verify is the standard
-    * production trade). All-ASCII normalized text keeps both engines'
-    * code-point distance identical; `prefix_sim` is ffloor'd IEEE.
-    */
-  val q186 = QuerySpec(
-    "q186_editdist_verify",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val half = neardupEdges(docs).filter(col("src") < col("dst"))
-      val pref = CorpusPipeline.normalize(docs)
-        .select(col("doc_id"), substring(col("text_norm"), 1, 120).as("p"))
-      half
-        .join(pref.select(col("doc_id").as("src"), col("p").as("p1")), "src")
-        .join(pref.select(col("doc_id").as("dst"), col("p").as("p2")), "dst")
-        .select(col("src").as("d1"), col("dst").as("d2"),
-          levenshtein(col("p1"), col("p2")).cast("long").as("edist"),
-          greatest(length(col("p1")), length(col("p2"))).as("ml"))
-        .filter(col("edist") <= 30)
-        .select(col("d1"), col("d2"), col("edist"),
-          ffloor(lit(1.0) - col("edist").cast("double") /
-            nullif(col("ml"), lit(0)).cast("double"), 4).as("prefix_sim"))
-        .orderBy("d1", "d2")
-    },
-    Some(s"""WITH $neardupEdgesCtes,
-            norm AS (
-              SELECT doc_id,
-                substr(regexp_replace(${asciiLowerSql("text")},
-                  '${CorpusPipeline.WhitespaceClass}', ' ', 'g'), 1, 120) AS p
-              FROM documents)
-            SELECT d1, d2, edist,
-              CAST(FLOOR((1.0 - CAST(edist AS DOUBLE) /
-                CAST(NULLIF(ml, 0) AS DOUBLE)) * 10000.0) AS DOUBLE)
-                / 10000.0 AS prefix_sim
-            FROM (
-              SELECT h.src AS d1, h.dst AS d2,
-                CAST(levenshtein(a.p, b.p) AS BIGINT) AS edist,
-                GREATEST(len(a.p), len(b.p)) AS ml
-              FROM half h
-              JOIN norm a ON h.src = a.doc_id
-              JOIN norm b ON h.dst = b.doc_id)
-            WHERE edist <= 30
-            ORDER BY d1, d2""")
-  )
-
-  // --------------------------------------------------------------- q187
-  /** K-CORE PEELING of the near-dup graph (k = 2, three unrolled peel
-    * rounds): repeatedly delete vertices with fewer than 2 surviving
-    * neighbours and report the graph size after each peel. The trajectory
-    * is the structural dedup audit q172's one-shot census can't give:
-    * duplication CHAINS (A~B~C ladders) dissolve entirely under 2-core
-    * peeling while TEMPLATE FAMILIES (dense cores) survive unchanged, so
-    * "how much graph is left after round 3" measures how much of the
-    * candidate volume is core template mass vs incidental chain overlap —
-    * which decides whether cluster-collapse or pairwise-drop is the right
-    * dedup action, and at what cost.
-    *
-    * Bounded-K is the same deliberate contract as [[q69]]: both engines
-    * compute exactly three peels (the oracle unrolls them), the label
-    * table is only ever the edge-endpoint set, and each round is one
-    * keyed degree aggregate + two semi-join restrictions — K shuffles of
-    * the edge set, nothing corpus-scale. Production runs the identical
-    * loop to a fixpoint; on shallow dedup graphs three peels converge.
-    */
-  /** Production PEEL-TO-FIXPOINT k-core — the form [[q187]]'s scaladoc
-    * promises ("production runs the identical loop to a fixpoint"), so
-    * the caller doesn't pick a round count: peel until a round removes no
-    * vertex, or `maxRounds` guards a pathological chain (a path graph
-    * peels one layer per round). Returns the surviving symmetric edge
-    * set, the round count (the last round is the no-change verification
-    * round, [[ccFixpoint]]'s convention), and whether the loop CONVERGED
-    * rather than hit the guard — callers must check the flag before
-    * treating the result as the true k-core.
-    *
-    * Convergence detection costs one tiny aggregate per round (the
-    * surviving-vertex count, which only ever decreases — unchanged iff
-    * the peel removed nothing), and each round is q187's exact shape:
-    * one degree aggregate + two semi-join restrictions over the edge
-    * set, Materialized so the plan stays one round deep. The oracled
-    * bounded-K q187 is unchanged — this is the API entry point
-    * (mirroring the q69 [[neardupLabels]] / q101 [[connectedComponents]]
-    * oracle-twin/production-twin pair).
-    */
-  def kCoreFixpoint(edges0: DataFrame, k: Int,
-                    maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
-    var cur = graft.core.Materialize(edges0)
-    def nNodes(e: DataFrame): Long = {
-      val n = e.agg(countDistinct(col("src"))).head.getLong(0)
-      n
-    }
-    var prevN = nNodes(cur)
-    var round = 0
-    var converged = prevN == 0L // empty graph is already its own k-core
-    while (!converged && round < maxRounds) {
-      round += 1
-      val keep = graft.core.Materialize(
-        cur.groupBy("src").agg(count(lit(1)).as("dg"))
-          .filter(col("dg") >= k).select(col("src").as("id")))
-      cur = graft.core.Materialize(cur
-        .join(keep.select(col("id").as("src")), "src")
-        .join(keep.select(col("id").as("dst")), "dst")
-        .select("src", "dst"))
-      val n = nNodes(cur)
-      converged = n == prevN
-      prevN = n
-    }
-    (cur, round, converged)
-  }
-
-  val q187 = QuerySpec(
-    "q187_kcore_decomposition",
-    (s, d) => {
-      def stat(round: Int, edges: DataFrame): DataFrame =
-        edges.agg(
-            countDistinct(col("src")).as("n_nodes"),
-            count(when(col("src") < col("dst"), 1)).as("n_edges"))
-          .select(lit(round.toLong).as("peel_round"), col("n_nodes"),
-            col("n_edges"))
-      var cur = neardupEdges(Tables.documents(s, d))
-      var out = stat(0, cur)
-      for (r <- 1 to 3) {
-        val keep = graft.core.Materialize(
-          cur.groupBy("src").agg(count(lit(1)).as("dg"))
-            .filter(col("dg") >= 2).select(col("src").as("id")))
-        cur = graft.core.Materialize(cur
-          .join(keep.select(col("id").as("src")), "src")
-          .join(keep.select(col("id").as("dst")), "dst")
-          .select("src", "dst"))
-        out = out.union(stat(r, cur))
-      }
-      out.orderBy("peel_round")
-    },
-    Some(s"""WITH $neardupEdgesCtes,
-            k1 AS (SELECT src AS id FROM edges GROUP BY src
-                   HAVING COUNT(*) >= 2),
-            e1 AS (SELECT e.src, e.dst FROM edges e
-                   JOIN k1 a ON e.src = a.id JOIN k1 b ON e.dst = b.id),
-            k2 AS (SELECT src AS id FROM e1 GROUP BY src
-                   HAVING COUNT(*) >= 2),
-            e2 AS (SELECT e.src, e.dst FROM e1 e
-                   JOIN k2 a ON e.src = a.id JOIN k2 b ON e.dst = b.id),
-            k3 AS (SELECT src AS id FROM e2 GROUP BY src
-                   HAVING COUNT(*) >= 2),
-            e3 AS (SELECT e.src, e.dst FROM e2 e
-                   JOIN k3 a ON e.src = a.id JOIN k3 b ON e.dst = b.id)
-            SELECT CAST(0 AS BIGINT) AS peel_round,
-              COUNT(DISTINCT src) AS n_nodes,
-              COUNT(*) FILTER (WHERE src < dst) AS n_edges FROM edges
-            UNION ALL SELECT 1, COUNT(DISTINCT src),
-              COUNT(*) FILTER (WHERE src < dst) FROM e1
-            UNION ALL SELECT 2, COUNT(DISTINCT src),
-              COUNT(*) FILTER (WHERE src < dst) FROM e2
-            UNION ALL SELECT 3, COUNT(DISTINCT src),
-              COUNT(*) FILTER (WHERE src < dst) FROM e3
-            ORDER BY peel_round""")
-  )
-
-  // --------------------------------------------------------------- q188
-  /** SUFFIX→PREFIX STITCH detection: document pairs where the last
-    * k-gram of one doc equals the first k-gram of another — the signature
-    * of a single source document split across ingest records (pagination,
-    * chunked crawls, continuation messages). The right curation action
-    * for these is STITCHING, not dropping, which is why they need their
-    * own manifest: Jaccard/LSH near-dup ops ([[q27]]/[[q30]]) score
-    * continuation halves as DISSIMILAR (tiny overlap), and the span ops
-    * (q111/q181) only see grams repeated verbatim, so boundary joins are
-    * exactly the dup mass every other detector misses.
-    *
-    * Scale shape: each doc contributes ONE row per side (its first gram,
-    * its last gram) — the join input is O(corpus docs), not O(grams) —
-    * and the gram-keyed equi-join is df-capped at 50 per side so a
-    * boilerplate opening ("subject re re re …") can never fan out
-    * quadratically. Everything shuffles on the gram key once. k is the
-    * precision knob: production splits carry long verbatim boundaries
-    * (k ≥ 8); the ~30-word synthetic vocabulary needs k = 3 for any
-    * boundary coincidence to exist at all, which also exercises the
-    * FALSE-POSITIVE regime the df cap and downstream verify are for.
-    */
-  val q188 = QuerySpec(
-    "q188_stitch_overlap",
-    (s, d) => {
-      val sh = shinglesWithPos(Tables.documents(s, d), 3)
-      val firsts = graft.operators.Ops.capKeyFreq(
-        sh.filter(col("pos") === 0).select(col("doc_id"), col("shingle")),
-        50, col("shingle"))
-      val lasts = graft.operators.Ops.capKeyFreq(
-        sh.groupBy("doc_id")
-          .agg(max(struct(col("pos"), col("shingle"))).as("l"))
-          .select(col("doc_id"), col("l.pos").as("tail_pos"),
-            col("l.shingle").as("shingle")),
-        50, col("shingle"))
-      lasts
-        .join(firsts.select(col("doc_id").as("head_doc"), col("shingle")),
-          "shingle")
-        .filter(col("doc_id") =!= col("head_doc"))
-        .select(col("doc_id").as("tail_doc"), col("head_doc"),
-          col("shingle").as("stitch_gram"),
-          col("tail_pos").cast("long").as("tail_pos"))
-        .orderBy("tail_doc", "head_doc")
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
-              FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
-            firsts_all AS (
-              SELECT doc_id, ts[1] || '_' || ts[2] || '_' || ts[3] AS g
-              FROM toks),
-            lasts_all AS (
-              SELECT doc_id, ts[-3] || '_' || ts[-2] || '_' || ts[-1] AS g,
-                len(ts) - 3 AS tail_pos
-              FROM toks),
-            firsts AS (SELECT doc_id, g FROM firsts_all
-                       QUALIFY COUNT(*) OVER (PARTITION BY g) <= 50),
-            lasts AS (SELECT doc_id, g, tail_pos FROM lasts_all
-                      QUALIFY COUNT(*) OVER (PARTITION BY g) <= 50)
-            SELECT l.doc_id AS tail_doc, f.doc_id AS head_doc,
-              l.g AS stitch_gram, CAST(l.tail_pos AS BIGINT) AS tail_pos
-            FROM lasts l JOIN firsts f ON l.g = f.g AND l.doc_id <> f.doc_id
-            ORDER BY tail_doc, head_doc""")
-  )
-
-  // --------------------------------------------------------------- q197
-  /** Oracled RECALL audit for the SIMHASH pipeline — [[q31]]'s
-    * driver-checkable twin, completing the sketch-audit family
-    * (q168: containment accuracy, q175: MinHash-LSH recall, q195/q196:
-    * IVF/PQ recall, this: SimHash recall). Ground truth is q175's exact
-    * capped-trigram Jaccard at J ≥ 0.9 — documents that close have
-    * near-identical token multisets, so their 64-bit SimHashes differ in
-    * few bits. TWO gated invariants, split so each is checked where it
-    * is strongest:
-    *
-    *   - `sketch_ok`: every exact pair's hamming distance (computed
-    *     DIRECTLY on the pair set — two keyed joins against the sketch
-    *     table, no candidate generation) is ≤ 12. The sketch-quality
-    *     regression gate: a broken [[SimHashAgg]] or token hash turns
-    *     near-identical docs into far-apart sketches. 12 because SimHash
-    *     approximates FREQUENCY-weighted cosine, not set Jaccard — a
-    *     trigram-J 0.9756 fixture pair legitimately measures hamming 7
-    *     at sf0.001 (typical is ~3); margin documented, corpus-dependent
-    *     like q175.
-    *   - `recall_ok`: every exact pair that IS within q31's production
-    *     threshold (hamming ≤ 6) appears in q31's own [[simhashPairs]]
-    *     output. At 8 chunks > 6 flips the pigeonhole guarantee is
-    *     unconditional, so this is a UNIVERSAL machinery invariant on
-    *     any corpus — a miss can only be a broken chunk split, bucket
-    *     join, or hamming filter.
-    *
-    * An earlier draft instead ran simhashPairs at maxHamming = 12 and
-    * gated membership there; pigeonhole at 12 needs 16 chunks of FOUR
-    * bits — 16 possible values per chunk — and the bucket join
-    * degenerates toward quadratic (measured 78.7s at the 10× stress
-    * corpus vs q31's own 6.3s). The split form tests the same two
-    * failure surfaces at production bucket geometry; audit cost is
-    * q27's exact join + q31 + two tiny joins.
-    * DuckDB independently recomputes the exact pair count; joins are
-    * plain keyed joins, sizes corpus-sized — q175's exact scale shape.
-    */
-  val q197 = QuerySpec(
-    "q197_simhash_recall_audit",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val bg = graft.core.Materialize(
-        capKeyFreq(shingles(docs, 3), MaxShingleDocFreq, col("shingle")))
-      val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
-      val jac = ffloor(
-        col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
-      val exactHigh = bg.as("a")
-        .join(bg.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-        .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-        .select(col("d1"), col("d2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.9)
-      val sh = graft.core.Materialize(simhash(docs))
-      val withHam = graft.core.Materialize(exactHigh
-        .join(sh.select(col("doc_id").as("d1"), col("simhash").as("h1")), "d1")
-        .join(sh.select(col("doc_id").as("d2"), col("simhash").as("h2")), "d2")
-        .select(col("d1"), col("d2"),
-          bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming")))
-      val cand = simhashPairs(sh, maxHamming = 6).select(col("d1"), col("d2"))
-      val missed = withHam.filter(col("hamming") <= 6)
-        .join(cand, Seq("d1", "d2"), "left_anti")
-      withHam.agg(count(lit(1)).as("n_exact_pairs_09"),
-          coalesce(max("hamming") <= 12, lit(true)).as("sketch_ok"))
-        .crossJoin(missed.agg((count(lit(1)) === 0).as("recall_ok")))
-    },
-    Some(s"""WITH toks AS (
-              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts FROM documents
-              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
-            trigrams_all AS (
-              SELECT DISTINCT doc_id, bg FROM (
-                SELECT doc_id,
-                  unnest(list_transform(range(1, len(ts) - 1),
-                    i -> ts[i] || '_' || ts[i+1] || '_' || ts[i+2])) AS bg
-                FROM toks)),
-            trigrams AS (
-              SELECT doc_id, bg FROM trigrams_all
-              QUALIFY COUNT(*) OVER (PARTITION BY bg) <= $MaxShingleDocFreq),
-            sizes AS (SELECT doc_id, COUNT(*) AS nbg FROM trigrams GROUP BY doc_id),
-            pairs AS (
-              SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-              FROM trigrams a JOIN trigrams b
-                ON a.bg = b.bg AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            hi AS (
-              SELECT d1, d2 FROM pairs
-              JOIN sizes s1 ON d1 = s1.doc_id
-              JOIN sizes s2 ON d2 = s2.doc_id
-              WHERE CAST(FLOOR(CAST(inter AS DOUBLE)
-                / (s1.nbg + s2.nbg - inter) * 10000.0) AS DOUBLE) / 10000.0 >= 0.9)
-            SELECT (SELECT COUNT(*) FROM hi) AS n_exact_pairs_09,
-                   true AS sketch_ok,
-                   true AS recall_ok""")
-  )
-
-  // --------------------------------------------------------------- q242
-  /** LSH S-CURVE PLANNER — the design table behind [[q30]]'s 16-band ×
-    * 4-row choice, as an oracled operator: candidate probability
-    * P(J) = 1 − (1 − J^r)^b for three (b, r) geometries over a Jaccard
-    * grid. Pure expression work — no corpus — but cross-engine pow() is
-    * libm-dependent, so every power is an EXPLICIT SQUARING CHAIN
-    * (j², j⁴, j⁸; x², …, x³²): the identical IEEE multiply sequence in
-    * both engines, ffloored to micros. The table shows the contract the
-    * recall audits (q175/q197) enforce: at 16×4, J = 0.8 → P ≈ 0.9998,
-    * J = 0.3 → P ≈ 0.12 — steep exactly where the dedup threshold sits.
-    */
-  val q242 = QuerySpec(
-    "q242_lsh_plan",
-    (s, _) => {
-      val grid = for {
-        (b, r) <- Seq((8, 8), (16, 4), (32, 2))
-        jx <- 5 to 95 by 5
-      } yield (b, r, jx)
-      import s.implicits._
-      val df = grid.toDF("bands", "rws", "jx")
-        .withColumn("j", col("jx").cast("double") / lit(100.0))
-        .withColumn("j2", col("j") * col("j"))
-        .withColumn("j4", col("j2") * col("j2"))
-        .withColumn("j8", col("j4") * col("j4"))
-        .withColumn("jr", when(col("rws") === 2, col("j2"))
-          .when(col("rws") === 4, col("j4")).otherwise(col("j8")))
-        .withColumn("x", lit(1.0) - col("jr"))
-        .withColumn("x2", col("x") * col("x"))
-        .withColumn("x4", col("x2") * col("x2"))
-        .withColumn("x8", col("x4") * col("x4"))
-        .withColumn("x16", col("x8") * col("x8"))
-        .withColumn("x32", col("x16") * col("x16"))
-      df.select(col("bands"), col("rws"), col("jx"),
-          graft.operators.Ops.ffloor(
-            when(col("bands") === 8, lit(1.0) - col("x8"))
-              .when(col("bands") === 16, lit(1.0) - col("x16"))
-              .otherwise(lit(1.0) - col("x32")), 6).as("p_candidate"))
-        .orderBy("bands", "jx")
-    },
-    Some(s"""WITH grid(bands, rws, jx) AS (VALUES ${
-      (for {
-        (b, r) <- Seq((8, 8), (16, 4), (32, 2))
-        jx <- 5 to 95 by 5
-      } yield s"($b, $r, $jx)").mkString(", ")}),
-            s1 AS (SELECT bands, rws, jx,
-                     CAST(jx AS DOUBLE) / 100.0 AS j FROM grid),
-            s2 AS (SELECT *, j * j AS j2 FROM s1),
-            s3 AS (SELECT *, j2 * j2 AS j4 FROM s2),
-            s4 AS (SELECT *, j4 * j4 AS j8 FROM s3),
-            s5 AS (SELECT *, CASE rws WHEN 2 THEN j2 WHEN 4 THEN j4
-                             ELSE j8 END AS jr FROM s4),
-            s6 AS (SELECT *, 1.0 - jr AS x FROM s5),
-            s7 AS (SELECT *, x * x AS x2 FROM s6),
-            s8 AS (SELECT *, x2 * x2 AS x4 FROM s7),
-            s9 AS (SELECT *, x4 * x4 AS x8 FROM s8),
-            sa AS (SELECT *, x8 * x8 AS x16 FROM s9),
-            sb AS (SELECT *, x16 * x16 AS x32 FROM sa)
-            SELECT bands, rws, jx,
-              CAST(FLOOR((CASE bands WHEN 8 THEN 1.0 - x8
-                           WHEN 16 THEN 1.0 - x16
-                           ELSE 1.0 - x32 END) * 1000000.0) AS DOUBLE)
-                / 1000000.0 AS p_candidate
-            FROM sb ORDER BY bands, jx""")
-  )
-
-  // --------------------------------------------------------------- q243
-  /** DEDUP SAVINGS FORECAST — the number that justifies running [[q72]]
-    * at all: if every near-dup cluster collapses to its canonical
-    * member (longest, lowest-id tiebreak — q72's exact rule), how many
-    * documents and characters leave the corpus? One row:
-    * total/dropped docs and chars, and the dropped fraction in integer
-    * micros — the before/after line of a curation proposal, exact
-    * enough to hash.
-    *
-    * Scale shape: the label table joined to (doc_id, n_chars), ONE
-    * cluster-keyed aggregate (sum + the same max-struct argmax q72
-    * uses — no rank window), then a 1-row rollup cross-joined to the
-    * corpus totals.
-    */
-  val q243 = QuerySpec(
-    "q243_dedup_savings",
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val perCluster = neardupLabels(docs)
-        .join(docs.select("doc_id", "n_chars"), "doc_id")
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("n_members"),
-          sum("n_chars").cast("long").as("chars_all"),
-          max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("__best"))
-        .filter(col("n_members") >= 2)
-        .select((col("n_members") - 1).as("n_dropped"),
-          (col("chars_all") - col("__best.n_chars")).as("chars_dropped"))
-        .agg(coalesce(sum("n_dropped"), lit(0L)).cast("long").as("n_docs_dropped"),
-          coalesce(sum("chars_dropped"), lit(0L)).cast("long").as("chars_dropped"))
-      docs.agg(count(lit(1)).as("n_docs"),
-          sum("n_chars").cast("long").as("chars_total"))
-        .crossJoin(broadcast(perCluster))
-        .select(col("n_docs"), col("n_docs_dropped"),
-          col("chars_total"), col("chars_dropped"),
-          expr("(chars_dropped * 1000000) div chars_total").as("pct_chars_micro"))
-    },
-    Some(s"""WITH $neardupLabelsCtes,
-            lab AS (SELECT id AS doc_id, lbl AS cluster FROM l3),
-            ranked AS (
-              SELECT cluster, doc_id, n_chars,
-                ROW_NUMBER() OVER (PARTITION BY cluster
-                  ORDER BY n_chars DESC, doc_id) AS rn,
-                COUNT(*) OVER (PARTITION BY cluster) AS n_members
-              FROM lab JOIN documents USING (doc_id)),
-            dropped AS (
-              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
-                CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS chars_dropped
-              FROM ranked WHERE n_members >= 2 AND rn > 1),
-            tot AS (
-              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                CAST(SUM(n_chars) AS BIGINT) AS chars_total
-              FROM documents)
-            SELECT n_docs, n_docs_dropped, chars_total, chars_dropped,
-              (chars_dropped * 1000000) // chars_total AS pct_chars_micro
-            FROM tot CROSS JOIN dropped""")
-  )
-
   val all: Seq[QuerySpec] =
-    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q101, q102, q108, q111,
-      q113, q123, q128, q130, q131, q168, q172, q175, q181, q186, q187, q188,
-      q197, q218, q225, q242, q243)
+    Seq(q21, q22, q27, q30, q31, q68, q69, q72, q79, q102, q111, q113, q181)
 }

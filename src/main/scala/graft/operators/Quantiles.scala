@@ -279,7 +279,7 @@ object Quantiles {
   )
 
   // --------------------------------------------------------------- q234
-  /** MEDIAN treatment effect — [[graft.operators.Warehouse.q226]]'s mean
+  /** MEDIAN treatment effect — [[graft.operators.TimeSeries.q226]]'s mean
     * uplift is dragged by revenue's heavy tail (one whale in either arm
     * moves it more than the treatment does); the per-arm MEDIAN of
     * post-period user revenue is the robust readout. Medians come from

@@ -51,6 +51,18 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.regressions(Map("q_new" -> 50.0), history).isEmpty)
   }
 
+  test("calibStable: mid-run load drift is flagged, structural warm-up asymmetry is not") {
+    // the observed ghost-flood runs: 0.431->0.155 (2.78x), r9's 3.11x
+    assert(!BenchGate.calibStable(0.431, 0.155))
+    assert(!BenchGate.calibStable(0.497, 0.160))
+    // healthy runs sit at ~2x start/end (end probe runs fully warm):
+    // round-10's adjudicated-healthy 0.362 -> 0.163 must NOT flag
+    assert(BenchGate.calibStable(0.362, 0.163))
+    assert(BenchGate.calibStable(0.30, 0.25))
+    assert(BenchGate.calibStable(0.16, 0.36)) // symmetric
+    assert(!BenchGate.calibStable(0.0, 0.3))  // degenerate probe: not stable
+  }
+
   test("loadHistory filters by sf, keeps the window, survives a missing file") {
     val dir = graft.core.TempDirs.scratch("benchgate-spec-")
     val p = java.nio.file.Paths.get(dir, "hist.jsonl")

@@ -81,19 +81,31 @@ class SourceAuditSpec extends AnyFunSuite {
     "ScaleSmoke.scala" -> 2,
     "llmops/VocabStore.scala" -> 2,
     "llmops/RetrievalOps.scala" -> 2,
-    "llmops/Similarity.scala" -> 15,
+    // round-11 pure-move splits (Similarity/Warehouse/PretrainOps):
+    // reviewed sites redistributed verbatim, zero new
+    "llmops/Clustering.scala" -> 15,
     "llmops/CurationOps.scala" -> 6,
     "llmops/TextAnalysis.scala" -> 2,
-    "llmops/Dedup.scala" -> 7,
+    // round-11 pure-move split of Dedup.scala: the 7 reviewed sites
+    // redistributed verbatim (1 core + 2 graph + 4 audit), zero new
+    "llmops/Dedup.scala" -> 1,
+    "llmops/DedupGraph.scala" -> 2,
+    "llmops/DedupAudit.scala" -> 4,
     "llmops/ShardOps.scala" -> 1,
     "llmops/CorpusPipeline.scala" -> 1,
     "llmops/SelectionOps.scala" -> 1,
     "llmops/TopKStore.scala" -> 4,
-    "llmops/PretrainOps.scala" -> 12,
-    "llmops/CorpusStats.scala" -> 10,
+    "llmops/PretrainOps.scala" -> 9,
+    "llmops/PretrainViews.scala" -> 3,
+    // round-11 pure-move split of CorpusStats.scala: 10 reviewed sites
+    // redistributed verbatim (6 core + 2 sim + 2 privacy), zero new
+    "llmops/CorpusStats.scala" -> 6,
+    "llmops/CorpusSim.scala" -> 2,
+    "llmops/PrivacyOps.scala" -> 2,
     "llmops/FeatureStats.scala" -> 1,
     "llmops/BloomStore.scala" -> 2,
-    "operators/Warehouse.scala" -> 4,
+    "operators/Warehouse.scala" -> 3,
+    "operators/TimeSeries.scala" -> 1,
     "operators/ZOrder.scala" -> 2)
 
   /** file → reviewed `mapPartitions` occurrence count. Class argument:
@@ -125,11 +137,13 @@ class SourceAuditSpec extends AnyFunSuite {
       "after boilerplate/decontamination stripping — one group = one " +
       "document, array ≤ the document's token count, the same bound " +
       "every shingle window already carries (1 scaladoc mention)"),
-    "llmops/PretrainOps.scala" -> (3, "per-doc (pos, tok) rebuild for " +
+    "llmops/PretrainViews.scala" -> (3, "per-doc (pos, tok) rebuild for " +
       "span corruption + per-(doc, chunk) CDC token lists — both " +
-      "doc-length-bounded (1 scaladoc mention)"),
-    "llmops/CorpusStats.scala" -> (1, "per-doc (df, shingle) list — " +
-      "array ≤ shingles per document ≤ doc length"),
+      "doc-length-bounded (1 scaladoc mention; moved with the round-11 " +
+      "PretrainOps split)"),
+    "llmops/CorpusSim.scala" -> (1, "per-doc (df, shingle) list — " +
+      "array ≤ shingles per document ≤ doc length (q147, moved with " +
+      "the round-11 CorpusStats split)"),
     "llmops/FeatureStats.scala" -> (1, "per-doc (df, shingle) list for " +
       "the rarity-ordered prefix — doc-length-bounded"),
     "streaming/StatefulOps.scala" -> (2, "session-scoped: batch form " +

@@ -14,7 +14,7 @@ class ClusterStoreSpec extends SparkTestBase {
   private def docs: DataFrame = graft.Tables.documents(spark, sf("sf0.001"))
 
   private def cold(d: DataFrame): Seq[(Long, Long)] =
-    Dedup.connectedComponents(Dedup.neardupEdges(d))
+    DedupGraph.connectedComponents(Dedup.neardupEdges(d))
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 

@@ -19,7 +19,7 @@ class CorpusStatsSpec extends SparkTestBase {
       .filter(col("jaccard") >= 0.5)
       .select("d1", "d2", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val prefix = CorpusStats.q147.run(spark, dir)
+    val prefix = CorpusSim.q147.run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(prefix == full, "prefix filtering must be lossless at the threshold")
     assert(full.nonEmpty, "fixture must actually exercise the join")
@@ -74,7 +74,7 @@ class CorpusStatsSpec extends SparkTestBase {
     val full = Dedup.q27.run(spark, dir).filter(col("jaccard") >= 0.5)
       .select("d1", "d2", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val prefix = CorpusStats.q147.run(spark, dir)
+    val prefix = CorpusSim.q147.run(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(prefix == full, "prefix filtering must stay lossless on Zipf data")
     assert(full.nonEmpty, "fixture must plant above-threshold pairs")

@@ -37,7 +37,7 @@ class DedupGraphSpec extends SparkTestBase {
   test("q101: fixpoint CC collapses a 8-doc chain that bounded K=3 cannot") {
     val dir = docsDir(chain(8))
     val docs = graft.Tables.documents(spark, dir)
-    val cc = Dedup.connectedComponents(Dedup.neardupEdges(docs))
+    val cc = DedupGraph.connectedComponents(Dedup.neardupEdges(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cc.keySet == (0L until 8L).toSet)
     assert(cc.values.toSet == Set(0L), s"fixpoint must reach min label: $cc")
@@ -56,7 +56,7 @@ class DedupGraphSpec extends SparkTestBase {
     val dir = docsDir(Seq(
       row(10, a + " p1 p2 p3 p4 p5"), row(11, a + " q1 q2 q3 q4 q5"),
       row(20, b + " r1 r2 r3 r4 r5"), row(21, b + " s1 s2 s3 s4 s5")))
-    val cc = Dedup.connectedComponents(
+    val cc = DedupGraph.connectedComponents(
         Dedup.neardupEdges(graft.Tables.documents(spark, dir)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(cc == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
@@ -69,12 +69,12 @@ class DedupGraphSpec extends SparkTestBase {
     val docs = graft.Tables.documents(spark, dir)
     val all = Dedup.neardupEdges(docs)
     val (coldLabels, coldRounds) =
-      Dedup.ccFixpoint(all,
+      DedupGraph.ccFixpoint(all,
         all.select(col("src").as("id")).distinct()
           .select(col("id"), col("id").as("lbl")), 50)
-    val stored = Dedup.connectedComponents(
+    val stored = DedupGraph.connectedComponents(
       Dedup.neardupEdges(docs.filter(col("doc_id") < 6)))
-    val (warmLabels, warmRounds) = Dedup.connectedComponentsSeeded(all, stored)
+    val (warmLabels, warmRounds) = DedupGraph.connectedComponentsSeeded(all, stored)
     assert(warmLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       .sameElements(coldLabels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted),
       "warm-start must converge to the full-recompute labels")
@@ -86,6 +86,36 @@ class DedupGraphSpec extends SparkTestBase {
     assert(coldRounds >= 4, s"chain fixture: cold needs ~log2(diameter) rounds, got $coldRounds")
     assert(warmRounds < coldRounds,
       s"warm start must track the change, not the corpus: $warmRounds vs $coldRounds")
+  }
+
+  test("q108: memoized store fixture answers identically to a cold full recompute") {
+    // Round-11 fixture split: the stored labels now come from a
+    // per-(JVM, sf-dir) parquet fixture instead of an inline rebuild.
+    // The invariant that must survive the move: the END ANSWER equals a
+    // cold full-corpus recompute (CC over edges under the full-corpus
+    // df cap [2,50] — the oracle's recursive-CTE definition) on the
+    // real corpus, where the cap-crossing caveat (Dedup scaladoc) holds.
+    val d = sf("sf0.001")
+    val got = DedupGraph.q108.run(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = graft.Tables.documents(spark, d)
+    val grams = Dedup.shingles(graft.operators.Ops.fanOut(docs), 5)
+    val caps = grams.groupBy("shingle")
+      .agg(count(lit(1)).as("df")).filter(col("df").between(2, 50))
+    val g2 = graft.core.Materialize(grams.join(caps, "shingle").select("doc_id", "shingle"))
+    val half = g2.as("a").join(g2.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst")).distinct()
+    val cold = DedupGraph.connectedComponents(
+        half.union(half.select(col("dst").as("src"), col("src").as("dst"))))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == cold, "fixture-backed incremental answer diverged from cold recompute")
+    assert(got.nonEmpty)
+    // second run hits the memo: same directory, no rebuild
+    val dir1 = DedupGraph.storedLabels(spark, d)
+    assert(DedupGraph.storedLabels(spark, d) == dir1)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir1, "stored.parquet")))
   }
 
   test("connectedComponentsDelta: chained merges across contracted components") {
@@ -106,11 +136,11 @@ class DedupGraphSpec extends SparkTestBase {
     val docs = graft.Tables.documents(spark, dir2)
     val isBatch = col("doc_id") >= 30
     val all = Dedup.neardupEdges(docs)
-    val cold = Dedup.connectedComponents(all)
+    val cold = DedupGraph.connectedComponents(all)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val stored = Dedup.connectedComponents(
+    val stored = DedupGraph.connectedComponents(
       Dedup.neardupEdges(docs.filter(col("doc_id") < 30)))
-    val delta = Dedup.connectedComponentsDelta(
+    val delta = DedupGraph.connectedComponentsDelta(
         all.filter(col("src") >= 30 || col("dst") >= 30), stored)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(delta == cold,
@@ -233,14 +263,14 @@ class DedupGraphSpec extends SparkTestBase {
       row(1, g + " u1 u2 u3 u4 u5"),
       row(2, g + " v1 v2 v3 v4 v5"),
       row(3, g + " w1 w2 w3 w4 w5")))
-    val c = Dedup.q172.run(spark, clique).collect().head
+    val c = DedupGraph.q172.run(spark, clique).collect().head
     assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
       (3L, 3L, 3L, 1L), s"clique census: $c") // nodes, edges, wedges, tris
     assert(c.getDouble(4) == 1.0)
 
     // path 0-1-2 (chain fixture): one wedge at the middle, no triangle
     val path = docsDir(chain(3))
-    val p = Dedup.q172.run(spark, path).collect().head
+    val p = DedupGraph.q172.run(spark, path).collect().head
     assert((p.getLong(1), p.getLong(2), p.getLong(3)) == (2L, 1L, 0L),
       s"path census: $p")
     assert(p.getDouble(4) == 0.0)
@@ -255,7 +285,7 @@ class DedupGraphSpec extends SparkTestBase {
       row(1, core + " e1 e2 e3"),
       row(2, core + " f1 f2 f3"),
       row(3, (1 to 40).map(i => s"z$i").mkString(" "))))
-    val r = Dedup.q175.run(spark, dir).collect().head
+    val r = DedupAudit.q175.run(spark, dir).collect().head
     assert(r.getLong(0) == 1L, s"exactly the planted pair: $r")
     assert(r.getBoolean(1), "the identical pair must be in q30's candidates")
   }
@@ -270,7 +300,7 @@ class DedupGraphSpec extends SparkTestBase {
     val dir = docsDir(chain(8) ++ tri)
     val edges = Dedup.neardupEdges(graft.Tables.documents(spark, dir))
 
-    val (core, rounds, converged) = Dedup.kCoreFixpoint(edges, k = 2)
+    val (core, rounds, converged) = DedupGraph.kCoreFixpoint(edges, k = 2)
     assert(converged, "fixpoint must be reached on this corpus")
     // the 8-path peels away entirely; only the triangle survives
     val survivors = core.select("src").distinct().collect().map(_.getLong(0)).toSet
@@ -285,14 +315,14 @@ class DedupGraphSpec extends SparkTestBase {
     assert(rounds <= 6, s"took $rounds rounds")
 
     // guard: maxRounds=1 cannot finish the 8-path — flag must say so
-    val (_, _, early) = Dedup.kCoreFixpoint(edges, k = 2, maxRounds = 1)
+    val (_, _, early) = DedupGraph.kCoreFixpoint(edges, k = 2, maxRounds = 1)
     assert(!early, "1 round cannot converge this graph")
 
     // bounded-K agreement: on the gate fixture corpus the fixpoint core
     // equals q187's round-3 edge set (the trajectory has converged by 3)
     val sfDir = sf("sf0.001")
     val sfEdges = Dedup.neardupEdges(graft.Tables.documents(spark, sfDir))
-    val (sfCore, _, sfConverged) = Dedup.kCoreFixpoint(sfEdges, k = 2)
+    val (sfCore, _, sfConverged) = DedupGraph.kCoreFixpoint(sfEdges, k = 2)
     assert(sfConverged)
     val q187Last = graft.QueryRegistry.byName("q187_kcore_decomposition")
       .run(spark, sfDir).filter(col("peel_round") === 3).head
@@ -306,7 +336,7 @@ class DedupGraphSpec extends SparkTestBase {
     val core = (1 to 60).map(i => s"c$i").mkString(" ")
     val tail = (1 to 27).map(i => s"t$i").mkString(" ")
     val dir = docsDir(Seq(row(1, core), row(2, core + " " + tail)))
-    val r = Dedup.q168.run(spark, dir).collect().head
+    val r = DedupAudit.q168.run(spark, dir).collect().head
     assert(r.getBoolean(1), "the LSH pair must be checked")
     assert(r.getBoolean(2), "estimates must stay within +/-0.2 of exact")
   }

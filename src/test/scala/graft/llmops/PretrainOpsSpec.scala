@@ -181,7 +181,7 @@ class PretrainOpsSpec extends SparkTestBase {
     val dir = docsDir(Seq(
       (1L, text, "en", "s", text.length.toLong),
       (2L, "zzz " + text, "en", "s", text.length.toLong + 4)))
-    val chunks = PretrainOps.cdcChunks(
+    val chunks = PretrainViews.cdcChunks(
         graft.Tables.documents(spark, dir))
       .select(col("doc_id"), col("cmd5")).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
@@ -201,7 +201,7 @@ class PretrainOpsSpec extends SparkTestBase {
 
     // contrast: the fixed-size chunker shifts EVERY boundary — q124 md5s
     // on the same pair share (almost) nothing
-    val fixedA = PretrainOps.q124.run(spark, dir).collect()
+    val fixedA = PretrainViews.q124.run(spark, dir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(4)).toSeq).toMap
     assert(msetDiff(fixedA(1L), fixedA(2L)) >= fixedA(1L).size - 1,
       "fixed-size chunking should lose alignment after a prepend")

@@ -28,7 +28,7 @@ class ReleaseOpsSpec extends SparkTestBase {
         val c = i % 4
         (i.toLong, unit(c, 10.0f).updated((c + 4) % 8, 0.5f), c)
       }
-    val out = Similarity.q173.run(spark, embDir(rows)).collect()
+    val out = Clustering.q173.run(spark, embDir(rows)).collect()
     assert(out.length == 4)
     val byCid = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(byCid.keySet == Set(0L, 1L, 2L, 3L))
@@ -41,8 +41,8 @@ class ReleaseOpsSpec extends SparkTestBase {
 
   test("q170: DP release is deterministic, noised, and keeps the true count") {
     val dir = sf("sf0.001")
-    val a = CorpusStats.q170.run(spark, dir).collect()
-    val b = CorpusStats.q170.run(spark, dir).collect()
+    val a = PrivacyOps.q170.run(spark, dir).collect()
+    val b = PrivacyOps.q170.run(spark, dir).collect()
     assert(a.toSeq == b.toSeq, "inverse-CDF noise must be run-stable")
     assert(a.nonEmpty)
     a.foreach { r =>

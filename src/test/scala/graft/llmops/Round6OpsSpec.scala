@@ -35,7 +35,7 @@ class Round6OpsSpec extends SparkTestBase {
     val clique = (0 until 4).map(j =>
       row(100L + j, kg + " " + (1 to 5).map(t => s"u${j}f$t").mkString(" ")))
     val dir = docsDir(chain ++ clique)
-    val got = Dedup.q187.run(spark, dir).collect()
+    val got = DedupGraph.q187.run(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got(0L) == ((10L, 11L)), s"round 0: $got")  // 6+4 nodes, 5+6 edges
     assert(got(1L) == ((8L, 9L)))   // chain endpoints peeled
@@ -48,7 +48,7 @@ class Round6OpsSpec extends SparkTestBase {
     val b = "b1 b2 b3 c1 c2 c3"            // head gram b1_b2_b3
     val noise = Seq(row(9L, "z1 z2 z3 z4 z5"), row(8L, "y1 y2 y3 y4 y5"))
     val dir = docsDir(Seq(row(1L, a), row(2L, b)) ++ noise)
-    val got = Dedup.q188.run(spark, dir).collect()
+    val got = DedupGraph.q188.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     assert(got.toSeq == Seq((1L, 2L, "b1_b2_b3", 3L)), got.mkString(","))
   }
@@ -68,7 +68,7 @@ class Round6OpsSpec extends SparkTestBase {
       .filter(col("src") < col("dst")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(edges == Set((1L, 2L), (3L, 4L)), s"candidate fixture broken: $edges")
-    val got = Dedup.q186.run(spark, dir).collect()
+    val got = DedupAudit.q186.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L)
     assert(got.head._3 <= 4L, s"one-token swap should be a small edit: $got")
@@ -89,7 +89,7 @@ class Round6OpsSpec extends SparkTestBase {
         .map("%02x".format(_)).mkString
       if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1L else -1L
     }
-    val got = Similarity.q189.run(spark, dir).collect()
+    val got = Clustering.q189.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got.size == 3 * 8)
     for (vid <- Seq(0, 5, 7); j <- 0 until 8)
@@ -103,7 +103,7 @@ class Round6OpsSpec extends SparkTestBase {
       (0 until 3).map(i => (100L + i, s"u$i y", "en", "s1", 20L)) ++
       (0 until 2).map(i => (200L + i, s"v$i z", "de", "s1", 30L))
     val dir = docsDir(rows)
-    val got = CorpusStats.q191.run(spark, dir).collect()
+    val got = PrivacyOps.q191.run(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(got(("s0", "en")) == ((12L, 120L, 0L)))
@@ -124,7 +124,7 @@ class Round6OpsSpec extends SparkTestBase {
       (2L, Array(0f, 0f, 1.0f, 0f), "a"), (3L, Array(0f, 0f, 1.0f, 0f), "a"))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val got = Similarity.q192.run(spark, dir).collect()
+    val got = Clustering.q192.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got((1L, 0L)) == 333333L && got((1L, 2L)) == 1000000L)
     assert(got((1L, 1L)) == 0L && got((1L, 3L)) == 0L)

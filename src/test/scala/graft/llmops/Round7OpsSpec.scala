@@ -151,7 +151,7 @@ class Round7OpsSpec extends SparkTestBase {
       (0 until 6).map(i => (i.toLong, "x", "en", "mono", 1L)) ++
       Seq("en", "de", "es", "fr").zipWithIndex.flatMap { case (l, i) =>
         Seq((10L + 2 * i, "x", l, "divers", 1L), (11L + 2 * i, "x", l, "divers", 1L)) }
-    val got = CorpusStats.q216.run(spark, docsDir(docs)).collect()
+    val got = PrivacyOps.q216.run(spark, docsDir(docs)).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))).toMap
     assert(got("mono") == ((1L, 0.0, false, false)), got.toString)

@@ -46,7 +46,7 @@ class Round7dOpsSpec extends SparkTestBase {
   test("q217: single-lang sources against a 50/50 corpus score TVD 0.5 and fail t=0.2") {
     val det = (0 until 4).map(i => row(i.toLong, "x", "en", "srcA")) ++
       (4 until 8).map(i => row(i.toLong, "x", "de", "srcB"))
-    val got = CorpusStats.q217.run(spark, docsDir(det))
+    val got = PrivacyOps.q217.run(spark, docsDir(det))
       .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(3)))
     // per source: (1,0) vs global (.5,.5) → TVD = ½(|1−.5|+|0−.5|) = 0.5
     assert(got.toSeq == Seq(("srcA", 0.5, false), ("srcB", 0.5, false)))
@@ -55,7 +55,7 @@ class Round7dOpsSpec extends SparkTestBase {
   test("q217: identically-mixed sources score TVD 0 and pass") {
     val mix = Seq(row(0, "x", "en", "srcA"), row(1, "x", "de", "srcA"),
       row(2, "x", "en", "srcB"), row(3, "x", "de", "srcB"))
-    val got = CorpusStats.q217.run(spark, docsDir(mix))
+    val got = PrivacyOps.q217.run(spark, docsDir(mix))
       .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
     assert(got.forall(_ == (0.0, true)))
   }
@@ -70,7 +70,7 @@ class Round7dOpsSpec extends SparkTestBase {
       row(10, "p1 p2 p3 p4 p5"),
       row(11, "p1 p2 p3 p4 p5 z9 q1 q2 q3 q4 q5"),
       row(12, "q1 q2 q3 q4 q5"))
-    val got = Dedup.q218.run(spark, docsDir(clique ++ path))
+    val got = DedupGraph.q218.run(spark, docsDir(clique ++ path))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // deg<2 excludes path endpoints; B: deg 2, 0 triangles → decile 0;
     // clique: deg 3, 3 triangles each → c=1 → decile 9.
@@ -123,7 +123,7 @@ class Round7dOpsSpec extends SparkTestBase {
 
   test("q226: all-converters corpus pins z to 0 (degenerate pooled variance)") {
     val ev = (0 until 10).map(u => (u.toLong, evTs, u.toLong, "purchase"))
-    val got = graft.operators.Warehouse.q226.run(spark, eventsDir(ev)).collect()(0)
+    val got = graft.operators.TimeSeries.q226.run(spark, eventsDir(ev)).collect()(0)
     assert(got.getLong(0) + got.getLong(2) == 10L)
     assert(got.getLong(4) == 1000000L && got.getLong(5) == 1000000L)
     assert(got.getDouble(6) == 0.0)
@@ -141,7 +141,7 @@ class Round7dOpsSpec extends SparkTestBase {
     val ev = arms.toSeq.map { case (u, a) =>
       (u, evTs, u, if (a == 1L) "purchase" else "view")
     }
-    val got = graft.operators.Warehouse.q226.run(spark, eventsDir(ev)).collect()(0)
+    val got = graft.operators.TimeSeries.q226.run(spark, eventsDir(ev)).collect()(0)
     val n1 = arms.valuesIterator.count(_ == 1L).toLong
     assert(got.getLong(0) == 100L - n1 && got.getLong(1) == 0L)
     assert(got.getLong(2) == n1 && got.getLong(3) == n1)
@@ -167,7 +167,7 @@ class Round7dOpsSpec extends SparkTestBase {
       Seq((u.toLong * 2, pre, u.toLong, "click", v),
         (u.toLong * 2 + 1, post, u.toLong, "purchase", v))
     }
-    val got = graft.operators.Warehouse.q227.run(spark, eventsValDir(ev)).collect()(0)
+    val got = graft.operators.TimeSeries.q227.run(spark, eventsValDir(ev)).collect()(0)
     assert(got.getLong(0) + got.getLong(1) == 40L)
     assert(got.getDouble(3) == 1.0, s"theta=${got.getDouble(3)}")
     assert(got.getDouble(4) == 0.0, s"adj=${got.getDouble(4)}")
@@ -189,7 +189,7 @@ class Round7dOpsSpec extends SparkTestBase {
   // ------------------------------------------------------------------ q229
   test("q229: c^0.75 flattens the head — 16:1 counts give 8:1 sampling weights") {
     val docs = Seq(row(0, (Seq.fill(16)("a") :+ "b").mkString(" ")))
-    val got = PretrainOps.q229.run(spark, docsDir(docs))
+    val got = PretrainViews.q229.run(spark, docsDir(docs))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // w(a)=16^.75=8, w(b)=1 → shares 8/9 and 1/9; unigram 16/17 and 1/17
@@ -200,7 +200,7 @@ class Round7dOpsSpec extends SparkTestBase {
   // ------------------------------------------------------------------ q230
   test("q230: two-point tail {2718, 1000} recovers alpha ~= 1") {
     val docs = Seq(row(0, "x" * 2718), row(1, "y" * 1000))
-    val got = PretrainOps.q230.run(spark, docsDir(docs)).collect()(0)
+    val got = PretrainViews.q230.run(spark, docsDir(docs)).collect()(0)
     // ln(2718/1000) = 0.999896 -> alpha = 1e6/999896 ffloored to 1.0001
     assert(got.getLong(0) == 1L)
     assert(got.getDouble(1) == 1.0001, got.toString)
@@ -256,15 +256,15 @@ class Round7dOpsSpec extends SparkTestBase {
   // ------------------------------------------------------------------ q224
   test("q224: constant-length corpus collapses the CI to the point estimate") {
     val docs = (0 until 20).map(i => row(i.toLong, "seven77")) // n_chars = 7
-    val got = CorpusStats.q224.run(spark, docsDir(docs)).collect()(0)
+    val got = PrivacyOps.q224.run(spark, docsDir(docs)).collect()(0)
     assert(got.getLong(1) == 20L)
     assert(got.getDouble(2) == 7.0)
     assert(got.getDouble(3) == 7.0 && got.getDouble(4) == 7.0)
   }
 
   test("q224: CI brackets are ordered and deterministic across runs") {
-    val a = CorpusStats.q224.run(spark, sf("sf0.001")).collect()
-    val b = CorpusStats.q224.run(spark, sf("sf0.001")).collect()
+    val a = PrivacyOps.q224.run(spark, sf("sf0.001")).collect()
+    val b = PrivacyOps.q224.run(spark, sf("sf0.001")).collect()
     assert(a.toSeq == b.toSeq)
     assert(a.forall(r => r.getDouble(3) <= r.getDouble(4)))
   }
@@ -275,7 +275,7 @@ class Round7dOpsSpec extends SparkTestBase {
     val a = row(0, "t1 t2 t3 t4 t5 z0 s1 s2 s3 s4 s5") // A carries both grams
     val pend = Seq(row(10, "s1 s2 s3 s4 s5"))
     val docs = a +: tri.tail ++: pend
-    val got = Dedup.q225.run(spark, docsDir(docs))
+    val got = DedupGraph.q225.run(spark, docsDir(docs))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     // AB/AC/BC support 1 (third vertex); AD support 0.
     // jac: AB=1/4, AC=1/4, BC=1/3 → avg micro (250000+250000+333333)/3
@@ -284,7 +284,7 @@ class Round7dOpsSpec extends SparkTestBase {
 
   // ------------------------------------------------------------------ q233
   test("q233: 'a b c' yields adjacent weight 2 and skip weight 1") {
-    val got = PretrainOps.q233.run(spark, docsDir(Seq(row(0, "a b c"))))
+    val got = PretrainViews.q233.run(spark, docsDir(Seq(row(0, "a b c"))))
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
     assert(got == Map(("a", "b") -> (2L, 1L), ("b", "c") -> (2L, 1L),
@@ -317,13 +317,13 @@ class Round7dOpsSpec extends SparkTestBase {
     val sep = arms.toSeq.map { case (u, a) =>
       (u, post, u, "purchase", if (a == 1L) 5.0 else 1.0)
     }
-    val g1 = graft.operators.Warehouse.q235.run(spark, eventsValDir(sep)).collect()(0)
+    val g1 = graft.operators.TimeSeries.q235.run(spark, eventsValDir(sep)).collect()(0)
     val (n0, n1) = (g1.getLong(0), g1.getLong(1))
     assert(n0 + n1 == 40L)
     assert(g1.getLong(2) == 2 * n0 * n1, "2U1 must hit its maximum")
     assert(g1.getLong(3) == 1000000L)
     val same = arms.toSeq.map { case (u, _) => (u, post, u, "purchase", 3.0) }
-    val g2 = graft.operators.Warehouse.q235.run(spark, eventsValDir(same)).collect()(0)
+    val g2 = graft.operators.TimeSeries.q235.run(spark, eventsValDir(same)).collect()(0)
     assert(g2.getLong(3) == 500000L, s"ties must midrank to AUC 1/2, got ${g2.getLong(3)}")
   }
 
@@ -343,7 +343,7 @@ class Round7dOpsSpec extends SparkTestBase {
       (2L, Array(0.95f, -0.312f), "x"),
       (10L, Array(0.2f, 0.98f), "x"),   // near only vec 1 -> border
       (20L, Array(-1f, 0f), "x")))      // anti-aligned -> noise
-    val got = Similarity.q236.run(spark, d)
+    val got = Clustering.q236.run(spark, d)
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(got(0L) == ("core", 0L) && got(1L) == ("core", 0L) &&
       got(2L) == ("core", 0L), got.toString)
@@ -356,7 +356,7 @@ class Round7dOpsSpec extends SparkTestBase {
       (0L, Array(1f, 0f), "x"), (1L, Array(0f, 1f), "x"),
       (10L, Array(1f, 0f), "x"),       // coincides with c0 -> s = 1
       (11L, Array(0.5f, 0.5f), "x")))  // exactly equidistant -> s = 0
-    val got = Similarity.q237.run(spark, d)
+    val got = Clustering.q237.run(spark, d)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got(0L) == (3L, 0.666666), got.toString)
     assert(got(1L) == (1L, 1.0), got.toString)
@@ -364,7 +364,7 @@ class Round7dOpsSpec extends SparkTestBase {
 
   // ------------------------------------------------------------ q242/q243
   test("q242: the 16x4 s-curve is steep where the dedup threshold sits") {
-    val got = Dedup.q242.run(spark, "unused")
+    val got = DedupAudit.q242.run(spark, "unused")
       .collect().map(r => (r.getInt(0), r.getInt(2)) -> r.getDouble(3)).toMap
     assert(got.size == 57)
     assert(got((16, 80)) > 0.999, got((16, 80)).toString)   // J=0.8 caught
@@ -377,7 +377,7 @@ class Round7dOpsSpec extends SparkTestBase {
   test("q243: a 3-clique of identical docs drops 2 docs and their chars") {
     val docs = (0 until 3).map(i => row(i.toLong, "c1 c2 c3 c4 c5")) :+
       row(10, "u1 u2 u3 u4 u5") // edge-free, never dropped
-    val got = Dedup.q243.run(spark, docsDir(docs)).collect()(0)
+    val got = DedupAudit.q243.run(spark, docsDir(docs)).collect()(0)
     assert(got.getLong(0) == 4L && got.getLong(1) == 2L, got.toString)
     assert(got.getLong(3) == 28L, got.toString) // two 14-char dup copies
   }
@@ -385,20 +385,20 @@ class Round7dOpsSpec extends SparkTestBase {
   // ------------------------------------------------------------ q240/q241
   test("q240: identical vectors put every k-dist quantile at 0") {
     val d = embDir((0 until 5).map(i => (i.toLong, Array(1f, 0f), "x")))
-    val got = Similarity.q240.run(spark, d)
+    val got = Clustering.q240.run(spark, d)
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(got == Map(50 -> 0L, 90 -> 0L, 99 -> 0L), got.toString)
   }
 
   test("q240: quantiles are ordered on the sf corpus") {
-    val rows = Similarity.q240.run(spark, sf("sf0.001")).collect()
+    val rows = Clustering.q240.run(spark, sf("sf0.001")).collect()
     assert(rows.length == 3)
     val v = rows.sortBy(_.getInt(0)).map(_.getLong(2))
     assert(v(0) <= v(1) && v(1) <= v(2), v.mkString(","))
   }
 
   test("q241: a single-term corpus makes the AMS estimate exact (signs square away)") {
-    val got = PretrainOps.q241.run(spark, docsDir(Seq(row(0, "a a a"))))
+    val got = PretrainViews.q241.run(spark, docsDir(Seq(row(0, "a a a"))))
       .collect()(0)
     assert(got.getLong(1) == 9L && got.getLong(2) == 9L &&
       got.getLong(3) == 0L, got.toString)
@@ -409,12 +409,12 @@ class Round7dOpsSpec extends SparkTestBase {
     val perfect = embDir(Seq(
       (0L, Array(1f, 0f), "A"), (10L, Array(1f, 0f), "A"), (11L, Array(1f, 0f), "A"),
       (1L, Array(0f, 1f), "B"), (12L, Array(0f, 1f), "B"), (13L, Array(0f, 1f), "B")))
-    val g1 = Similarity.q238.run(spark, perfect).collect()(0)
+    val g1 = Clustering.q238.run(spark, perfect).collect()(0)
     assert(g1.getLong(3) == 1000000L && g1.getDouble(4) == 1.0, g1.toString)
     val anti = embDir(Seq(
       (0L, Array(1f, 0f), "A"), (10L, Array(1f, 0f), "B"),
       (1L, Array(0f, 1f), "A"), (12L, Array(0f, 1f), "B")))
-    val g2 = Similarity.q238.run(spark, anti).collect()(0)
+    val g2 = Clustering.q238.run(spark, anti).collect()(0)
     assert(g2.getLong(3) == 500000L && g2.getDouble(4) == -0.5, g2.toString)
   }
 
@@ -422,7 +422,7 @@ class Round7dOpsSpec extends SparkTestBase {
     val perfect = embDir(Seq(
       (0L, Array(1f, 0f), "A"), (10L, Array(1f, 0f), "A"), (11L, Array(1f, 0f), "A"),
       (1L, Array(0f, 1f), "B"), (12L, Array(0f, 1f), "B"), (13L, Array(0f, 1f), "B")))
-    val g = Similarity.q239.run(spark, perfect).collect()(0)
+    val g = Clustering.q239.run(spark, perfect).collect()(0)
     assert(g.getDouble(1) == 0.693147, g.toString)
     assert(g.getDouble(2) == 1.0, g.toString)
   }

@@ -84,7 +84,7 @@ class WarehouseSpec extends SparkTestBase {
 
   test("q169 Theil-Sen slope shrugs off a 10x spike day") {
     val dir = spikeEventsDir()
-    val r = Warehouse.q169.run(spark, dir).collect()
+    val r = TimeSeries.q169.run(spark, dir).collect()
     assert(r.length == 1 && r.head.getLong(1) == 45L) // C(10,2) pairs
     val slope = r.head.getDouble(2)
     assert(math.abs(slope) <= 0.2,
@@ -93,7 +93,7 @@ class WarehouseSpec extends SparkTestBase {
 
   test("q174 MAD flags exactly the spike day") {
     val dir = spikeEventsDir()
-    val flagged = Warehouse.q174.run(spark, dir).collect()
+    val flagged = TimeSeries.q174.run(spark, dir).collect()
     assert(flagged.length == 1, s"only the spike: ${flagged.toSeq}")
     assert(flagged.head.getLong(2) == 100L) // the 100-event day
     assert(flagged.head.getDouble(3) > 100.0) // z ~ 0.6745*89.5/0.5
