@@ -86,7 +86,8 @@ object Bench {
     val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "/tmp/graft-bench-history.jsonl")
     val norms = samples.map { case (n, ts) =>
       n -> (if (calibMedian > 0) median(ts) / calibMedian else 0.0) }
-    val normRegs = BenchGate.regressions(norms.toMap, BenchGate.loadHistory(hist, sfDir))
+    val (normShift, normRegs) =
+      BenchGate.adjudicate(norms.toMap, BenchGate.loadHistory(hist, sfDir))
     val calibStable = BenchGate.calibStable(calibStart, calibEnd)
     val normRegsJson = normRegs.toSeq.sortBy(_._1).map { case (q, (cur, best)) =>
       "\"" + q + "\":{\"norm\":" + fmt(cur) + ",\"best\":" + fmt(best) +
@@ -97,7 +98,7 @@ object Bench {
       s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},"""
     def fullLine: String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
-        s""""calib_stable":$calibStable,"norm_regressions":$normRegsJson,""" +
+        s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},"norm_regressions":$normRegsJson,""" +
         s""""queries":${mapOf(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     // The driver records only the LAST ~2000 chars of stdout; at 194
     // queries even short-id entries are ~2.4 kB, which is why BENCH_r06
@@ -112,7 +113,7 @@ object Bench {
       .sortBy(_._1)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
-        s""""calib_stable":$calibStable,"norm_regressions":$normRegsJson,""" +
+        s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},"norm_regressions":$normRegsJson,""" +
         s""""queries":${mapOf(slowest)},""" +
         s""""n_queries":${results.size},"full":"$out","sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

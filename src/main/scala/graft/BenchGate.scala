@@ -87,6 +87,39 @@ object BenchGate {
         .map(best => q -> (norm, best))
     }
 
+  /** The registry-wide median of norm/best ratios — "how much slower is
+    * THIS RUN, as a whole, than the window's best?". The calibration
+    * probe is scan-shaped, so CPU contention the probe barely feels
+    * still slows every query ~uniformly and norms drift machine-wide
+    * (measured on this container: a quiet-but-contended day sits at
+    * ~1.3-1.5x the golden run's norms across the WHOLE registry, with
+    * TimeQ confirming no real change). A real code regression moves a
+    * FEW queries, not the median.
+    */
+  def globalShift(current: Map[String, Double],
+                  history: Seq[Map[String, Double]]): Double = {
+    val ratios = current.toSeq.flatMap { case (q, norm) =>
+      history.flatMap(_.get(q)).minOption.filter(_ > 0).map(norm / _)
+    }.sorted
+    if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
+  }
+
+  /** The reported adjudication: per-query flags measured against the
+    * GLOBAL-SHIFT-CORRECTED bar `ratio × max(1, globalShift)`, plus the
+    * shift itself. Self-normalizing: on a uniformly slow day the bar
+    * rises with the registry median, so a machine-wide 1.4x drift
+    * reports `shift 1.4, flags {}` instead of 40 ghosts; on a clean day
+    * the bar is the plain 1.5x. A genuine single-query regression
+    * clears the bar in both regimes. Report-only either way.
+    */
+  def adjudicate(current: Map[String, Double],
+                 history: Seq[Map[String, Double]])
+      : (Double, Map[String, (Double, Double)]) = {
+    val shift = globalShift(current, history)
+    val bar = RatioThreshold * math.max(1.0, shift)
+    (shift, regressions(current, history, ratio = bar))
+  }
+
   /** The last [[HistoryWindow]] history lines for `sfDir` from the
     * append-only history file; missing/unreadable file → empty (first
     * run on a machine has no baseline, and the gate must never make the

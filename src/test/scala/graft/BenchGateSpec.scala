@@ -51,6 +51,25 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.regressions(Map("q_new" -> 50.0), history).isEmpty)
   }
 
+  test("adjudicate: uniform machine-wide slowdown raises the bar instead of flooding flags") {
+    // the measured failure mode: a contended-but-quiet day runs the WHOLE
+    // registry ~1.6x the golden window norms (probe is scan-shaped and
+    // does not feel CPU contention proportionally)
+    val history = Seq(Map("q1" -> 4.0, "q2" -> 6.0, "q3" -> 8.0, "q4" -> 3.0, "q5" -> 5.0))
+    val slowDay = Map("q1" -> 6.4, "q2" -> 9.6, "q3" -> 12.8, "q4" -> 4.8, "q5" -> 8.0)
+    val (shift, flags) = BenchGate.adjudicate(slowDay, history)
+    assert(math.abs(shift - 1.6) < 1e-9)
+    assert(flags.isEmpty, s"uniform 1.6x shift must not flag: $flags")
+    // same day, but q3 ALSO genuinely regressed 3x — it clears even the
+    // shift-corrected bar (1.5 * 1.6 = 2.4) and is the only flag
+    val (shift2, flags2) = BenchGate.adjudicate(slowDay + ("q3" -> 24.0), history)
+    assert(flags2.keySet == Set("q3"), s"got $flags2 (shift $shift2)")
+    // clean day: bar is the plain 1.5x (shift below 1 never lowers it)
+    val (shift3, flags3) = BenchGate.adjudicate(
+      Map("q1" -> 3.8, "q2" -> 5.9, "q3" -> 7.7, "q4" -> 2.9, "q5" -> 12.0), history)
+    assert(shift3 <= 1.0 && flags3.keySet == Set("q5"))
+  }
+
   test("calibStable: mid-run load drift is flagged, structural warm-up asymmetry is not") {
     // the observed ghost-flood runs: 0.431->0.155 (2.78x), r9's 3.11x
     assert(!BenchGate.calibStable(0.431, 0.155))
