@@ -87,12 +87,25 @@ object Bench {
     val norms = samples.map { case (n, ts) =>
       n -> (if (calibMedian > 0) median(ts) / calibMedian else 0.0) }
     val (normShift, normRegs) =
-      BenchGate.adjudicate(norms.toMap, BenchGate.loadHistory(hist, sfDir))
+      BenchGate.adjudicate(norms.toMap,
+        // half this run's coverage: full runs ignore builder-subset
+        // history lines; a subset run still compares against full lines
+        BenchGate.loadHistory(hist, sfDir, minQueries = norms.size / 2))
     val calibStable = BenchGate.calibStable(calibStart, calibEnd)
-    val normRegsJson = normRegs.toSeq.sortBy(_._1).map { case (q, (cur, best)) =>
-      "\"" + q + "\":{\"norm\":" + fmt(cur) + ",\"best\":" + fmt(best) +
-        ",\"ratio\":" + fmt(cur / best) + "}"
-    }.mkString("{", ",", "}")
+    def regsJson(regs: Seq[(String, (Double, Double))]): String =
+      regs.map { case (q, (cur, best)) =>
+        "\"" + q + "\":{\"norm\":" + fmt(cur) + ",\"best\":" + fmt(best) +
+          ",\"ratio\":" + fmt(cur / best) + "}"
+      }.mkString("{", ",", "}")
+    val normRegsJson = regsJson(normRegs.toSeq.sortBy(_._1))
+    // stdout must respect the ~2k-char tail budget (see below): worst 8
+    // by ratio only, plus the total count; the FULL map goes in the file
+    // artifact. A ghost-flood run (42 flags observed) would otherwise
+    // push the tail past the budget and truncate the line's head — the
+    // BENCH_r06 parse-null failure all over again.
+    val normRegsStdout = regsJson(
+      normRegs.toSeq.sortBy { case (_, (cur, best)) => -cur / best }.take(8)
+        .sortBy(_._1))
     // Full-name artifact line (file + history): every query, 3 decimals.
     val calibFields =
       s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},"""
@@ -113,7 +126,8 @@ object Bench {
       .sortBy(_._1)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
-        s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},"norm_regressions":$normRegsJson,""" +
+        s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},""" +
+        s""""n_norm_regressions":${normRegs.size},"norm_regressions":$normRegsStdout,""" +
         s""""queries":${mapOf(slowest)},""" +
         s""""n_queries":${results.size},"full":"$out","sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -56,12 +56,30 @@ object BenchGate {
 
   private val normRe = """"norm":\{([^}]*)\}""".r
   private val sfRe = """"sf":"([^"]*)"""".r
+  private val calibStartRe = """"calib_start":([0-9.]+)""".r
+  private val calibEndRe = """"calib_end":([0-9.]+)""".r
 
   /** Parse one history line into (sf, query → norm). Tolerant: a line
-    * without a norm map (pre-round-9 history) parses to None.
+    * without a norm map (pre-round-9 history) parses to None. A line
+    * whose own calibration probes fail [[calibStable]] is REJECTED —
+    * a mid-run load transition blends loaded and quiet probes into one
+    * calibMedian, deflating the norms of whichever queries ran during
+    * the quiet half ~2×; admitting such a line into the best-of-window
+    * baseline would make HEALTHY follow-up runs flag those queries as
+    * ghosts for the next [[HistoryWindow]] rounds (and globalShift
+    * cannot save them: only a SUBSET of the registry deflates, so the
+    * registry median stays ~1). Lines predating the calib fields are
+    * kept — they cannot be judged, and rejecting them would empty the
+    * window on old machines.
     */
-  def parseHistLine(line: String): Option[(String, Map[String, Double])] =
-    for {
+  def parseHistLine(line: String): Option[(String, Map[String, Double])] = {
+    val unstable = (for {
+      cs <- calibStartRe.findFirstMatchIn(line)
+      ce <- calibEndRe.findFirstMatchIn(line)
+    } yield !calibStable(cs.group(1).toDouble, ce.group(1).toDouble))
+      .getOrElse(false)
+    if (unstable) None
+    else for {
       sfm <- sfRe.findFirstMatchIn(line)
       nm <- normRe.findFirstMatchIn(line)
       entries <- scala.util.Try {
@@ -71,6 +89,7 @@ object BenchGate {
         }.toMap
       }.toOption
     } yield sfm.group(1) -> entries
+  }
 
   /** query → (current norm, best historical norm) for every query whose
     * current norm clears both thresholds against the best of `history`.
@@ -124,15 +143,26 @@ object BenchGate {
     * append-only history file; missing/unreadable file → empty (first
     * run on a machine has no baseline, and the gate must never make the
     * bench itself fail).
+    *
+    * `minQueries` guards the window against PARTIAL runs: builder
+    * iteration with SPARK_GRAFT_BENCH_ONLY appends history lines
+    * covering a handful of queries, and five of those in a row would
+    * evict every full-registry baseline — after which `regressions()`
+    * silently reports nothing for the unfiltered queries ("no baseline
+    * → never flagged") and adjudication is vacuous. Bench passes half
+    * its own query count, so full runs only baseline against
+    * comparable-coverage lines while a filtered run can still compare
+    * its few queries against any line that has them.
     */
-  def loadHistory(histPath: String, sfDir: String): Seq[Map[String, Double]] =
+  def loadHistory(histPath: String, sfDir: String,
+                  minQueries: Int = 0): Seq[Map[String, Double]] =
     try {
       import scala.jdk.CollectionConverters._
       val p = java.nio.file.Paths.get(histPath)
       if (!java.nio.file.Files.exists(p)) Nil
       else java.nio.file.Files.readAllLines(p).asScala.toSeq
         .flatMap(parseHistLine)
-        .collect { case (sf, norms) if sf == sfDir => norms }
+        .collect { case (sf, norms) if sf == sfDir && norms.size >= minQueries => norms }
         .takeRight(HistoryWindow)
     } catch { case scala.util.control.NonFatal(_) => Nil }
 }

@@ -136,7 +136,12 @@ object CurateDemo {
     // land the curated corpus z-ordered on (doc_id, n_chars): every file
     // gets a tight min/max envelope on BOTH columns, so snapshot reads
     // filtered by either prune at row-group grain (operators/ZOrder)
-    val lakeDir = graft.core.TempDirs.scratch("curate-lake")
+    // Deliberately NOT TempDirs.scratch: this directory is the demo's
+    // ADVERTISED end product (printed below for post-run inspection of
+    // the z-ordered layout); the shutdown hook would reap it the moment
+    // the JVM exits. The nb/store scratch dirs above carry no such
+    // contract and stay hook-reaped.
+    val lakeDir = java.nio.file.Files.createTempDirectory("curate-lake").toString
     operators.ZOrder.clusterBy(
         sampled.select("doc_id", "text_norm", "lang", "source", "n_chars"),
         "doc_id", "n_chars", 8)

@@ -82,6 +82,34 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!BenchGate.calibStable(0.0, 0.3))  // degenerate probe: not stable
   }
 
+  test("parseHistLine rejects calib-unstable lines; legacy lines without probes are kept") {
+    // unstable run (2.8x probe drift): its norms are blended-calibration
+    // artifacts and must never become a best-of-window baseline
+    val unstable = s"""{"ts":1,"value":1.0,"calib_start":0.431,"calib_end":0.155,""" +
+      s""""norm":{"q1":1.0},"sf":"/d/sf0.1"}"""
+    assert(BenchGate.parseHistLine(unstable).isEmpty)
+    val stable = s"""{"ts":1,"value":1.0,"calib_start":0.362,"calib_end":0.163,""" +
+      s""""norm":{"q1":1.0},"sf":"/d/sf0.1"}"""
+    assert(BenchGate.parseHistLine(stable).contains("/d/sf0.1" -> Map("q1" -> 1.0)))
+    // pre-calib-era line: cannot be judged, kept
+    assert(BenchGate.parseHistLine(histLine("/d/sf0.1", "q1" -> 1.0)).isDefined)
+  }
+
+  test("loadHistory's coverage floor keeps subset runs out of a full run's window") {
+    val dir = graft.core.TempDirs.scratch("benchgate-spec3-")
+    val p = java.nio.file.Paths.get(dir, "hist.jsonl")
+    val full = histLine("/d/sf0.1", "q1" -> 2.0, "q2" -> 3.0, "q3" -> 4.0)
+    // five builder-iteration subset lines AFTER the full line — without
+    // the floor these would evict the only real baseline
+    val subsets = (1 to 5).map(i => histLine("/d/sf0.1", "q1" -> i.toDouble))
+    java.nio.file.Files.write(p, ((full +: subsets).mkString("\n")).getBytes)
+    // a 3-query run demands >= 2-query coverage: only the full line serves
+    val h = BenchGate.loadHistory(p.toString, "/d/sf0.1", minQueries = 2)
+    assert(h == Seq(Map("q1" -> 2.0, "q2" -> 3.0, "q3" -> 4.0)))
+    // a subset run (minQueries 0) still sees everything
+    assert(BenchGate.loadHistory(p.toString, "/d/sf0.1").size == 5)
+  }
+
   test("loadHistory filters by sf, keeps the window, survives a missing file") {
     val dir = graft.core.TempDirs.scratch("benchgate-spec-")
     val p = java.nio.file.Paths.get(dir, "hist.jsonl")
