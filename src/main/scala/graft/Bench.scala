@@ -86,32 +86,74 @@ object Bench {
     val hist = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", "/tmp/graft-bench-history.jsonl")
     val norms = samples.map { case (n, ts) =>
       n -> (if (calibMedian > 0) median(ts) / calibMedian else 0.0) }
+    // History-file identity (round-11 ADVICE): the default path is
+    // world-writable /tmp, so stamp what was actually read — line count +
+    // sha-256 prefix — into the artifact; a tampered/truncated baseline
+    // is then visible instead of silently feeding ghost flags.
+    val (histLines, histSha) = BenchGate.historyIdentity(hist)
     val (normShift, normRegs) =
       BenchGate.adjudicate(norms.toMap,
         // half this run's coverage: full runs ignore builder-subset
         // history lines; a subset run still compares against full lines
         BenchGate.loadHistory(hist, sfDir, minQueries = norms.size / 2))
     val calibStable = BenchGate.calibStable(calibStart, calibEnd)
+    // Uniform-regression tripwire (round-11 ADVICE): the shift-corrected
+    // bar absorbs a registry-wide slowdown by design, so a CALIB-STABLE
+    // run whose median shift clears the documented drift band gets an
+    // explicit warning field instead of relying on the reader to notice.
+    val shiftSuspect = BenchGate.shiftSuspect(normShift, calibStable)
+    // In-run ghost confirmation (round-12 verdict item 1): the start/end
+    // probes cannot see a MID-run load spike (BENCH_r11: q35 flagged at
+    // 10x under calib_stable=true). Re-time each flagged query NOW — a
+    // ghost re-times at its baseline, a real regression reproduces —
+    // against a FRESH calibration probe (the spike may still be here, in
+    // which case both the retime and its probe scale together).
+    val retimed: Map[String, (Option[Double], Option[Boolean])] =
+      if (normRegs.isEmpty) Map.empty
+      else {
+        val retimeCalib = calibProbe()(1)
+        val bar = BenchGate.RatioThreshold * math.max(1.0, normShift)
+        BenchGate.confirm(normRegs, bar, q =>
+          SparkEntry.queries.get(q).flatMap { fn =>
+            try {
+              // min of 2 warm iterations: ghost-refutation wants the
+              // cleanest sample — a real regression cannot run fast once
+              val ts = (1 to 2).map { _ =>
+                val t0 = System.nanoTime()
+                fn(spark, sfDir).queryExecution.toRdd.count()
+                (System.nanoTime() - t0) / 1e9
+              }
+              if (retimeCalib > 0) Some(ts.min / retimeCalib) else None
+            } catch { case scala.util.control.NonFatal(_) => None }
+          })
+      }
+    def jbool(b: Option[Boolean]): String = b.map(_.toString).getOrElse("null")
     def regsJson(regs: Seq[(String, (Double, Double))]): String =
       regs.map { case (q, (cur, best)) =>
+        val (rn, rc) = retimed.getOrElse(q, (None, None))
         "\"" + q + "\":{\"norm\":" + fmt(cur) + ",\"best\":" + fmt(best) +
-          ",\"ratio\":" + fmt(cur / best) + "}"
+          ",\"ratio\":" + fmt(cur / best) +
+          ",\"retime_norm\":" + rn.map(fmt).getOrElse("null") +
+          ",\"retime_confirmed\":" + jbool(rc) + "}"
       }.mkString("{", ",", "}")
     val normRegsJson = regsJson(normRegs.toSeq.sortBy(_._1))
-    // stdout must respect the ~2k-char tail budget (see below): worst 8
+    // stdout must respect the ~2k-char tail budget (see below): worst 6
     // by ratio only, plus the total count; the FULL map goes in the file
     // artifact. A ghost-flood run (42 flags observed) would otherwise
     // push the tail past the budget and truncate the line's head — the
-    // BENCH_r06 parse-null failure all over again.
+    // BENCH_r06 parse-null failure all over again. (6, not 8: the retime
+    // fields widened each entry ~45 chars.)
     val normRegsStdout = regsJson(
-      normRegs.toSeq.sortBy { case (_, (cur, best)) => -cur / best }.take(8)
+      normRegs.toSeq.sortBy { case (_, (cur, best)) => -cur / best }.take(6)
         .sortBy(_._1))
     // Full-name artifact line (file + history): every query, 3 decimals.
     val calibFields =
       s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},"""
     def fullLine: String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
-        s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},"norm_regressions":$normRegsJson,""" +
+        s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},""" +
+        s""""shift_suspect":$shiftSuspect,"hist_lines":$histLines,"hist_sha":"$histSha",""" +
+        s""""norm_regressions":$normRegsJson,""" +
         s""""queries":${mapOf(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     // The driver records only the LAST ~2000 chars of stdout; at 194
     // queries even short-id entries are ~2.4 kB, which is why BENCH_r06
@@ -127,6 +169,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
         s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},""" +
+        s""""shift_suspect":$shiftSuspect,""" +
         s""""n_norm_regressions":${normRegs.size},"norm_regressions":$normRegsStdout,""" +
         s""""queries":${mapOf(slowest)},""" +
         s""""n_queries":${results.size},"full":"$out","sf":"$sfDir"}""")

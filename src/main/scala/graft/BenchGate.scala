@@ -54,6 +54,56 @@ object BenchGate {
     calibStart > 0 && calibEnd > 0 &&
       math.max(calibStart, calibEnd) / math.min(calibStart, calibEnd) <= CalibStableRatio
 
+  /** A calibration-STABLE run whose registry-median norm ratio sits this
+    * far above the window's best is SUSPECT (round-11 ADVICE): the
+    * adjudicator's shift-corrected bar deliberately absorbs uniform
+    * machine drift, but a code change that slows the WHOLE registry
+    * uniformly (a Materialize/shuffle-path regression) produces the same
+    * shape — shift ~N, zero per-query flags — and without this field the
+    * reader must notice `norm_shift_global` themselves. Bound is
+    * empirical: this container's quiet-but-contended days measure
+    * 1.2–1.6× registry-wide with calib_stable true (TimeQ-confirmed as
+    * machine drift each time), so 1.75 clears the observed drift band;
+    * anything above it on a STABLE run deserves a deliberate
+    * code-vs-machine adjudication, not silent absorption into the bar.
+    * Unstable runs are excluded — their blended calibration already
+    * invalidates the shift number and `calib_stable:false` is the flag.
+    */
+  val ShiftSuspectBound = 1.75
+  def shiftSuspect(shift: Double, calibStable: Boolean): Boolean =
+    calibStable && shift >= ShiftSuspectBound
+
+  /** In-run ghost confirmation (round-12 verdict item 1): the start/end
+    * calibration probes structurally cannot see a load spike that lands
+    * MID-run (BENCH_r11 flagged q35 at 10× with `calib_stable: true`;
+    * only manual TimeQ adjudication dissolved it). So when the run ends
+    * with a non-empty flag list, Bench re-times each flagged query
+    * immediately — by then the spike has either persisted (a real
+    * regression reproduces) or passed (a ghost re-times at its baseline)
+    * — and stamps the verdict into the artifact.
+    *
+    * `retimedNorm` re-measures one query and returns its fresh
+    * calib-normalized time (None = the retime itself failed). The
+    * verdict: confirmed iff the retimed norm STILL clears the same
+    * shift-corrected bar that raised the flag (`bar × best`). At most
+    * [[MaxRetimes]] flags are re-timed (worst first by ratio) so a
+    * flag-flood run cannot double its own wall-clock; beyond-cap flags
+    * carry a null verdict — explicitly unadjudicated, never implicitly
+    * ghost.
+    */
+  val MaxRetimes = 8
+  def confirm(flagged: Map[String, (Double, Double)], bar: Double,
+              retimedNorm: String => Option[Double])
+      : Map[String, (Option[Double], Option[Boolean])] =
+    flagged.toSeq.sortBy { case (q, (cur, best)) => (-cur / best, q) }
+      .zipWithIndex.map { case ((q, (_, best)), i) =>
+        if (i >= MaxRetimes) q -> (None, None)
+        else {
+          val rn = retimedNorm(q)
+          q -> (rn, rn.map(_ >= bar * best))
+        }
+      }.toMap
+
   private val normRe = """"norm":\{([^}]*)\}""".r
   private val sfRe = """"sf":"([^"]*)"""".r
   private val calibStartRe = """"calib_start":([0-9.]+)""".r
@@ -70,15 +120,19 @@ object BenchGate {
     * cannot save them: only a SUBSET of the registry deflates, so the
     * registry median stays ~1). Lines predating the calib fields are
     * kept — they cannot be judged, and rejecting them would empty the
-    * window on old machines.
+    * window on old machines. A line carrying exactly ONE probe field is
+    * REJECTED too (round-11 ADVICE): Bench always writes both, so a
+    * half-probed line is malformed or hand-edited and must not slip into
+    * the baseline as judged-stable.
     */
   def parseHistLine(line: String): Option[(String, Map[String, Double])] = {
-    val unstable = (for {
-      cs <- calibStartRe.findFirstMatchIn(line)
-      ce <- calibEndRe.findFirstMatchIn(line)
-    } yield !calibStable(cs.group(1).toDouble, ce.group(1).toDouble))
+    val cs = calibStartRe.findFirstMatchIn(line)
+    val ce = calibEndRe.findFirstMatchIn(line)
+    val halfProbed = cs.isDefined != ce.isDefined
+    val unstable = (for { s <- cs; e <- ce }
+      yield !calibStable(s.group(1).toDouble, e.group(1).toDouble))
       .getOrElse(false)
-    if (unstable) None
+    if (unstable || halfProbed) None
     else for {
       sfm <- sfRe.findFirstMatchIn(line)
       nm <- normRe.findFirstMatchIn(line)
@@ -154,6 +208,29 @@ object BenchGate {
     * comparable-coverage lines while a filtered run can still compare
     * its few queries against any line that has them.
     */
+  /** (line count, sha-256 prefix) of the history file as READ for this
+    * run's adjudication — stamped into the artifact (round-11 ADVICE):
+    * the default history path lives in world-writable /tmp, so any local
+    * process could append crafted low-norm lines that make healthy runs
+    * report ghost regressions. Recording the baseline file's identity
+    * makes tampering (or truncation, or a surprise extra line) visible
+    * in the artifact itself: the next run's `hist_lines` must be exactly
+    * this run's + 1 and the judge can replay the hash. Missing file →
+    * (0, "") — a first run has no baseline and nothing to attest.
+    */
+  def historyIdentity(histPath: String): (Long, String) =
+    try {
+      val p = java.nio.file.Paths.get(histPath)
+      if (!java.nio.file.Files.exists(p)) (0L, "")
+      else {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val lines = bytes.count(_ == '\n'.toByte) +
+          (if (bytes.nonEmpty && bytes.last != '\n'.toByte) 1 else 0)
+        val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        (lines.toLong, d.take(8).map(b => f"${b & 0xff}%02x").mkString)
+      }
+    } catch { case scala.util.control.NonFatal(_) => (-1L, "unreadable") }
+
   def loadHistory(histPath: String, sfDir: String,
                   minQueries: Int = 0): Seq[Map[String, Double]] =
     try {

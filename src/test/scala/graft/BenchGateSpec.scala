@@ -95,6 +95,73 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.parseHistLine(histLine("/d/sf0.1", "q1" -> 1.0)).isDefined)
   }
 
+  test("parseHistLine rejects a line carrying exactly one calibration probe field") {
+    // Bench always writes both probes; a half-probed line is malformed or
+    // hand-edited and must not be admitted as judged-stable (ADVICE r11)
+    val startOnly = s"""{"ts":1,"value":1.0,"calib_start":0.3,""" +
+      s""""norm":{"q1":1.0},"sf":"/d/sf0.1"}"""
+    val endOnly = s"""{"ts":1,"value":1.0,"calib_end":0.3,""" +
+      s""""norm":{"q1":1.0},"sf":"/d/sf0.1"}"""
+    assert(BenchGate.parseHistLine(startOnly).isEmpty)
+    assert(BenchGate.parseHistLine(endOnly).isEmpty)
+    // both present and stable: kept (the control for this test)
+    val both = s"""{"ts":1,"value":1.0,"calib_start":0.30,"calib_end":0.25,""" +
+      s""""norm":{"q1":1.0},"sf":"/d/sf0.1"}"""
+    assert(BenchGate.parseHistLine(both).isDefined)
+  }
+
+  test("shiftSuspect warns on a calib-stable uniform slowdown past the drift band") {
+    // observed machine drift tops out ~1.6x registry-wide: below bound
+    assert(!BenchGate.shiftSuspect(1.6, calibStable = true))
+    // a uniform 2x on a STABLE run is the absorbed-real-regression shape
+    assert(BenchGate.shiftSuspect(2.0, calibStable = true))
+    assert(BenchGate.shiftSuspect(BenchGate.ShiftSuspectBound, calibStable = true))
+    // unstable runs already carry calib_stable=false — no double flag
+    assert(!BenchGate.shiftSuspect(3.0, calibStable = false))
+    assert(!BenchGate.shiftSuspect(0.9, calibStable = true))
+  }
+
+  test("confirm: a planted persistent regression re-times confirmed, a one-shot spike re-times ghost") {
+    // flag raised at bar 1.5 against best: q_real's code is genuinely 3x
+    // (re-times at the same high norm); q_ghost was a mid-run load spike
+    // (re-times at its historical baseline)
+    val flagged = Map("q_real" -> (12.0, 4.0), "q_ghost" -> (12.0, 4.0))
+    val verdicts = BenchGate.confirm(flagged, bar = 1.5, {
+      case "q_real"  => Some(11.8)
+      case "q_ghost" => Some(4.1)
+      case _         => None
+    })
+    assert(verdicts("q_real") == (Some(11.8), Some(true)))
+    assert(verdicts("q_ghost") == (Some(4.1), Some(false)))
+  }
+
+  test("confirm: retime failure yields a null verdict; the flood cap stops at MaxRetimes worst-by-ratio") {
+    val failed = BenchGate.confirm(Map("q1" -> (12.0, 4.0)), 1.5, _ => None)
+    assert(failed("q1") == (None, None))
+    // 10 flags, ratios 2..11 — only the 8 WORST are re-timed; the two
+    // smallest ratios (q01 at 2x, q02 at 3x) stay explicitly unadjudicated
+    val flood = (1 to 10).map(i => f"q$i%02d" -> (2.0 * (i + 1), 2.0)).toMap
+    var timed = List.empty[String]
+    val v = BenchGate.confirm(flood, 1.5, { q => timed ::= q; Some(2.0) })
+    assert(timed.size == BenchGate.MaxRetimes)
+    assert(v("q01") == (None, None) && v("q02") == (None, None))
+    assert(v("q10") == (Some(2.0), Some(false))) // worst flag was re-timed
+  }
+
+  test("historyIdentity reports line count and a stable hash; missing file is (0, empty)") {
+    val dir = graft.core.TempDirs.scratch("benchgate-hist-id-")
+    val p = java.nio.file.Paths.get(dir, "h.jsonl")
+    java.nio.file.Files.write(p, "line1\nline2\n".getBytes)
+    val (n, sha) = BenchGate.historyIdentity(p.toString)
+    assert(n == 2 && sha.length == 16)
+    // appending one line moves BOTH fields — tamper/truncation visible
+    java.nio.file.Files.write(p, "line3".getBytes,
+      java.nio.file.StandardOpenOption.APPEND)
+    val (n2, sha2) = BenchGate.historyIdentity(p.toString)
+    assert(n2 == 3 && sha2 != sha)
+    assert(BenchGate.historyIdentity("/nonexistent/h.jsonl") == (0L, ""))
+  }
+
   test("loadHistory's coverage floor keeps subset runs out of a full run's window") {
     val dir = graft.core.TempDirs.scratch("benchgate-spec3-")
     val p = java.nio.file.Paths.get(dir, "hist.jsonl")
