@@ -44,19 +44,20 @@ object DedupGraph {
     * CC — so the labels (and the oracle hash) are unchanged; only
     * where they are computed moved. Its win over the old inline form
     * scales with the store/batch asymmetry production actually has.
-    * Converges to exactly the full-recompute labels PROVIDED no
-    * shingle's df crosses the [2,50] cap between the store corpus and
-    * the full corpus (batch occurrences pushing a store-rare gram over
-    * 50 leave store–store edges in `stored` that the cold recompute's
-    * full-corpus cap excludes — an over-merge inherited unchanged from
-    * the pre-delta seeded form, and absent at every tested SF/seed:
-    * the oracle hashes would catch a crossing). Within that cap
-    * invariant the equality is exact: stored labels are component
-    * minima, so the contracted fixpoint's min is the merged
-    * component's true minimum (proof at [[connectedComponentsDelta]]).
-    * The oracle is therefore q101's recursive CTE verbatim: any
-    * incremental shortcut that changed ANY label would hash-mismatch
-    * the cold answer.
+    * Converges to exactly the full-recompute labels UNCONDITIONALLY
+    * (round 12): the one caveat this operator carried since round 9 —
+    * batch occurrences pushing a store-rare gram over the df cap leave
+    * store–store edges in `stored` that the cold recompute's
+    * full-corpus cap excludes, an over-merge — is closed by
+    * [[repairStoredLabels]], which re-flags the persisted store
+    * postings under the full-corpus cap (one filter off the df
+    * aggregate the body already shares) and re-solves only the
+    * components that lost an edge. With the store labels thus the
+    * component minima of the FULL-cap store graph, the contracted
+    * fixpoint's min is the merged component's true minimum (proof at
+    * [[connectedComponentsDelta]]). The oracle is therefore q101's
+    * recursive CTE verbatim: any incremental shortcut that changed ANY
+    * label would hash-mismatch the cold answer.
     */
   private val q108Built =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -79,16 +80,22 @@ object DedupGraph {
       dir
     })
 
-  /** The fixture body, extracted for direct testing: the store corpus's
-    * near-dup edges under the STORE-corpus df cap [2,50], run to a CC
-    * fixpoint — byte-for-byte the pipeline q108 ran inline before the
-    * round-11 fixture split (the count-if df aggregate over the full
-    * corpus restricted to store docs equals the plain count over the
-    * store corpus, and shingling is per-doc).
+  /** The store pipeline shared by the fixture build and the spec's
+    * synthetic-corpus tests: near-dup edges under the STORE-corpus df cap
+    * [2,50], run to a CC fixpoint — byte-for-byte the pipeline q108 ran
+    * inline before the round-11 fixture split (the count-if df aggregate
+    * over the full corpus restricted to store docs equals the plain count
+    * over the store corpus, and shingling is per-doc). Returns (labels,
+    * postings): the converged labels AND the cap-admitted (doc_id,
+    * shingle) posting table — production persists both (the postings are
+    * the same bucket/posting state q73/q74's incremental stores keep),
+    * and the postings are what lets a later batch repair cap-crossing
+    * grams surgically ([[repairStoredLabels]]) instead of rebuilding the
+    * store graph. Every posting doc is edge-incident (an admitted gram
+    * has df_store ≥ 2, so ≥2 store docs share it), so the two tables
+    * cover exactly the same doc set.
     */
-  private[llmops] def buildStoredLabels(s: SparkSession, d: String,
-                                        dir: String): Unit = {
-    val store = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+  private[llmops] def storeState(store: DataFrame): (DataFrame, DataFrame) = {
     val grams = shingles(graft.operators.Ops.fanOut(store), 5)
     val dfs = grams.groupBy("shingle").agg(count(lit(1)).as("__df_store"))
     val g2s = graft.core.Materialize(
@@ -101,33 +108,139 @@ object DedupGraph {
       .distinct()
     val storeEdges = graft.core.Materialize(
       halfS.union(halfS.select(col("dst").as("src"), col("src").as("dst"))))
-    connectedComponents(storeEdges)
-      .write.mode("overwrite").parquet(s"$dir/stored.parquet")
+    (connectedComponents(storeEdges), g2s)
+  }
+
+  private[llmops] def buildStoredLabels(s: SparkSession, d: String,
+                                        dir: String): Unit = {
+    val store = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+    val (labels, postings) = storeState(store)
+    postings.write.mode("overwrite").parquet(s"$dir/postings.parquet")
+    labels.write.mode("overwrite").parquet(s"$dir/stored.parquet")
+  }
+
+  /** Cap-crossing repair (round-12 verdict item 2 — deletes the
+    * over-merge caveat q108 carried since round 9): a gram that was
+    * store-admitted (df_store ∈ [2,50]) but whose FULL-corpus df exceeds
+    * 50 after the batch lands contributed store–store edges the cold
+    * full-cap recompute excludes, so stored components joined only by
+    * such grams are over-merged. The repair recomputes the store-side
+    * keep flag under the full-corpus cap — one filter off the df
+    * aggregate the body already computes — and re-solves ONLY the
+    * components that actually lost an edge:
+    *
+    *   1. crossing postings = store postings whose full df > 50 (the
+    *      lower bound cannot cross: df_full ≥ df_store ≥ 2);
+    *   2. candidate-drop pairs = store pairs sharing a crossing gram
+    *      (≤ |crossing grams| × C(50,2) — cap-bounded, never corpus²);
+    *   3. a pair is truly dropped iff NO still-kept gram supports it
+    *      (two keyed joins against the kept postings);
+    *   4. components touching a dropped pair are re-solved from their
+    *      kept-gram edges (restricting both sides to affected docs loses
+    *      nothing: a kept store–store edge stays inside one store
+    *      component, so its endpoints are either both affected or both
+    *      not); members left edge-less drop out of the label table,
+    *      matching the cold oracle's edge-incident row set.
+    *
+    * Work is O(store-posting join + crossing² + affected components) —
+    * the no-crossing case (every tested SF/seed) reduces to one keyed
+    * join and an empty-table branch check, and the result is then
+    * EXACTLY `stored`. Correctness: kept postings are precisely the
+    * grams the full-corpus cap admits among store docs (df_store > 50 ⇒
+    * df_full > 50, so nothing outside the store posting table can
+    * re-enter), hence the repaired labels are the component minima of
+    * the full-cap store–store graph and [[connectedComponentsDelta]]'s
+    * proof applies verbatim.
+    */
+  private[llmops] def repairStoredLabels(stored: DataFrame,
+                                         postings: DataFrame,
+                                         fullDf: DataFrame): DataFrame = {
+    val postDf = graft.core.Materialize(
+      postings.join(fullDf, "shingle")
+        .select(col("doc_id"), col("shingle"), col("__df_full")))
+    val keptPost = postDf.filter(col("__df_full") <= 50)
+      .select("doc_id", "shingle")
+    val crossPost = postDf.filter(col("__df_full") > 50)
+      .select("doc_id", "shingle")
+    val dropCand = crossPost.as("a").join(crossPost.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val supported = dropCand
+      .join(keptPost.select(col("doc_id").as("src"), col("shingle").as("__g")),
+        "src")
+      .join(keptPost.select(col("doc_id").as("dst"), col("shingle").as("__g")),
+        Seq("dst", "__g"))
+      .select("src", "dst").distinct()
+    val dropped = graft.core.Materialize(
+      dropCand.join(supported, Seq("src", "dst"), "left_anti"))
+    // Production branches here too: no dropped edge → stored state is
+    // already the full-cap answer, skip the re-solve. Bounded driver
+    // read (limit-1 existence probe, the reviewed scalar-read class).
+    if (dropped.isEmpty) stored
+    else {
+      val affected = graft.core.Materialize(
+        stored.join(
+            dropped.select(explode(array(col("src"), col("dst"))).as("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .select("cluster").distinct())
+      val affectedDocs = graft.core.Materialize(
+        stored.join(affected, Seq("cluster"), "left_semi").select("doc_id"))
+      val subPost = keptPost.join(affectedDocs, Seq("doc_id"), "left_semi")
+      val subHalf = subPost.as("a").join(subPost.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+        .distinct()
+      val subEdges = graft.core.Materialize(
+        subHalf.union(subHalf.select(col("dst").as("src"), col("src").as("dst"))))
+      stored.join(affected, Seq("cluster"), "left_anti")
+        .select("doc_id", "cluster")
+        .union(connectedComponents(subEdges))
+    }
+  }
+
+  /** The q108 timed body on explicit inputs (extracted so the spec can
+    * drive a synthetic cap-crossing corpus through the EXACT production
+    * path): full-corpus df cap, store-label repair, batch-incident delta
+    * edges, contract–solve–expand.
+    */
+  private[llmops] def incrementalCC(docs: DataFrame, stored: DataFrame,
+                                    postings: DataFrame): DataFrame = {
+    val isBatch = col("doc_id") % 5 === 0
+    // ONE tokenize pass feeds everything: grams is Materialized (the old
+    // body re-tokenized the corpus inside the caps subtree), caps is
+    // Materialized because it now has two consumers (the g2f keep filter
+    // and the repair's crossing filter).
+    val grams = graft.core.Materialize(
+      shingles(graft.operators.Ops.fanOut(docs), 5))
+    val caps = graft.core.Materialize(
+      grams.groupBy("shingle").agg(count(lit(1)).as("__df_full")))
+    val g2f = graft.core.Materialize(
+      grams.join(caps, "shingle")
+        .filter(col("__df_full").between(2, 50))
+        .select("doc_id", "shingle"))
+    val storedFixed = repairStoredLabels(stored, postings, caps)
+    val halfD = g2f.filter(isBatch).as("a").join(g2f.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
+      .distinct()
+    val deltaEdges = graft.core.Materialize(
+      halfD.union(halfD.select(col("dst").as("src"), col("src").as("dst"))))
+    connectedComponentsDelta(deltaEdges, storedFixed)
   }
 
   val q108 = QuerySpec(
     "q108_incremental_cc",
     (s, d) => {
-      val stored = s.read.parquet(s"${storedLabels(s, d)}/stored.parquet")
-      val docs = Tables.documents(s, d)
-      val isBatch = col("doc_id") % 5 === 0
+      val dir = storedLabels(s, d)
+      val stored = s.read.parquet(s"$dir/stored.parquet")
+      val postings = s.read.parquet(s"$dir/postings.parquet")
       // Timed body = production's per-batch work: the full-corpus df cap
       // (irreducible — the oracle defines it over old ∪ new), the
-      // batch-incident pair join, and the contracted delta fixpoint.
-      val grams = shingles(graft.operators.Ops.fanOut(docs), 5)
-      val caps = grams.groupBy("shingle").agg(count(lit(1)).as("__df_full"))
-      val g2f = graft.core.Materialize(
-        grams.join(caps, "shingle")
-          .filter(col("__df_full").between(2, 50))
-          .select("doc_id", "shingle"))
-      val halfD = g2f.filter(isBatch).as("a").join(g2f.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
-        .select(least(col("a.doc_id"), col("b.doc_id")).as("src"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("dst"))
-        .distinct()
-      val deltaEdges = graft.core.Materialize(
-        halfD.union(halfD.select(col("dst").as("src"), col("src").as("dst"))))
-      connectedComponentsDelta(deltaEdges, stored)
+      // cap-crossing store repair, the batch-incident pair join, and the
+      // contracted delta fixpoint.
+      incrementalCC(Tables.documents(s, d), stored, postings)
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $neardupEdgesCtes,

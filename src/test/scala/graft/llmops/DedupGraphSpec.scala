@@ -94,7 +94,9 @@ class DedupGraphSpec extends SparkTestBase {
     // The invariant that must survive the move: the END ANSWER equals a
     // cold full-corpus recompute (CC over edges under the full-corpus
     // df cap [2,50] — the oracle's recursive-CTE definition) on the
-    // real corpus, where the cap-crossing caveat (Dedup scaladoc) holds.
+    // real corpus. (Since round 12 this equality is unconditional —
+    // repairStoredLabels closes the cap-crossing case, exercised by the
+    // dedicated crossing-fixture test below.)
     val d = sf("sf0.001")
     val got = DedupGraph.q108.run(spark, d)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -116,6 +118,72 @@ class DedupGraphSpec extends SparkTestBase {
     val dir1 = DedupGraph.storedLabels(spark, d)
     assert(DedupGraph.storedLabels(spark, d) == dir1)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir1, "stored.parquet")))
+  }
+
+  test("q108: a gram crossing the df cap between store and full corpus does NOT over-merge") {
+    // The round-9→11 caveat, now closed (round-12 verdict item 2):
+    //   store docs 1,2,3 share gram G only; df_store(G) = 3 → the store
+    //   pipeline admits G and merges {1,2,3}. 48 batch docs (%5 = 0)
+    //   each carry G once → df_full(G) = 51 > 50, so the cold full-cap
+    //   recompute REJECTS G: 1,2,3 have no edges at all and must vanish
+    //   from the label table, not stay merged. Store docs 6,7 share a
+    //   healthy gram H (df_full = 2) as the untouched-component control.
+    val g = "g1 g2 g3 g4 g5"; val h = "h1 h2 h3 h4 h5"
+    val storeRows = Seq(
+      row(1, "a1 a2 a3 a4 a5 " + g), row(2, "b1 b2 b3 b4 b5 " + g),
+      row(3, "c1 c2 c3 c4 c5 " + g),
+      row(6, h + " s1 s2 s3 s4 s5"), row(7, h + " t1 t2 t3 t4 t5"))
+    val batchRows = (1 to 48).map(i =>
+      row(5L * i, s"p${i}a p${i}b p${i}c p${i}d p${i}e " + g))
+    val dir = docsDir(storeRows ++ batchRows)
+    val docs = graft.Tables.documents(spark, dir)
+    val (stored, postings) = DedupGraph.storeState(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    // precondition: the store state IS over-merged (G admitted at store
+    // time) — otherwise this fixture exercises nothing
+    val storeMap = stored.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(storeMap(1L) == 1L && storeMap(2L) == 1L && storeMap(3L) == 1L,
+      s"fixture must merge 1,2,3 in the store: $storeMap")
+    val got = DedupGraph.incrementalCC(docs, stored, postings)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // cold full-cap recompute: G rejected, only the 6–7 edge survives
+    assert(got == Map(6L -> 6L, 7L -> 6L),
+      s"cap-crossing gram must be repaired, not over-merged: $got")
+  }
+
+  test("repairStoredLabels: partial crossing re-solves the component, no crossing is identity") {
+    // component {1,2,3}: 1–2 held by BOTH a crossing gram G and a kept
+    // gram K; 2–3 held ONLY by G → after repair {1,2} stay merged, 3
+    // splits off as a singleton WITH remaining edges? no — 3 loses its
+    // only edge and drops out. Component {6,7} (gram H) is untouched.
+    val g = "g1 g2 g3 g4 g5"; val k = "k1 k2 k3 k4 k5"; val h = "h1 h2 h3 h4 h5"
+    val storeRows = Seq(
+      row(1, g + " x1 x2 x3 x4 x5 " + k), row(2, g + " y1 y2 y3 y4 y5 " + k),
+      row(3, g + " z1 z2 z3 z4 z5"),
+      row(6, h + " s1 s2 s3 s4 s5"), row(7, h + " t1 t2 t3 t4 t5"))
+    val batchRows = (1 to 48).map(i =>
+      row(5L * i, s"p${i}a p${i}b p${i}c p${i}d p${i}e " + g))
+    val dir = docsDir(storeRows ++ batchRows)
+    val docs = graft.Tables.documents(spark, dir)
+    val (stored, postings) = DedupGraph.storeState(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val caps = Dedup.shingles(graft.operators.Ops.fanOut(docs), 5)
+      .groupBy("shingle").agg(count(lit(1)).as("__df_full"))
+    val fixed = DedupGraph.repairStoredLabels(stored, postings, caps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fixed == Map(1L -> 1L, 2L -> 1L, 6L -> 6L, 7L -> 6L),
+      s"expected {1,2} kept via K, 3 dropped, {6,7} untouched: $fixed")
+    // no-crossing corpus: repair must be the identity on the store state
+    val dir2 = docsDir(storeRows) // without the batch, nothing crosses
+    val docs2 = graft.Tables.documents(spark, dir2)
+    val (stored2, postings2) = DedupGraph.storeState(
+      docs2.filter(col("doc_id") % 5 =!= 0))
+    val caps2 = Dedup.shingles(graft.operators.Ops.fanOut(docs2), 5)
+      .groupBy("shingle").agg(count(lit(1)).as("__df_full"))
+    val fixed2 = DedupGraph.repairStoredLabels(stored2, postings2, caps2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val stored2Map = stored2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fixed2 == stored2Map, "no crossing: repair must be the identity")
   }
 
   test("connectedComponentsDelta: chained merges across contracted components") {
