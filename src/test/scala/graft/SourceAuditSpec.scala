@@ -119,9 +119,14 @@ class SourceAuditSpec extends AnyFunSuite {
     "llmops/Similarity.scala" -> 8,
     "llmops/ProductQuant.scala" -> 3,
     "llmops/VideoMeta.scala" -> 2,
-    "llmops/ImageMeta.scala" -> 2,
+    // round 12: +4 — synthPng (JDK ImageIO PNG encode) and pngPixelStats
+    // (ImageIO pixel decode), both byte-level codec work with the
+    // per-partition init slot; per-row work capped at 48 pixels (q249);
+    // 2 code sites + 2 scaladoc mentions
+    "llmops/ImageMeta.scala" -> 6,
     "llmops/AudioMeta.scala" -> 2,
-    "llmops/Multimodal.scala" -> 3)
+    // round 12: +1 scaladoc mention (q249's plan-shape note)
+    "llmops/Multimodal.scala" -> 4)
 
   /** file → (reviewed combined `collect_list`+`collect_set` occurrence
     * count, per-group bound argument). An unbounded array aggregate over

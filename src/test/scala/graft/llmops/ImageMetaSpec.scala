@@ -109,4 +109,40 @@ class ImageMetaSpec extends SparkTestBase {
     assert(out(0).getString(1) == "png" && out(0).getInt(2) == 3)
     assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
+
+  test("synthPng -> pngPixelStats recovers hand-computed channel sums (q249 round trip)") {
+    import spark.implicits._
+    // media_id 10, 2x1: pixel rule gives (r,g,b) = (10,20,70) at x=0 and
+    // (11,25,81) at x=1 → sums (21,45,151). A real decode must walk the
+    // inflated IDAT raster to produce these — header echoing cannot.
+    val src = Seq((10L, 2, 1), (3L, 1, 3)).toDF("media_id", "w", "h")
+    val out = ImageMeta.pngPixelStats(ImageMeta.synthPng(src))
+      .orderBy("media_id").collect()
+    // media_id 3, 1x3: r = (3 + 83y) % 256 for y=0..2 → 3+86+169 = 258;
+    // g = (6 + 31y) → 6+37+68 = 111; b = (21 + 3y) → 21+24+27 = 72
+    assert(out(0).getLong(0) == 3L && out(0).getInt(1) == 1 && out(0).getInt(2) == 3)
+    assert((out(0).getLong(4), out(0).getLong(5), out(0).getLong(6)) == ((258L, 111L, 72L)))
+    assert(out(1).getLong(0) == 10L && out(1).getInt(1) == 2 && out(1).getInt(2) == 1)
+    assert(out(1).getLong(3) == 2L)
+    assert((out(1).getLong(4), out(1).getLong(5), out(1).getLong(6)) == ((21L, 45L, 151L)))
+    // the synthesized payload is a complete PNG (signature + IHDR parse)
+    val bytes = ImageMeta.synthPng(Seq((10L, 2, 1)).toDF("media_id", "w", "h"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(ImageMeta.parse(bytes).contains(("png", 2, 1)))
+  }
+
+  test("pngPixelStats: corrupt or non-PNG payloads yield null stats, not failure") {
+    import spark.implicits._
+    val good = ImageMeta.synthPng(Seq((1L, 2, 2)).toDF("media_id", "w", "h"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    // truncate mid-IDAT: valid signature + IHDR, broken stream — ImageIO
+    // must not crash the task
+    val rows = Seq((1L, good), (2L, good.take(40)), (3L, "junk".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val out = ImageMeta.pngPixelStats(rows.toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    assert(out(0).getInt(1) == 2 && out(0).getLong(3) == 4L)
+    assert(out(1).isNullAt(1), "truncated IDAT must fold to nulls")
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
 }
