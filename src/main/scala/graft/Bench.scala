@@ -89,13 +89,17 @@ object Bench {
     // History-file identity (round-11 ADVICE): the default path is
     // world-writable /tmp, so stamp what was actually read — line count +
     // sha-256 prefix — into the artifact; a tampered/truncated baseline
-    // is then visible instead of silently feeding ghost flags.
-    val (histLines, histSha) = BenchGate.historyIdentity(hist)
+    // is then visible instead of silently feeding ghost flags. ONE read
+    // feeds both the hash and the baseline: a second read would open a
+    // window for a writer to make the attestation describe a different
+    // file than the one adjudicated.
+    val histBytes = BenchGate.readHistoryBytes(hist)
+    val (histLines, histSha) = BenchGate.historyIdentity(histBytes)
     val (normShift, normRegs) =
       BenchGate.adjudicate(norms.toMap,
         // half this run's coverage: full runs ignore builder-subset
         // history lines; a subset run still compares against full lines
-        BenchGate.loadHistory(hist, sfDir, minQueries = norms.size / 2))
+        BenchGate.loadHistoryBytes(histBytes, sfDir, minQueries = norms.size / 2))
     val calibStable = BenchGate.calibStable(calibStart, calibEnd)
     // Uniform-regression tripwire (round-11 ADVICE): the shift-corrected
     // bar absorbs a registry-wide slowdown by design, so a CALIB-STABLE

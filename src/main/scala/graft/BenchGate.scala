@@ -84,23 +84,27 @@ object BenchGate {
     *
     * `retimedNorm` re-measures one query and returns its fresh
     * calib-normalized time (None = the retime itself failed). The
-    * verdict: confirmed iff the retimed norm STILL clears the same
-    * shift-corrected bar that raised the flag (`bar × best`). At most
-    * [[MaxRetimes]] flags are re-timed (worst first by ratio) so a
-    * flag-flood run cannot double its own wall-clock; beyond-cap flags
-    * carry a null verdict — explicitly unadjudicated, never implicitly
-    * ghost.
+    * verdict: confirmed iff the retimed norm STILL satisfies the FULL
+    * condition that raised the flag — `bar × best` AND the [[MinNorm]]
+    * absolute floor. Dropping the floor here would let a sub-second
+    * query that was jitter-flagged just past the floor re-time BACK
+    * into the jitter band (a value `regressions()` itself would never
+    * flag) yet get stamped confirmed. At most [[MaxRetimes]] flags are
+    * re-timed (worst first by ratio) so a flag-flood run cannot double
+    * its own wall-clock; beyond-cap flags carry a null verdict —
+    * explicitly unadjudicated, never implicitly ghost.
     */
   val MaxRetimes = 8
   def confirm(flagged: Map[String, (Double, Double)], bar: Double,
-              retimedNorm: String => Option[Double])
+              retimedNorm: String => Option[Double],
+              minNorm: Double = MinNorm)
       : Map[String, (Option[Double], Option[Boolean])] =
     flagged.toSeq.sortBy { case (q, (cur, best)) => (-cur / best, q) }
       .zipWithIndex.map { case ((q, (_, best)), i) =>
         if (i >= MaxRetimes) q -> (None, None)
         else {
           val rn = retimedNorm(q)
-          q -> (rn, rn.map(_ >= bar * best))
+          q -> (rn, rn.map(r => r >= minNorm && r >= bar * best))
         }
       }.toMap
 
@@ -193,10 +197,57 @@ object BenchGate {
     (shift, regressions(current, history, ratio = bar))
   }
 
-  /** The last [[HistoryWindow]] history lines for `sfDir` from the
-    * append-only history file; missing/unreadable file → empty (first
-    * run on a machine has no baseline, and the gate must never make the
-    * bench itself fail).
+  /** ONE atomic read of the history file, shared by the identity
+    * attestation AND the adjudication baseline. The single read is the
+    * point, not a convenience: reading the file once for the hash and
+    * again for the baseline would let a writer (the tamperer the
+    * round-11 ADVICE names, or a concurrently finishing bench) slip a
+    * line between the two reads — the artifact would then attest a
+    * DIFFERENT baseline than the one that produced the flags, defeating
+    * the attestation. Missing/unreadable → None: no baseline, and
+    * truthfully nothing to attest.
+    */
+  def readHistoryBytes(histPath: String): Option[Array[Byte]] =
+    try {
+      val p = java.nio.file.Paths.get(histPath)
+      if (!java.nio.file.Files.exists(p)) None
+      else Some(java.nio.file.Files.readAllBytes(p))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (line count, sha-256 prefix) of the history bytes as READ for this
+    * run's adjudication — stamped into the artifact (round-11 ADVICE):
+    * the default history path lives in world-writable /tmp, so any local
+    * process could append crafted low-norm lines that make healthy runs
+    * report ghost regressions. Recording the baseline's identity makes
+    * tampering (or truncation, or a surprise extra line) visible in the
+    * artifact itself: the next run's `hist_lines` must be exactly this
+    * run's + 1 and the judge can replay the hash. No file → (0, "") —
+    * a first run has no baseline and nothing to attest.
+    */
+  def historyIdentity(bytes: Option[Array[Byte]]): (Long, String) =
+    bytes match {
+      case None => (0L, "")
+      case Some(b) =>
+        val lines = b.count(_ == '\n'.toByte) +
+          (if (b.nonEmpty && b.last != '\n'.toByte) 1 else 0)
+        val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+        (lines.toLong, d.take(8).map(x => f"${x & 0xff}%02x").mkString)
+    }
+
+  /** Path convenience for tooling/specs — production callers must use
+    * the bytes overload on a single [[readHistoryBytes]] read.
+    */
+  def historyIdentity(histPath: String): (Long, String) =
+    historyIdentity(readHistoryBytes(histPath))
+
+  private def historyTextLines(bytes: Option[Array[Byte]]): Seq[String] =
+    bytes.toSeq.flatMap(b =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8).linesIterator)
+
+  /** The last [[HistoryWindow]] history lines for `sfDir` from
+    * already-read history bytes; None → empty (first run on a machine
+    * has no baseline, and the gate must never make the bench itself
+    * fail).
     *
     * `minQueries` guards the window against PARTIAL runs: builder
     * iteration with SPARK_GRAFT_BENCH_ONLY appends history lines
@@ -208,38 +259,17 @@ object BenchGate {
     * comparable-coverage lines while a filtered run can still compare
     * its few queries against any line that has them.
     */
-  /** (line count, sha-256 prefix) of the history file as READ for this
-    * run's adjudication — stamped into the artifact (round-11 ADVICE):
-    * the default history path lives in world-writable /tmp, so any local
-    * process could append crafted low-norm lines that make healthy runs
-    * report ghost regressions. Recording the baseline file's identity
-    * makes tampering (or truncation, or a surprise extra line) visible
-    * in the artifact itself: the next run's `hist_lines` must be exactly
-    * this run's + 1 and the judge can replay the hash. Missing file →
-    * (0, "") — a first run has no baseline and nothing to attest.
-    */
-  def historyIdentity(histPath: String): (Long, String) =
+  def loadHistoryBytes(bytes: Option[Array[Byte]], sfDir: String,
+                       minQueries: Int = 0): Seq[Map[String, Double]] =
     try {
-      val p = java.nio.file.Paths.get(histPath)
-      if (!java.nio.file.Files.exists(p)) (0L, "")
-      else {
-        val bytes = java.nio.file.Files.readAllBytes(p)
-        val lines = bytes.count(_ == '\n'.toByte) +
-          (if (bytes.nonEmpty && bytes.last != '\n'.toByte) 1 else 0)
-        val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-        (lines.toLong, d.take(8).map(b => f"${b & 0xff}%02x").mkString)
-      }
-    } catch { case scala.util.control.NonFatal(_) => (-1L, "unreadable") }
-
-  def loadHistory(histPath: String, sfDir: String,
-                  minQueries: Int = 0): Seq[Map[String, Double]] =
-    try {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(histPath)
-      if (!java.nio.file.Files.exists(p)) Nil
-      else java.nio.file.Files.readAllLines(p).asScala.toSeq
+      historyTextLines(bytes)
         .flatMap(parseHistLine)
         .collect { case (sf, norms) if sf == sfDir && norms.size >= minQueries => norms }
         .takeRight(HistoryWindow)
     } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  /** Path convenience for tooling/specs (single read inside). */
+  def loadHistory(histPath: String, sfDir: String,
+                  minQueries: Int = 0): Seq[Map[String, Double]] =
+    loadHistoryBytes(readHistoryBytes(histPath), sfDir, minQueries)
 }

@@ -91,9 +91,10 @@ object DedupGraph {
     * the same bucket/posting state q73/q74's incremental stores keep),
     * and the postings are what lets a later batch repair cap-crossing
     * grams surgically ([[repairStoredLabels]]) instead of rebuilding the
-    * store graph. Every posting doc is edge-incident (an admitted gram
-    * has df_store ≥ 2, so ≥2 store docs share it), so the two tables
-    * cover exactly the same doc set.
+    * store graph. Every posting doc is edge-incident: [[shingles]]
+    * defaults to set semantics (distinct (doc_id, shingle)), so df_store
+    * counts DISTINCT docs and an admitted gram (df_store ≥ 2) is shared
+    * by ≥2 store docs — the two tables cover exactly the same doc set.
     */
   private[llmops] def storeState(store: DataFrame): (DataFrame, DataFrame) = {
     val grams = shingles(graft.operators.Ops.fanOut(store), 5)
@@ -166,14 +167,17 @@ object DedupGraph {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
-    val supported = dropCand
+    // dropCand feeds two consumers (the support probe and the anti-join
+    // below) — cut it once or the crossing self-join + distinct runs twice
+    val dropCandM = graft.core.Materialize(dropCand)
+    val supported = dropCandM
       .join(keptPost.select(col("doc_id").as("src"), col("shingle").as("__g")),
         "src")
       .join(keptPost.select(col("doc_id").as("dst"), col("shingle").as("__g")),
         Seq("dst", "__g"))
       .select("src", "dst").distinct()
     val dropped = graft.core.Materialize(
-      dropCand.join(supported, Seq("src", "dst"), "left_anti"))
+      dropCandM.join(supported, Seq("src", "dst"), "left_anti"))
     // Production branches here too: no dropped edge → stored state is
     // already the full-cap answer, skip the re-solve. Bounded driver
     // read (limit-1 existence probe, the reviewed scalar-read class).

@@ -133,6 +133,14 @@ class BenchGateSpec extends AnyFunSuite {
     })
     assert(verdicts("q_real") == (Some(11.8), Some(true)))
     assert(verdicts("q_ghost") == (Some(4.1), Some(false)))
+    // the MinNorm floor is part of the flag condition, so it is part of
+    // the confirmation too: a sub-second query jitter-flagged just past
+    // the floor that re-times BACK into the jitter band (0.9 < MinNorm,
+    // a value regressions() would never flag) must be a ghost even
+    // though 0.9 >= bar * best (1.5 * 0.4 = 0.6)
+    val subFloor = BenchGate.confirm(Map("q_tiny" -> (2.05, 0.4)), 1.5,
+      _ => Some(0.9))
+    assert(subFloor("q_tiny") == (Some(0.9), Some(false)))
   }
 
   test("confirm: retime failure yields a null verdict; the flood cap stops at MaxRetimes worst-by-ratio") {
