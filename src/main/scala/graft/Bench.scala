@@ -109,17 +109,36 @@ object Bench {
     // In-run ghost confirmation (round-12 verdict item 1): the start/end
     // probes cannot see a MID-run load spike (BENCH_r11: q35 flagged at
     // 10x under calib_stable=true). Re-time each flagged query NOW — a
-    // ghost re-times at its baseline, a real regression reproduces —
-    // against a FRESH calibration probe (the spike may still be here, in
-    // which case both the retime and its probe scale together).
+    // ghost re-times at its baseline, a real regression reproduces.
+    // Each retime is normalized against ITS OWN calibration probe,
+    // measured immediately before that query, NOT one probe for the
+    // whole pass: the first live run of a shared up-front probe showed
+    // retime norms inflating progressively down the flag list (in-run
+    // 5.2 -> retime 10.3 on untouched code, quiet TimeQ at baseline) —
+    // the end-of-run JVM keeps degrading during the pass, and only a
+    // per-measurement probe tracks the speed the query actually ran at.
+    // Whatever slows the JVM at that instant slows the adjacent probe
+    // too, so the norm stays machine-invariant per measurement window.
     val retimed: Map[String, (Option[Double], Option[Boolean])] =
       if (normRegs.isEmpty) Map.empty
       else {
-        val retimeCalib = calibProbe()(1)
+        // Retire the run's accumulated Materialize/localCheckpoint blocks
+        // before re-timing: ~750 query executions leave thousands of
+        // persisted block sets that the ContextCleaner only reclaims on
+        // driver GC, and the resulting memory pressure slows COMPLEX
+        // retimed queries 2-3x while the scan-shaped probe barely feels
+        // it (observed live: ghost flags re-timing at 2-6x their quiet
+        // norms, all at baseline under a fresh-JVM TimeQ). Nothing
+        // references these RDDs anymore — every cross-query memo in the
+        // engine is a parquet DIRECTORY, never an RDD handle.
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
         val bar = BenchGate.RatioThreshold * math.max(1.0, normShift)
         BenchGate.confirm(normRegs, bar, q =>
           SparkEntry.queries.get(q).flatMap { fn =>
             try {
+              val probe = calibProbe()(1)
               // min of 2 warm iterations: ghost-refutation wants the
               // cleanest sample — a real regression cannot run fast once
               val ts = (1 to 2).map { _ =>
@@ -127,7 +146,7 @@ object Bench {
                 fn(spark, sfDir).queryExecution.toRdd.count()
                 (System.nanoTime() - t0) / 1e9
               }
-              if (retimeCalib > 0) Some(ts.min / retimeCalib) else None
+              if (probe > 0) Some(ts.min / probe) else None
             } catch { case scala.util.control.NonFatal(_) => None }
           })
       }
