@@ -27,7 +27,16 @@ import org.apache.spark.storage.StorageLevel
   *     blocks; survives single-executor loss (the replica serves reads and
   *     recompute-from-lineage covers double loss). Middle ground: no
   *     checkpoint-dir round trip, but entries pin the CacheManager until
-  *     the session drops them.
+  *     the session drops them. CAVEAT (measured, round 12): persist does
+  *     NOT truncate lineage, so iterative callers (the CC/k-core
+  *     fixpoints, whose per-round Materialize exists precisely as a
+  *     lineage cut) only stay analyzable under this mode when their
+  *     INPUTS are storage-backed — which is why every store fixture here
+  *     is a parquet directory, never a live plan handed across the store
+  *     boundary. Feeding a fixpoint a lazy upstream plan chain under
+  *     persist nests each round's full history and OOMs the analyzer
+  *     (DedupGraphSpec's persist pin builds its store state through a
+  *     parquet round trip for exactly this reason).
   *
   * All three modes compute the materialized table EXACTLY once — the
   * property the call sites actually require (q27's capped shingle set feeds

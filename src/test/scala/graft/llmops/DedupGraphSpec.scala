@@ -151,6 +151,43 @@ class DedupGraphSpec extends SparkTestBase {
       s"cap-crossing gram must be repaired, not over-merged: $got")
   }
 
+  test("q108 crossing repair is Materialize-mode independent: lazy persist yields the cold answer") {
+    // q248's round-10 lesson, applied to the NEW repair path: `persist`
+    // mode makes every Materialize LAZY, changing when intermediate
+    // tables evaluate; the repair's dropped-pair existence branch
+    // (dropped.isEmpty is the forcing action) must still see the right
+    // state. PRODUCTION-FAITHFUL shape matters here: q108 reads its
+    // store state from PARQUET (the fixture), which cuts lineage at the
+    // source — feeding incrementalCC live lazy storeState plans instead
+    // nests three fixpoints' un-truncated lineage and is exactly the
+    // anti-pattern the fixture discipline exists to prevent (measured:
+    // it OOMs the analyzer under persist). So: build the store state
+    // under the DEFAULT mode, round-trip it through parquet, then run
+    // the per-batch body under persist.
+    val g = "g1 g2 g3 g4 g5"; val h = "h1 h2 h3 h4 h5"
+    val rows = Seq(
+      row(1, "a1 a2 a3 a4 a5 " + g), row(2, "b1 b2 b3 b4 b5 " + g),
+      row(3, "c1 c2 c3 c4 c5 " + g),
+      row(6, h + " s1 s2 s3 s4 s5"), row(7, h + " t1 t2 t3 t4 t5")) ++
+      (1 to 48).map(i => row(5L * i, s"p${i}a p${i}b p${i}c p${i}d p${i}e " + g))
+    val dir = docsDir(rows)
+    val docs = graft.Tables.documents(spark, dir)
+    val (stored0, postings0) = DedupGraph.storeState(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val fx = graft.core.TempDirs.scratch("dedupgraph-persist-fx-")
+    stored0.write.mode("overwrite").parquet(s"$fx/stored.parquet")
+    postings0.write.mode("overwrite").parquet(s"$fx/postings.parquet")
+    spark.conf.set(graft.core.Materialize.ModeKey, "persist")
+    try {
+      val got = DedupGraph.incrementalCC(docs,
+          spark.read.parquet(s"$fx/stored.parquet"),
+          spark.read.parquet(s"$fx/postings.parquet"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(6L -> 6L, 7L -> 6L),
+        s"lazy-persist Materialize diverged from the cold answer: $got")
+    } finally spark.conf.unset(graft.core.Materialize.ModeKey)
+  }
+
   test("repairStoredLabels: partial crossing re-solves the component, no crossing is identity") {
     // component {1,2,3}: 1–2 held by BOTH a crossing gram G and a kept
     // gram K; 2–3 held ONLY by G → after repair {1,2} stay merged, 3
