@@ -108,10 +108,136 @@ object BenchGate {
         }
       }.toMap
 
+  /** The retime MEASUREMENT harness (round-12 verdict item 2, residual
+    * retime inflation): BENCH_r12's q12 re-timed at norm 8.2 where its
+    * in-run norm was 4.55 and a quiet fresh-JVM run gives ~2.8 — the
+    * unpersist+GC hardening killed the progressive-inflation mode, but a
+    * single retime could still over-read ~3×. The measured mechanism is
+    * the FIRST-ITERATION effect: a query that last executed ~250 queries
+    * ago re-runs cold (evicted code cache, dropped page-cache residency,
+    * re-planned broadcast builds) — TimeQ on q12 shows iter1 6.2 s vs
+    * iter2 1.06 s on the same JVM. The old harness took min-of-2 with the
+    * probe measured BEFORE iteration 1, so when iteration 2 was also
+    * partially cold the min stayed inflated while the scan-shaped probe
+    * (measured earliest, warmest) under-read — norm inflates from both
+    * ends.
+    *
+    * This harness therefore: (1) runs the query once and DISCARDS it —
+    * pure warm-up; (2) takes the MEDIAN of `iters` (3) measured runs —
+    * symmetric with the flagging statistic (median-of-3), closing the
+    * round-12 ADVICE asymmetry where a genuine marginal regression
+    * (median past the bar, min under it) re-timed as a ghost.
+    *
+    * The DENOMINATOR is the second inflation mode, caught LIVE by this
+    * round's first bench: normalizing the retime against a
+    * freshly-measured ADJACENT probe reads the fully-warm probe value
+    * (~calib_end, structurally ~2× below the run's calibMedian, which
+    * start-probe samples dominate) — so a retime whose SECONDS exactly
+    * reproduce the in-run measurement still reports ~2× the in-run norm
+    * (observed: q244 in-run 3.636 → retime 7.449 on identical ~1.3 s
+    * seconds; same arithmetic explains r12's q12 8.2-vs-4.55). The
+    * verdict compares the retime against `bar × best` where best norms
+    * are calibMedian-based, so the retime MUST use the same `basis` —
+    * this run's calibMedian. What the adjacent probe is actually for is
+    * detecting JVM degradation SINCE the run ended (the r12
+    * progressive-inflation mode): `probe()` is compared against
+    * `warmRef` — the run's own fully-warm end probe, the same-shape
+    * same-warmth reference — and the measurement is deflated by
+    * `max(1, probe/warmRef)`. A healthy end-of-run JVM measures
+    * probe ≈ warmRef (factor 1, live: 0.17 vs 0.168); a degraded one
+    * measures 2× and the retime is credited accordingly.
+    *
+    * `run()` executes the query once and returns elapsed seconds;
+    * `probe()` returns the adjacent calibration probe's seconds. None ⇔
+    * any input degenerated (≤ 0) — the retime failed, stamped null
+    * upstream.
+    */
+  def retimeNorm(run: () => Double, probe: () => Double,
+                 basis: Double, warmRef: Double,
+                 iters: Int = 3): Option[Double] = {
+    run() // warm-up, discarded: the measured 5-6x first-iteration effect
+    val p = probe()
+    if (p <= 0 || basis <= 0 || warmRef <= 0) None
+    else {
+      val ts = (1 to iters).map(_ => run()).sorted
+      val degradation = math.max(1.0, p / warmRef)
+      Some(ts(ts.length / 2) / (basis * degradation))
+    }
+  }
+
+  /** A run whose registry-median shift is below this did not measurably
+    * drift — quiet days on this container measure 0.9–1.1 (probe noise),
+    * drift days 1.2–1.6. The drift-consistent demotion only applies when
+    * the run itself demonstrates machine drift.
+    */
+  val DriftDayBound = 1.15
+
+  /** The per-query drift TAIL bound, in shift-adjusted units. On this
+    * container's drift days the slowdown is NOT uniform: while the
+    * registry median sits at 1.2–1.6×, individual untouched queries
+    * reach 2–2.7× raw — ~2.1× the registry median at the worst observed
+    * (2.7 raw on a 1.3-shift day). BENCH_r12's three judge-adjudicated
+    * ghost "confirmed" flags adjusted to 1.59/1.64/1.91. A persistent
+    * flag inside this band on a drift day is indistinguishable in-run
+    * from the drift tail; above it, no observed machine drift explains
+    * the slowdown.
+    */
+  val DriftTailBound = 2.1
+
+  /** Three-state flag verdict (round-12 verdict item 1): `retime_confirmed`
+    * alone stamped three untouched-code queries "confirmed" on a
+    * 1.255-shift day (BENCH_r12) because the retime only separates
+    * transient from PERSISTENT — and machine drift is persistent. The
+    * code-vs-machine discrimination (shift + untouched files + fresh-JVM
+    * TimeQ) still cost a judge adjudication, the third round in a row.
+    *
+    * The literal prescription — demote when `drift_adjusted_ratio =
+    * ratio / norm_shift_global` falls under the 1.5 bar — is VACUOUS by
+    * construction: flags are raised at `norm >= 1.5 × shift × best`, so
+    * every flagged entry has adjusted ratio ≥ 1.5 already (r12's own
+    * flags adjust to 1.59/1.64/1.91, all above). The operative bound is
+    * the measured per-query drift TAIL ([[DriftTailBound]]): the
+    * demotion fires when the run measurably drifted
+    * (calib-stable ∧ shift ≥ [[DriftDayBound]]) AND the adjusted ratio
+    * sits inside the tail band.
+    *
+    *   - None           — retime failed or beyond the [[MaxRetimes]] cap:
+    *                      explicitly unadjudicated.
+    *   - "ghost"        — the retime refuted the flag (transient spike).
+    *   - "drift_consistent" — persistent, but on a measurably-drifting
+    *                      day and within the documented drift tail:
+    *                      needs untouched-code + fresh-JVM TimeQ, NOT a
+    *                      code-regression verdict. Honest middle state —
+    *                      a real regression small enough to hide in the
+    *                      tail on a drift day lands here too, which is
+    *                      why it reads "check me", never "dismissed".
+    *   - "confirmed"    — persistent and beyond what machine drift
+    *                      explains (quiet day, or past the tail bound).
+    */
+  def flagVerdict(persisted: Option[Boolean], ratio: Double, shift: Double,
+                  calibStable: Boolean): Option[String] =
+    persisted.map {
+      case false => "ghost"
+      case true =>
+        val adjusted = ratio / math.max(1.0, shift)
+        if (calibStable && shift >= DriftDayBound && adjusted < DriftTailBound)
+          "drift_consistent"
+        else "confirmed"
+    }
+
   private val normRe = """"norm":\{([^}]*)\}""".r
+  private val secsRe = """"queries":\{([^}]*)\}""".r
   private val sfRe = """"sf":"([^"]*)"""".r
   private val calibStartRe = """"calib_start":([0-9.]+)""".r
   private val calibEndRe = """"calib_end":([0-9.]+)""".r
+
+  /** One parsed, calib-judged history line: the calib-normalized norms
+    * (the adjudication currency) plus the raw median SECONDS the same
+    * run recorded (`queries` map) — carried since round 13 for the
+    * seconds-confluence veto in [[regressions]].
+    */
+  final case class HistLine(sf: String, norms: Map[String, Double],
+                            secs: Map[String, Double])
 
   /** Parse one history line into (sf, query → norm). Tolerant: a line
     * without a norm map (pre-round-9 history) parses to None. A line
@@ -129,38 +255,69 @@ object BenchGate {
     * half-probed line is malformed or hand-edited and must not slip into
     * the baseline as judged-stable.
     */
-  def parseHistLine(line: String): Option[(String, Map[String, Double])] = {
+  def parseHistLine(line: String): Option[HistLine] = {
     val cs = calibStartRe.findFirstMatchIn(line)
     val ce = calibEndRe.findFirstMatchIn(line)
     val halfProbed = cs.isDefined != ce.isDefined
     val unstable = (for { s <- cs; e <- ce }
       yield !calibStable(s.group(1).toDouble, e.group(1).toDouble))
       .getOrElse(false)
-    if (unstable || halfProbed) None
-    else for {
-      sfm <- sfRe.findFirstMatchIn(line)
-      nm <- normRe.findFirstMatchIn(line)
-      entries <- scala.util.Try {
-        nm.group(1).split(",").iterator.filter(_.nonEmpty).map { kv =>
+    def parseMap(body: String): Option[Map[String, Double]] =
+      scala.util.Try {
+        body.split(",").iterator.filter(_.nonEmpty).map { kv =>
           val i = kv.lastIndexOf(':')
           kv.take(i).stripPrefix("\"").stripSuffix("\"") -> kv.drop(i + 1).toDouble
         }.toMap
       }.toOption
-    } yield sfm.group(1) -> entries
+    if (unstable || halfProbed) None
+    else for {
+      sfm <- sfRe.findFirstMatchIn(line)
+      nm <- normRe.findFirstMatchIn(line)
+      entries <- parseMap(nm.group(1))
+    } yield HistLine(sfm.group(1), entries,
+      // seconds map is optional enrichment: a line without one (or with
+      // a malformed one) still serves as a norm baseline — the veto in
+      // regressions() simply has no seconds evidence from it
+      secsRe.findFirstMatchIn(line).flatMap(m => parseMap(m.group(1)))
+        .getOrElse(Map.empty))
   }
 
   /** query → (current norm, best historical norm) for every query whose
     * current norm clears both thresholds against the best of `history`.
     * Queries absent from all history lines (new this round) are never
     * reported — there is no baseline to regress from.
+    *
+    * SECONDS-CONFLUENCE veto (round 13, from a live ghost this round's
+    * first bench stamped "confirmed"): norm noise is TWO-sided — the
+    * numerator (query seconds) spikes one-sidedly, but the DENOMINATOR
+    * (calibMedian) varies ~1.6× across perfectly calib-STABLE lines
+    * (observed 0.31–0.49), so a slow-probe day plants deflated norms as
+    * unbeatable best-of-window baselines. Live instance: q244 flagged at
+    * ratio 1.719 = 1.26 (seconds: 1.313 s vs the best line's 1.045 s —
+    * its normal spread) × 1.37 (denominators: 0.361 vs that line's
+    * 0.494); its seconds across 19 history lines span 1.05–1.93 with no
+    * trend. The veto: a query only flags if its RAW seconds also sit at
+    * ≥ [[RatioThreshold]] × the window's best seconds (min — the
+    * one-sided-noise assumption IS valid for seconds). Deliberately not
+    * shift-corrected: the veto exists to suppress denominator ghosts,
+    * and a lenient plain-1.5 bar errs toward keeping flags. A real
+    * regression is slower in both currencies and passes untouched;
+    * missing seconds (old lines, absent query) → no veto, old behavior.
     */
   def regressions(current: Map[String, Double],
-                  history: Seq[Map[String, Double]],
+                  history: Seq[HistLine],
                   ratio: Double = RatioThreshold,
-                  minNorm: Double = MinNorm): Map[String, (Double, Double)] =
+                  minNorm: Double = MinNorm,
+                  currentSec: Map[String, Double] = Map.empty)
+      : Map[String, (Double, Double)] =
     current.flatMap { case (q, norm) =>
-      history.flatMap(_.get(q)).minOption
-        .filter(best => best > 0 && norm >= minNorm && norm >= ratio * best)
+      val secVetoed = (for {
+        sec <- currentSec.get(q)
+        bestSec <- history.flatMap(_.secs.get(q)).minOption if bestSec > 0
+      } yield sec < RatioThreshold * bestSec).getOrElse(false)
+      history.flatMap(_.norms.get(q)).minOption
+        .filter(best => best > 0 && norm >= minNorm && norm >= ratio * best &&
+          !secVetoed)
         .map(best => q -> (norm, best))
     }
 
@@ -174,9 +331,9 @@ object BenchGate {
     * FEW queries, not the median.
     */
   def globalShift(current: Map[String, Double],
-                  history: Seq[Map[String, Double]]): Double = {
+                  history: Seq[HistLine]): Double = {
     val ratios = current.toSeq.flatMap { case (q, norm) =>
-      history.flatMap(_.get(q)).minOption.filter(_ > 0).map(norm / _)
+      history.flatMap(_.norms.get(q)).minOption.filter(_ > 0).map(norm / _)
     }.sorted
     if (ratios.isEmpty) 1.0 else ratios(ratios.length / 2)
   }
@@ -188,13 +345,16 @@ object BenchGate {
     * reports `shift 1.4, flags {}` instead of 40 ghosts; on a clean day
     * the bar is the plain 1.5x. A genuine single-query regression
     * clears the bar in both regimes. Report-only either way.
+    * `currentSec` (this run's median seconds) enables the
+    * seconds-confluence veto in [[regressions]].
     */
   def adjudicate(current: Map[String, Double],
-                 history: Seq[Map[String, Double]])
+                 history: Seq[HistLine],
+                 currentSec: Map[String, Double] = Map.empty)
       : (Double, Map[String, (Double, Double)]) = {
     val shift = globalShift(current, history)
     val bar = RatioThreshold * math.max(1.0, shift)
-    (shift, regressions(current, history, ratio = bar))
+    (shift, regressions(current, history, ratio = bar, currentSec = currentSec))
   }
 
   /** ONE atomic read of the history file, shared by the identity
@@ -228,8 +388,12 @@ object BenchGate {
     bytes match {
       case None => (0L, "")
       case Some(b) =>
-        val lines = b.count(_ == '\n'.toByte) +
-          (if (b.nonEmpty && b.last != '\n'.toByte) 1 else 0)
+        // the SAME split the parser uses (round-12 ADVICE): counting '\n'
+        // bytes disagrees with linesIterator (which also splits on
+        // CR/CRLF) on a CR-bearing file, and hist_lines would then not
+        // equal the number of lines actually adjudicated, muddying the
+        // +1-per-run attestation invariant
+        val lines = historyTextLines(bytes).size
         val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
         (lines.toLong, d.take(8).map(x => f"${x & 0xff}%02x").mkString)
     }
@@ -260,16 +424,16 @@ object BenchGate {
     * its few queries against any line that has them.
     */
   def loadHistoryBytes(bytes: Option[Array[Byte]], sfDir: String,
-                       minQueries: Int = 0): Seq[Map[String, Double]] =
+                       minQueries: Int = 0): Seq[HistLine] =
     try {
       historyTextLines(bytes)
         .flatMap(parseHistLine)
-        .collect { case (sf, norms) if sf == sfDir && norms.size >= minQueries => norms }
+        .filter(h => h.sf == sfDir && h.norms.size >= minQueries)
         .takeRight(HistoryWindow)
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
   /** Path convenience for tooling/specs (single read inside). */
   def loadHistory(histPath: String, sfDir: String,
-                  minQueries: Int = 0): Seq[Map[String, Double]] =
+                  minQueries: Int = 0): Seq[HistLine] =
     loadHistoryBytes(readHistoryBytes(histPath), sfDir, minQueries)
 }

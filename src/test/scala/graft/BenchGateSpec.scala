@@ -16,10 +16,21 @@ class BenchGateSpec extends AnyFunSuite {
       s""""min":{},"max":{},"calib_median":0.3,"norm":{$m},"sf":"$sf"}"""
   }
 
-  test("parseHistLine extracts sf and the norm map; pre-norm lines parse to None") {
+  /** Norm-only HistLine (no seconds evidence — the pre-round-13 shape). */
+  private def h(norms: (String, Double)*): BenchGate.HistLine =
+    BenchGate.HistLine("/d/sf0.1", norms.toMap, Map.empty)
+
+  test("parseHistLine extracts sf, the norm map, and the seconds map; pre-norm lines parse to None") {
     val parsed = BenchGate.parseHistLine(
       histLine("/d/sf0.1", "q1_a" -> 2.5, "q2_b" -> 10.0))
-    assert(parsed.contains("/d/sf0.1" -> Map("q1_a" -> 2.5, "q2_b" -> 10.0)))
+    assert(parsed.contains(BenchGate.HistLine("/d/sf0.1",
+      Map("q1_a" -> 2.5, "q2_b" -> 10.0), Map.empty)))
+    // seconds map parsed when present (round 13: the veto's evidence)
+    val withSecs = BenchGate.parseHistLine(
+      s"""{"ts":1,"value":1.0,"queries":{"q1_a":1.045},"min":{},"max":{},""" +
+        s""""norm":{"q1_a":2.115},"sf":"/d/sf0.1"}""")
+    assert(withSecs.contains(BenchGate.HistLine("/d/sf0.1",
+      Map("q1_a" -> 2.115), Map("q1_a" -> 1.045))))
     // round-8-era line without a norm map: tolerated, skipped
     assert(BenchGate.parseHistLine(
       """{"ts":1,"value":1.0,"queries":{"q1":0.5},"sf":"/d/sf0.1"}""").isEmpty)
@@ -27,7 +38,7 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("uniform container slowdown reports nothing; a real norm shift reports its query") {
-    val history = Seq(Map("q1" -> 4.0, "q2" -> 6.0), Map("q1" -> 5.0, "q2" -> 7.0))
+    val history = Seq(h("q1" -> 4.0, "q2" -> 6.0), h("q1" -> 5.0, "q2" -> 7.0))
     // healthy run, norms at historical floor → empty
     assert(BenchGate.regressions(Map("q1" -> 4.2, "q2" -> 6.1), history).isEmpty)
     // q1 norm doubled vs its best (4.0) → reported with (current, best)
@@ -38,24 +49,46 @@ class BenchGateSpec extends AnyFunSuite {
   test("best-of-window beats last-run: one noisy history line does not raise the bar") {
     // best is 4.0 even though the LAST line spiked to 9.0; current 5.0
     // is within 1.5× of best → not a regression (the exact r9 shape)
-    val history = Seq(Map("q1" -> 4.0), Map("q1" -> 9.0))
+    val history = Seq(h("q1" -> 4.0), h("q1" -> 9.0))
     assert(BenchGate.regressions(Map("q1" -> 5.0), history).isEmpty)
     assert(BenchGate.regressions(Map("q1" -> 6.1), history) == Map("q1" -> (6.1, 4.0)))
   }
 
   test("sub-floor queries and queries without history never report") {
-    val history = Seq(Map("q_fast" -> 0.5))
+    val history = Seq(h("q_fast" -> 0.5))
     // 4× slower but below MinNorm=2.0 → scheduler-jitter territory, skip
     assert(BenchGate.regressions(Map("q_fast" -> 1.9), history).isEmpty)
     // brand-new query: no baseline, never reported
     assert(BenchGate.regressions(Map("q_new" -> 50.0), history).isEmpty)
   }
 
+  test("seconds-confluence veto: a denominator-variance ghost is suppressed, a real regression is not") {
+    // the live round-13 catch, verbatim: q244's best norm 2.115 came from
+    // a slow-probe line (calib 0.494, sec 1.045); today's normal 1.313 s
+    // on a 0.361 calib reads norm 3.636 → ratio 1.72, a pure-denominator
+    // ghost the retime then "confirmed". Seconds ratio is only 1.26.
+    val history = Seq(BenchGate.HistLine("/d/sf0.1",
+      Map("q244" -> 2.115), Map("q244" -> 1.045)))
+    assert(BenchGate.regressions(Map("q244" -> 3.636), history,
+      currentSec = Map("q244" -> 1.313)).isEmpty,
+      "normal seconds + deflated baseline norm must not flag")
+    // a REAL regression is slower in both currencies: same norms, but
+    // seconds 3.1 (3x the best line's) → the flag survives the veto
+    assert(BenchGate.regressions(Map("q244" -> 3.636), history,
+      currentSec = Map("q244" -> 3.1)) == Map("q244" -> (3.636, 2.115)))
+    // no seconds evidence (old history line / missing query): old behavior
+    assert(BenchGate.regressions(Map("q244" -> 3.636),
+      Seq(h("q244" -> 2.115)),
+      currentSec = Map("q244" -> 1.313)) == Map("q244" -> (3.636, 2.115)))
+    assert(BenchGate.regressions(Map("q244" -> 3.636), history)
+      == Map("q244" -> (3.636, 2.115)))
+  }
+
   test("adjudicate: uniform machine-wide slowdown raises the bar instead of flooding flags") {
     // the measured failure mode: a contended-but-quiet day runs the WHOLE
     // registry ~1.6x the golden window norms (probe is scan-shaped and
     // does not feel CPU contention proportionally)
-    val history = Seq(Map("q1" -> 4.0, "q2" -> 6.0, "q3" -> 8.0, "q4" -> 3.0, "q5" -> 5.0))
+    val history = Seq(h("q1" -> 4.0, "q2" -> 6.0, "q3" -> 8.0, "q4" -> 3.0, "q5" -> 5.0))
     val slowDay = Map("q1" -> 6.4, "q2" -> 9.6, "q3" -> 12.8, "q4" -> 4.8, "q5" -> 8.0)
     val (shift, flags) = BenchGate.adjudicate(slowDay, history)
     assert(math.abs(shift - 1.6) < 1e-9)
@@ -90,7 +123,8 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.parseHistLine(unstable).isEmpty)
     val stable = s"""{"ts":1,"value":1.0,"calib_start":0.362,"calib_end":0.163,""" +
       s""""norm":{"q1":1.0},"sf":"/d/sf0.1"}"""
-    assert(BenchGate.parseHistLine(stable).contains("/d/sf0.1" -> Map("q1" -> 1.0)))
+    assert(BenchGate.parseHistLine(stable).contains(
+      BenchGate.HistLine("/d/sf0.1", Map("q1" -> 1.0), Map.empty)))
     // pre-calib-era line: cannot be judged, kept
     assert(BenchGate.parseHistLine(histLine("/d/sf0.1", "q1" -> 1.0)).isDefined)
   }
@@ -156,6 +190,98 @@ class BenchGateSpec extends AnyFunSuite {
     assert(v("q10") == (Some(2.0), Some(false))) // worst flag was re-timed
   }
 
+  test("retimeNorm: the first-iteration effect is discarded, not measured (planted 5x warm-up)") {
+    // the BENCH_r12 inflation shape: the query's FIRST re-execution after
+    // ~250 other queries runs 5x cold (TimeQ q12: iter1 6.2s vs iter2
+    // 1.06s); the old min-of-2 harness measured it. Planted here: run()
+    // costs 5.0s once, then 1.0s warm; probe reads 0.5s.
+    var calls = 0
+    def run(): Double = { calls += 1; if (calls == 1) 5.0 else 1.0 }
+    val rn = BenchGate.retimeNorm(() => run(), () => 0.5, basis = 0.5, warmRef = 0.5)
+    assert(calls == 4, "1 discarded warm-up + 3 measured iterations")
+    assert(rn.contains(2.0), s"warm norm 1.0/0.5, not the cold 10.0: $rn")
+    // ...and through confirm(), the flag reads GHOST (norm 2.0 vs a flag
+    // raised at 12.0 against best 4.0, bar 1.5): the round-13 done
+    // criterion — a 5x iteration-1 cost must not confirm a ghost
+    val v = BenchGate.confirm(Map("q12" -> (12.0, 4.0)), 1.5,
+      _ => { calls = 0; BenchGate.retimeNorm(() => run(), () => 0.5, 0.5, 0.5) })
+    assert(v("q12") == (Some(2.0), Some(false)))
+  }
+
+  test("retimeNorm: median of the measured iterations (symmetric with the flagging statistic)") {
+    // ADVICE r12: min-of-2 was asymmetric vs the median-of-3 flag — a
+    // marginal real regression (median past the bar, min under) read as
+    // ghost. Post-warm-up samples 1.0, 3.0, 2.0 → median 2.0, not min 1.0.
+    val samples = Iterator(9.9, 1.0, 3.0, 2.0) // 9.9 = discarded warm-up
+    assert(BenchGate.retimeNorm(() => samples.next(), () => 1.0, 1.0, 1.0).contains(2.0))
+    // degenerate probe / basis / warm reference → retime failed, None
+    assert(BenchGate.retimeNorm(() => 1.0, () => 0.0, 1.0, 1.0).isEmpty)
+    assert(BenchGate.retimeNorm(() => 1.0, () => 1.0, 0.0, 1.0).isEmpty)
+    assert(BenchGate.retimeNorm(() => 1.0, () => 1.0, 1.0, 0.0).isEmpty)
+  }
+
+  test("retimeNorm: calibMedian basis kills the warm-probe inflation; degradation since run end is credited") {
+    // the live round-13 catch, verbatim: q244's retime SECONDS equalled
+    // its in-run seconds (~1.31 s), but dividing by the fully-warm
+    // adjacent probe (0.17, vs the start-dominated calibMedian 0.361 the
+    // flag norms use) reported 7.449 where the in-run norm was 3.636 —
+    // the same arithmetic explains r12's q12 8.2-vs-4.55. With the
+    // calibMedian basis the identical measurement reads ~3.64.
+    val rn = BenchGate.retimeNorm(() => 1.313, () => 0.168,
+      basis = 0.361, warmRef = 0.168)
+    assert(rn.exists(v => math.abs(v - 1.313 / 0.361) < 1e-9), s"got $rn")
+    // JVM degraded 2x since the run ended (probe reads 2x the run's own
+    // warm end probe): the measurement is deflated by exactly that factor
+    val degraded = BenchGate.retimeNorm(() => 2.0, () => 1.0,
+      basis = 1.0, warmRef = 0.5)
+    assert(degraded.contains(1.0), s"got $degraded")
+    // a FASTER-than-reference probe never inflates (floor at 1)
+    val faster = BenchGate.retimeNorm(() => 2.0, () => 0.25,
+      basis = 1.0, warmRef = 0.5)
+    assert(faster.contains(2.0), s"got $faster")
+  }
+
+  test("flagVerdict: drift-day persistent flag demotes to drift_consistent; quiet-day planted regression confirms") {
+    // the BENCH_r12 adjudication, mechanized: shift 1.255 (calib-stable
+    // drift day), untouched-code flags at ratios 2.40/2.06/1.99 — all
+    // retime-persistent because DRIFT persists. Adjusted ratios
+    // 1.91/1.64/1.59 sit inside the documented per-query drift tail
+    // (~2.1x the registry median) → drift_consistent, not confirmed.
+    for (ratio <- Seq(2.40, 2.06, 1.99))
+      assert(BenchGate.flagVerdict(Some(true), ratio, 1.255, calibStable = true)
+        .contains("drift_consistent"), s"ratio $ratio")
+    // quiet day (shift 1.0), planted 3x code regression, retime persists
+    // → confirmed: no drift to attribute it to
+    assert(BenchGate.flagVerdict(Some(true), 3.0, 1.0, calibStable = true)
+      .contains("confirmed"))
+    // drift day but BEYOND the tail (adjusted 4.0/1.3 = 3.1 >= 2.1):
+    // machine drift does not explain it → confirmed
+    assert(BenchGate.flagVerdict(Some(true), 4.0, 1.3, calibStable = true)
+      .contains("confirmed"))
+    // shift below the drift-day bound: the run did not measurably drift,
+    // so nothing demotes even inside the tail band
+    assert(BenchGate.flagVerdict(Some(true), 2.2, 1.1, calibStable = true)
+      .contains("confirmed"))
+    // calib-unstable run: the shift number itself is a blended artifact —
+    // no demotion on its authority
+    assert(BenchGate.flagVerdict(Some(true), 2.4, 1.255, calibStable = false)
+      .contains("confirmed"))
+    // retime refuted → ghost; retime failed/capped → unadjudicated null
+    assert(BenchGate.flagVerdict(Some(false), 2.4, 1.255, calibStable = true)
+      .contains("ghost"))
+    assert(BenchGate.flagVerdict(None, 2.4, 1.255, calibStable = true).isEmpty)
+  }
+
+  test("historyIdentity counts lines with the parser's split (CR/CRLF files agree)") {
+    // ADVICE r12: '\n'-byte counting disagrees with linesIterator on
+    // CR-bearing files; hist_lines must equal the parsed-line count
+    val crlf = Some("line1\r\nline2\r\n".getBytes)
+    assert(BenchGate.historyIdentity(crlf)._1 == 2)
+    val crOnly = Some("a\rb\rc".getBytes)
+    assert(BenchGate.historyIdentity(crOnly)._1 == 3)
+    assert(BenchGate.historyIdentity(Some(Array.empty[Byte]))._1 == 0)
+  }
+
   test("historyIdentity reports line count and a stable hash; missing file is (0, empty)") {
     val dir = graft.core.TempDirs.scratch("benchgate-hist-id-")
     val p = java.nio.file.Paths.get(dir, "h.jsonl")
@@ -179,8 +305,9 @@ class BenchGateSpec extends AnyFunSuite {
     val subsets = (1 to 5).map(i => histLine("/d/sf0.1", "q1" -> i.toDouble))
     java.nio.file.Files.write(p, ((full +: subsets).mkString("\n")).getBytes)
     // a 3-query run demands >= 2-query coverage: only the full line serves
-    val h = BenchGate.loadHistory(p.toString, "/d/sf0.1", minQueries = 2)
-    assert(h == Seq(Map("q1" -> 2.0, "q2" -> 3.0, "q3" -> 4.0)))
+    val loaded = BenchGate.loadHistory(p.toString, "/d/sf0.1", minQueries = 2)
+    assert(loaded == Seq(BenchGate.HistLine("/d/sf0.1",
+      Map("q1" -> 2.0, "q2" -> 3.0, "q3" -> 4.0), Map.empty)))
     // a subset run (minQueries 0) still sees everything
     assert(BenchGate.loadHistory(p.toString, "/d/sf0.1").size == 5)
   }
@@ -192,10 +319,11 @@ class BenchGateSpec extends AnyFunSuite {
       (1 to 7).map(i => histLine("/d/sf0.1", "q1" -> i.toDouble)) ++
         Seq(histLine("/d/sf0.01", "q1" -> 99.0), "garbage line")
     java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes)
-    val h = BenchGate.loadHistory(p.toString, "/d/sf0.1")
+    val loaded = BenchGate.loadHistory(p.toString, "/d/sf0.1")
     // window = last 5 same-sf lines: norms 3..7; the sf0.01 and garbage
     // lines are excluded
-    assert(h == (3 to 7).map(i => Map("q1" -> i.toDouble)))
+    assert(loaded == (3 to 7).map(i =>
+      BenchGate.HistLine("/d/sf0.1", Map("q1" -> i.toDouble), Map.empty)))
     assert(BenchGate.loadHistory("/nonexistent/h.jsonl", "/d/sf0.1").isEmpty)
   }
 }
