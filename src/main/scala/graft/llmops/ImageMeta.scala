@@ -128,6 +128,13 @@ object ImageMeta {
     * rule. `mapPartitions` for the same reason as [[imageMeta]]: codec
     * work is imperative byte production, not relational logic, and the
     * writer is initialized per partition. Narrow, no shuffle.
+    *
+    * PRECONDITION (round-12 ADVICE): `w, h >= 1` on every row. This is an
+    * ENCODER — the file's total-parser contract covers decode paths
+    * ([[pngPixelStats]] folds every bad payload to a null row), but an
+    * encoder asked for a 0×0 image has no meaningful output to fold to,
+    * so the guard is a loud `require` with the offending row instead of
+    * `BufferedImage`'s bare IllegalArgumentException.
     */
   def synthPng(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -137,6 +144,8 @@ object ImageMeta {
       .mapPartitions { it =>
         System.setProperty("java.awt.headless", "true")
         it.map { case (id, w, h) =>
+          require(w >= 1 && h >= 1,
+            s"synthPng needs w,h >= 1, got ${w}x$h for media_id=$id")
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0

@@ -124,7 +124,10 @@ class SourceAuditSpec extends AnyFunSuite {
     // per-partition init slot; per-row work capped at 48 pixels (q249);
     // 2 code sites + 2 scaladoc mentions
     "llmops/ImageMeta.scala" -> 6,
-    "llmops/AudioMeta.scala" -> 2,
+    // round 13: +5 — synthWav (PCM16 WAV byte assembly) and pcmStats
+    // (signed-LE16 sample walk), q250's lossless-audio twin of q249;
+    // 2 code sites + 3 scaladoc mentions (incl. q250's plan-shape note)
+    "llmops/AudioMeta.scala" -> 7,
     // round 12: +1 scaladoc mention (q249's plan-shape note)
     "llmops/Multimodal.scala" -> 4)
 

@@ -117,4 +117,47 @@ class AudioMetaSpec extends SparkTestBase {
     assert(out(0).getInt(1) == 2 && out(0).getLong(4) == 1000L)
     assert(out(1).isNullAt(1) && out(2).isNullAt(1))
   }
+
+  test("synthWav -> pcmStats recovers hand-computed per-channel stats (q250 round trip)") {
+    import spark.implicits._
+    // media 10, 2ch x 3 frames: sample rule (3*10 + 5*ch + 7*i) % 4001 - 2000
+    //   ch0: -1970, -1963, -1956 -> sum -5889; ch1: -1965, -1958, -1951 -> sum -5874
+    // media 3, 1ch x 2 frames: (9 + 7*i) - 2000 -> -1991, -1984 -> sum -3975
+    // All samples NEGATIVE: a signed-LE16 sign-extension bug flips every one.
+    val src = Seq((10L, 2, 3), (3L, 1, 2)).toDF("media_id", "channels", "n")
+    val out = AudioMeta.pcmStats(AudioMeta.synthWav(src))
+      .orderBy("media_id", "channel").collect()
+    assert(out.length == 3)
+    assert((out(0).getLong(0), out(0).getInt(1), out(0).getLong(2), out(0).getLong(3),
+      out(0).getLong(4), out(0).getLong(5)) == ((3L, 0, 2L, -3975L, -1991L, -1984L)))
+    assert((out(1).getLong(0), out(1).getInt(1), out(1).getLong(2), out(1).getLong(3),
+      out(1).getLong(4), out(1).getLong(5)) == ((10L, 0, 3L, -5889L, -1970L, -1956L)))
+    assert((out(2).getLong(0), out(2).getInt(1), out(2).getLong(2), out(2).getLong(3),
+      out(2).getLong(4), out(2).getLong(5)) == ((10L, 1, 3L, -5874L, -1965L, -1951L)))
+    // the synthesized payload is a complete WAV the header parser accepts
+    // (2ch 16-bit @8kHz, 12 data bytes -> duration floors to 0 ms)
+    val bytes = AudioMeta.synthWav(Seq((10L, 2, 3)).toDF("media_id", "channels", "n"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(AudioMeta.parse(bytes).contains((2, 8000, 16, 0L)))
+  }
+
+  test("pcmStats: corrupt, truncated, non-PCM16, and empty-data payloads fold to one null row") {
+    import spark.implicits._
+    val good = AudioMeta.synthWav(Seq((1L, 2, 3)).toDF("media_id", "channels", "n"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    // 8-bit header (wavBytes, no sample data): valid WAV, not PCM16-decodable
+    val bits8 = AudioMeta.wavBytes(lit(1), lit(8000), lit(8), lit(0))
+    val rows = Seq((1L, good), (2L, good.take(60)), (3L, "junk".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val out = AudioMeta.pcmStats(
+        rows.toDF("media_id", "payload")
+          .union(Seq(5L).toDF("media_id").select(col("media_id"), bits8.as("payload"))))
+      .orderBy("media_id", "channel").collect()
+    assert(out.length == 2 + 4, "2 channel rows for the good WAV + 4 null rows")
+    assert(!out(0).isNullAt(1) && !out(1).isNullAt(1))
+    // truncated data chunk (declared 12 bytes, 2 present) must fold, not index OOB
+    assert(out(2).isNullAt(1), "truncated data chunk must fold to nulls")
+    assert(out(3).isNullAt(1) && out(4).isNullAt(1))
+    assert(out(5).isNullAt(1), "8-bit/empty-data WAV has no PCM16 sample walk")
+  }
 }
