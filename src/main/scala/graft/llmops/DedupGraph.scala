@@ -296,6 +296,13 @@ object DedupGraph {
     */
   private[llmops] def ccFixpoint(edges: DataFrame, init: DataFrame,
                                  maxRounds: Int): (DataFrame, Int) = {
+    // Persist-mode iteration guard (round-12 verdict item 4): ONE choke
+    // point covers every CC caller — connectedComponents, the seeded and
+    // delta variants, and incrementalCC all funnel here, and the delta
+    // path's contracted edge plan embeds the caller's stored-label plan,
+    // so a live lazy store state is caught before the first round nests it
+    graft.core.Materialize.requireIterationSafe(edges, "ccFixpoint(edges)")
+    graft.core.Materialize.requireIterationSafe(init, "ccFixpoint(init)")
     var labels = graft.core.Materialize(init)
     def labelSum(l: DataFrame): java.math.BigDecimal = {
       // empty label table (no edges at all) sums to NULL → zero, so the
@@ -724,6 +731,9 @@ object DedupGraph {
     */
   def kCoreFixpoint(edges0: DataFrame, k: Int,
                     maxRounds: Int = 50): (DataFrame, Int, Boolean) = {
+    // same persist-mode iteration guard as ccFixpoint (the k-core peel
+    // nests its input plan per round identically)
+    graft.core.Materialize.requireIterationSafe(edges0, "kCoreFixpoint(edges)")
     var cur = graft.core.Materialize(edges0)
     def nNodes(e: DataFrame): Long = {
       val n = e.agg(countDistinct(col("src"))).head.getLong(0)
