@@ -95,14 +95,15 @@ object Bench {
     // file than the one adjudicated.
     val histBytes = BenchGate.readHistoryBytes(hist)
     val (histLines, histSha) = BenchGate.historyIdentity(histBytes)
-    val (normShift, normRegs) =
+    val (normShift, normRegs, secVetoed) =
       BenchGate.adjudicate(norms.toMap,
         // half this run's coverage: full runs ignore builder-subset
         // history lines; a subset run still compares against full lines
         BenchGate.loadHistoryBytes(histBytes, sfDir, minQueries = norms.size / 2),
         // raw median seconds enable the seconds-confluence veto: a flag
         // must be slower in BOTH currencies (calib-normalized AND raw)
-        // before it reports — kills the denominator-variance ghost class
+        // before it reports — kills the denominator-variance ghost class;
+        // vetoed entries stay visible in the artifact's sec_vetoed map
         currentSec = results)
     val calibStable = BenchGate.calibStable(calibStart, calibEnd)
     // Uniform-regression tripwire (round-11 ADVICE): the shift-corrected
@@ -114,15 +115,14 @@ object Bench {
     // probes cannot see a MID-run load spike (BENCH_r11: q35 flagged at
     // 10x under calib_stable=true). Re-time each flagged query NOW — a
     // ghost re-times at its baseline, a real regression reproduces.
-    // Each retime is normalized against ITS OWN calibration probe,
-    // measured immediately before that query, NOT one probe for the
-    // whole pass: the first live run of a shared up-front probe showed
-    // retime norms inflating progressively down the flag list (in-run
-    // 5.2 -> retime 10.3 on untouched code, quiet TimeQ at baseline) —
-    // the end-of-run JVM keeps degrading during the pass, and only a
-    // per-measurement probe tracks the speed the query actually ran at.
-    // Whatever slows the JVM at that instant slows the adjacent probe
-    // too, so the norm stays machine-invariant per measurement window.
+    // Normalization (round 13, superseding the round-12 adjacent-probe
+    // design): the retime divides by THIS RUN'S calibMedian — the same
+    // denominator the flag norms and the history bests use — because
+    // dividing by a freshly-measured fully-warm probe read ~2x the
+    // in-run norm on identical seconds (the q244/q12 inflation). The
+    // per-flag adjacent probe still runs, but as a machine-speed-change
+    // detector: its ratio against the run's own warm end probe scales
+    // the measurement symmetrically (see BenchGate.retimeNorm).
     val retimed: Map[String, (Option[Double], Option[Boolean])] =
       if (normRegs.isEmpty) Map.empty
       else {
@@ -180,6 +180,16 @@ object Bench {
           ",\"verdict\":" + verdict + "}"
       }.mkString("{", ",", "}")
     val normRegsJson = regsJson(normRegs.toSeq.sortBy(_._1))
+    // Sec-vetoed flags (report-only honesty, like calib-unstable runs):
+    // entries that cleared the norm bar but whose raw seconds sit under
+    // 1.5x the window's best seconds — the denominator-variance ghost
+    // class. Visible in the FULL artifact so a real regression the veto
+    // masked (narrow machine-got-faster regime) is never silently lost.
+    val secVetoedJson = secVetoed.toSeq.sortBy(_._1)
+      .map { case (q, (norm, best, secRatio)) =>
+        "\"" + q + "\":{\"norm\":" + fmt(norm) + ",\"best\":" + fmt(best) +
+          ",\"ratio\":" + fmt(norm / best) + ",\"sec_ratio\":" + fmt(secRatio) + "}"
+      }.mkString("{", ",", "}")
     // stdout must respect the ~2k-char tail budget (see below): worst 4
     // by ratio only, plus the total count; the FULL map goes in the file
     // artifact. A ghost-flood run (42 flags observed) would otherwise
@@ -197,7 +207,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
         s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},""" +
         s""""shift_suspect":$shiftSuspect,"hist_lines":$histLines,"hist_sha":"$histSha",""" +
-        s""""norm_regressions":$normRegsJson,""" +
+        s""""norm_regressions":$normRegsJson,"sec_vetoed":$secVetoedJson,""" +
         s""""queries":${mapOf(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
     // The driver records only the LAST ~2000 chars of stdout; at 194
     // queries even short-id entries are ~2.4 kB, which is why BENCH_r06
@@ -214,7 +224,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
         s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},""" +
         s""""shift_suspect":$shiftSuspect,""" +
-        s""""n_norm_regressions":${normRegs.size},"norm_regressions":$normRegsStdout,""" +
+        s""""n_norm_regressions":${normRegs.size},"n_sec_vetoed":${secVetoed.size},""" +
+        s""""norm_regressions":$normRegsStdout,""" +
         s""""queries":${mapOf(slowest)},""" +
         s""""n_queries":${results.size},"full":"$out","sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -139,13 +139,20 @@ object BenchGate {
     * verdict compares the retime against `bar × best` where best norms
     * are calibMedian-based, so the retime MUST use the same `basis` —
     * this run's calibMedian. What the adjacent probe is actually for is
-    * detecting JVM degradation SINCE the run ended (the r12
-    * progressive-inflation mode): `probe()` is compared against
-    * `warmRef` — the run's own fully-warm end probe, the same-shape
-    * same-warmth reference — and the measurement is deflated by
-    * `max(1, probe/warmRef)`. A healthy end-of-run JVM measures
-    * probe ≈ warmRef (factor 1, live: 0.17 vs 0.168); a degraded one
-    * measures 2× and the retime is credited accordingly.
+    * detecting a machine-speed CHANGE since the run ended: `probe()` is
+    * compared against `warmRef` — the run's own fully-warm end probe,
+    * the same-shape same-warmth reference — and the measurement is
+    * scaled by `probe/warmRef` SYMMETRICALLY. Degraded JVM (the r12
+    * progressive-inflation mode): probe reads 2× warmRef, retime
+    * deflated 2×. Machine FASTER at retime time (a load that covered
+    * the whole run lifting before the retime pass — likely, since the
+    * pass starts with unpersist+GC): probe reads under warmRef and the
+    * retime INFLATES accordingly — flooring the credit at 1 here would
+    * under-read a real regression re-measured on the now-faster machine
+    * and stamp it ghost, a dismissal bias of exactly the kind the r12
+    * ADVICE flagged in the min-of-2 statistic. Probe noise enters both
+    * directions, but `probe()` is itself a median-of-3 in production
+    * and a healthy end-of-run pair measures ~1.0 (live: 0.17 vs 0.168).
     *
     * `run()` executes the query once and returns elapsed seconds;
     * `probe()` returns the adjacent calibration probe's seconds. None ⇔
@@ -160,8 +167,7 @@ object BenchGate {
     if (p <= 0 || basis <= 0 || warmRef <= 0) None
     else {
       val ts = (1 to iters).map(_ => run()).sorted
-      val degradation = math.max(1.0, p / warmRef)
-      Some(ts(ts.length / 2) / (basis * degradation))
+      Some(ts(ts.length / 2) / (basis * (p / warmRef)))
     }
   }
 
@@ -303,6 +309,45 @@ object BenchGate {
     * and a lenient plain-1.5 bar errs toward keeping flags. A real
     * regression is slower in both currencies and passes untouched;
     * missing seconds (old lines, absent query) → no veto, old behavior.
+    *
+    * Vetoed flags are NOT dropped silently — report-only honesty, the
+    * same contract calib-unstable runs follow: [[regressionsSplit]]
+    * returns them separately with their seconds ratio, and the artifact
+    * lists them as `sec_vetoed`. The veto CAN mask a real regression in
+    * one narrow regime (the machine genuinely faster than the
+    * best-seconds line's day by enough that a real norm regression's
+    * raw seconds stay under 1.5× — this machine's documented variance
+    * runs slower, not faster, so the regime is rare), which is exactly
+    * why the entry stays visible instead of vanishing.
+    */
+  def regressionsSplit(current: Map[String, Double],
+                       history: Seq[HistLine],
+                       ratio: Double = RatioThreshold,
+                       minNorm: Double = MinNorm,
+                       currentSec: Map[String, Double] = Map.empty)
+      : (Map[String, (Double, Double)], Map[String, (Double, Double, Double)]) = {
+    val flagged = current.flatMap { case (q, norm) =>
+      history.flatMap(_.norms.get(q)).minOption
+        .filter(best => best > 0 && norm >= minNorm && norm >= ratio * best)
+        .map(best => q -> (norm, best))
+    }
+    val (vetoed, kept) = flagged.partition { case (q, _) =>
+      (for {
+        sec <- currentSec.get(q)
+        bestSec <- history.flatMap(_.secs.get(q)).minOption if bestSec > 0
+      } yield sec < RatioThreshold * bestSec).getOrElse(false)
+    }
+    (kept, vetoed.map { case (q, (norm, best)) =>
+      val secRatio = (for {
+        sec <- currentSec.get(q)
+        bestSec <- history.flatMap(_.secs.get(q)).minOption if bestSec > 0
+      } yield sec / bestSec).getOrElse(0.0)
+      q -> (norm, best, secRatio)
+    })
+  }
+
+  /** The reported flags only — see [[regressionsSplit]] for the vetoed
+    * complement.
     */
   def regressions(current: Map[String, Double],
                   history: Seq[HistLine],
@@ -310,16 +355,7 @@ object BenchGate {
                   minNorm: Double = MinNorm,
                   currentSec: Map[String, Double] = Map.empty)
       : Map[String, (Double, Double)] =
-    current.flatMap { case (q, norm) =>
-      val secVetoed = (for {
-        sec <- currentSec.get(q)
-        bestSec <- history.flatMap(_.secs.get(q)).minOption if bestSec > 0
-      } yield sec < RatioThreshold * bestSec).getOrElse(false)
-      history.flatMap(_.norms.get(q)).minOption
-        .filter(best => best > 0 && norm >= minNorm && norm >= ratio * best &&
-          !secVetoed)
-        .map(best => q -> (norm, best))
-    }
+    regressionsSplit(current, history, ratio, minNorm, currentSec)._1
 
   /** The registry-wide median of norm/best ratios — "how much slower is
     * THIS RUN, as a whole, than the window's best?". The calibration
@@ -346,15 +382,19 @@ object BenchGate {
     * the bar is the plain 1.5x. A genuine single-query regression
     * clears the bar in both regimes. Report-only either way.
     * `currentSec` (this run's median seconds) enables the
-    * seconds-confluence veto in [[regressions]].
+    * seconds-confluence veto; the third element is the sec-vetoed
+    * complement (norm, best, secRatio) so suppressed flags stay visible
+    * in the artifact.
     */
   def adjudicate(current: Map[String, Double],
                  history: Seq[HistLine],
                  currentSec: Map[String, Double] = Map.empty)
-      : (Double, Map[String, (Double, Double)]) = {
+      : (Double, Map[String, (Double, Double)], Map[String, (Double, Double, Double)]) = {
     val shift = globalShift(current, history)
     val bar = RatioThreshold * math.max(1.0, shift)
-    (shift, regressions(current, history, ratio = bar, currentSec = currentSec))
+    val (kept, vetoed) =
+      regressionsSplit(current, history, ratio = bar, currentSec = currentSec)
+    (shift, kept, vetoed)
   }
 
   /** ONE atomic read of the history file, shared by the identity

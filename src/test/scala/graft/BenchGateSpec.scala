@@ -72,6 +72,14 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.regressions(Map("q244" -> 3.636), history,
       currentSec = Map("q244" -> 1.313)).isEmpty,
       "normal seconds + deflated baseline norm must not flag")
+    // ...but NOT silently: the vetoed complement carries the entry with
+    // its seconds ratio so the artifact can list it (a real regression
+    // masked by the narrow machine-got-faster regime stays visible)
+    val (kept, vetoed) = BenchGate.regressionsSplit(Map("q244" -> 3.636),
+      history, currentSec = Map("q244" -> 1.313))
+    assert(kept.isEmpty && vetoed.keySet == Set("q244"))
+    val (vn, vb, vsec) = vetoed("q244")
+    assert(vn == 3.636 && vb == 2.115 && math.abs(vsec - 1.313 / 1.045) < 1e-9)
     // a REAL regression is slower in both currencies: same norms, but
     // seconds 3.1 (3x the best line's) → the flag survives the veto
     assert(BenchGate.regressions(Map("q244" -> 3.636), history,
@@ -90,15 +98,15 @@ class BenchGateSpec extends AnyFunSuite {
     // does not feel CPU contention proportionally)
     val history = Seq(h("q1" -> 4.0, "q2" -> 6.0, "q3" -> 8.0, "q4" -> 3.0, "q5" -> 5.0))
     val slowDay = Map("q1" -> 6.4, "q2" -> 9.6, "q3" -> 12.8, "q4" -> 4.8, "q5" -> 8.0)
-    val (shift, flags) = BenchGate.adjudicate(slowDay, history)
+    val (shift, flags, _) = BenchGate.adjudicate(slowDay, history)
     assert(math.abs(shift - 1.6) < 1e-9)
     assert(flags.isEmpty, s"uniform 1.6x shift must not flag: $flags")
     // same day, but q3 ALSO genuinely regressed 3x — it clears even the
     // shift-corrected bar (1.5 * 1.6 = 2.4) and is the only flag
-    val (shift2, flags2) = BenchGate.adjudicate(slowDay + ("q3" -> 24.0), history)
+    val (shift2, flags2, _) = BenchGate.adjudicate(slowDay + ("q3" -> 24.0), history)
     assert(flags2.keySet == Set("q3"), s"got $flags2 (shift $shift2)")
     // clean day: bar is the plain 1.5x (shift below 1 never lowers it)
-    val (shift3, flags3) = BenchGate.adjudicate(
+    val (shift3, flags3, _) = BenchGate.adjudicate(
       Map("q1" -> 3.8, "q2" -> 5.9, "q3" -> 7.7, "q4" -> 2.9, "q5" -> 12.0), history)
     assert(shift3 <= 1.0 && flags3.keySet == Set("q5"))
   }
@@ -235,10 +243,14 @@ class BenchGateSpec extends AnyFunSuite {
     val degraded = BenchGate.retimeNorm(() => 2.0, () => 1.0,
       basis = 1.0, warmRef = 0.5)
     assert(degraded.contains(1.0), s"got $degraded")
-    // a FASTER-than-reference probe never inflates (floor at 1)
+    // the credit is SYMMETRIC: a machine that got FASTER since the run
+    // ended (probe at half the warm reference — e.g. whole-run load
+    // lifting before the retime pass) INFLATES the measurement, so a
+    // real regression re-measured on the faster machine still confirms
+    // instead of being under-read into a ghost (a dismissal bias)
     val faster = BenchGate.retimeNorm(() => 2.0, () => 0.25,
       basis = 1.0, warmRef = 0.5)
-    assert(faster.contains(2.0), s"got $faster")
+    assert(faster.contains(4.0), s"got $faster")
   }
 
   test("flagVerdict: drift-day persistent flag demotes to drift_consistent; quiet-day planted regression confirms") {
