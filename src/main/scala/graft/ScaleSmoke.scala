@@ -107,7 +107,10 @@ object ScaleSmoke {
       "q231_cms_audit", "q232_cms_store_audit", "q233_skipgram_cooc",
       "q236_dbscan", "q237_silhouette", "q238_ari_purity",
       "q239_cluster_nmi", "q240_kdist_profile", "q241_ams_f2_audit",
-      "q243_dedup_savings")
+      "q243_dedup_savings",
+      // media codecs run from documents too (round 13: previously only
+      // TimeQ'd at 10x; in the sweep so future scale runs cover them)
+      "q249_png_pixel_decode", "q250_wav_pcm_decode")
     println(s"== corpus ${nDocs * mult} docs / ${nEmb * mult} vectors, 16 files each ==")
     // Local-iteration filter (builder tooling, mirrors Verify's):
     // comma-separated name prefixes, e.g. SPARK_GRAFT_SMOKE_ONLY=q218,q221.
