@@ -154,6 +154,16 @@ object BenchGate {
     * directions, but `probe()` is itself a median-of-3 in production
     * and a healthy end-of-run pair measures ~1.0 (live: 0.17 vs 0.168).
     *
+    * The credit is CLAMPED into [1/[[CalibStableRatio]],
+    * [[CalibStableRatio]]]: both inputs are same-shape probes, and this
+    * codebase's own noise model says one-sided spikes happen — an
+    * UNBOUNDED credit would let a single spiked `warmRef` (calibEnd is
+    * measured once, before the unpersist+GC the retime pass performs)
+    * inflate EVERY retime toward a false confirm. Two same-shape probes
+    * more than 2.5× apart already mean a load transition rather than a
+    * persistent machine-speed change (the calibStable argument), so the
+    * credit saturates there instead of trusting the tail.
+    *
     * `run()` executes the query once and returns elapsed seconds;
     * `probe()` returns the adjacent calibration probe's seconds. None ⇔
     * any input degenerated (≤ 0) — the retime failed, stamped null
@@ -167,7 +177,9 @@ object BenchGate {
     if (p <= 0 || basis <= 0 || warmRef <= 0) None
     else {
       val ts = (1 to iters).map(_ => run()).sorted
-      Some(ts(ts.length / 2) / (basis * (p / warmRef)))
+      val credit = math.min(CalibStableRatio,
+        math.max(1.0 / CalibStableRatio, p / warmRef))
+      Some(ts(ts.length / 2) / (basis * credit))
     }
   }
 
@@ -326,24 +338,26 @@ object BenchGate {
                        minNorm: Double = MinNorm,
                        currentSec: Map[String, Double] = Map.empty)
       : (Map[String, (Double, Double)], Map[String, (Double, Double, Double)]) = {
-    val flagged = current.flatMap { case (q, norm) =>
+    val flagged = current.toSeq.flatMap { case (q, norm) =>
       history.flatMap(_.norms.get(q)).minOption
         .filter(best => best > 0 && norm >= minNorm && norm >= ratio * best)
-        .map(best => q -> (norm, best))
+        .map { best =>
+          // ONE seconds-ratio computation drives both the veto decision
+          // and the reported sec_ratio — they cannot desynchronize
+          val secRatio = for {
+            sec <- currentSec.get(q)
+            bestSec <- history.flatMap(_.secs.get(q)).minOption if bestSec > 0
+          } yield sec / bestSec
+          (q, norm, best, secRatio)
+        }
     }
-    val (vetoed, kept) = flagged.partition { case (q, _) =>
-      (for {
-        sec <- currentSec.get(q)
-        bestSec <- history.flatMap(_.secs.get(q)).minOption if bestSec > 0
-      } yield sec < RatioThreshold * bestSec).getOrElse(false)
+    val (vetoed, kept) = flagged.partition { case (_, _, _, secRatio) =>
+      secRatio.exists(_ < RatioThreshold)
     }
-    (kept, vetoed.map { case (q, (norm, best)) =>
-      val secRatio = (for {
-        sec <- currentSec.get(q)
-        bestSec <- history.flatMap(_.secs.get(q)).minOption if bestSec > 0
-      } yield sec / bestSec).getOrElse(0.0)
-      q -> (norm, best, secRatio)
-    })
+    (kept.map { case (q, norm, best, _) => q -> (norm, best) }.toMap,
+      // secRatio is always defined here: only a present sub-bar ratio vetoes
+      vetoed.map { case (q, norm, best, secRatio) =>
+        q -> (norm, best, secRatio.get) }.toMap)
   }
 
   /** The reported flags only — see [[regressionsSplit]] for the vetoed

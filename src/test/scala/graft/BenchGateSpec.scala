@@ -251,6 +251,18 @@ class BenchGateSpec extends AnyFunSuite {
     val faster = BenchGate.retimeNorm(() => 2.0, () => 0.25,
       basis = 1.0, warmRef = 0.5)
     assert(faster.contains(4.0), s"got $faster")
+    // ...but the credit SATURATES at the same-shape probe-disagreement
+    // band (CalibStableRatio): a single one-sided spike in either probe
+    // (warmRef is measured once, before the retime pass's unpersist+GC)
+    // must not scale every retime unboundedly in either direction
+    val spikedWarmRef = BenchGate.retimeNorm(() => 2.0, () => 0.2,
+      basis = 1.0, warmRef = 2.0) // ratio 0.1 -> clamped to 1/2.5
+    assert(spikedWarmRef.contains(2.0 / (1.0 / BenchGate.CalibStableRatio)),
+      s"got $spikedWarmRef")
+    val spikedProbe = BenchGate.retimeNorm(() => 2.0, () => 2.0,
+      basis = 1.0, warmRef = 0.5) // ratio 4 -> clamped to 2.5
+    assert(spikedProbe.contains(2.0 / BenchGate.CalibStableRatio),
+      s"got $spikedProbe")
   }
 
   test("flagVerdict: drift-day persistent flag demotes to drift_consistent; quiet-day planted regression confirms") {
