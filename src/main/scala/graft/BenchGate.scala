@@ -97,16 +97,35 @@ object BenchGate {
   val MaxRetimes = 8
   def confirm(flagged: Map[String, (Double, Double)], bar: Double,
               retimedNorm: String => Option[Double],
-              minNorm: Double = MinNorm)
+              minNorm: Double = MinNorm,
+              cap: Int = MaxRetimes)
       : Map[String, (Option[Double], Option[Boolean])] =
     flagged.toSeq.sortBy { case (q, (cur, best)) => (-cur / best, q) }
       .zipWithIndex.map { case ((q, (_, best)), i) =>
-        if (i >= MaxRetimes) q -> (None, None)
+        if (i >= cap) q -> (None, None)
         else {
           val rn = retimedNorm(q)
           q -> (rn, rn.map(r => r >= minNorm && r >= bar * best))
         }
       }.toMap
+
+  /** Sec-vetoed entries that still deserve a retime (round-13 verdict
+    * item 2): the seconds-confluence veto is deliberately lenient and its
+    * masked class — a real regression on a day the machine got FASTER, so
+    * raw seconds stay under the 1.5× bar — previously landed in
+    * `sec_vetoed` with no verdict machinery at all; a judge had to eyeball
+    * the map. An entry slower in seconds too, just under the bar
+    * (sec_ratio ≥ [[SecVetoRetimeBound]]), is exactly that ambiguous class
+    * and gets re-timed + verdict-stamped like a kept flag instead of
+    * resting on the veto. Entries below the bound (seconds at or near
+    * their historical floor) keep the plain veto — the pure
+    * denominator-ghost class the veto exists for.
+    */
+  val SecVetoRetimeBound = 1.2
+  def vetoedNeedingRetime(vetoed: Map[String, (Double, Double, Double)])
+      : Map[String, (Double, Double)] =
+    vetoed.collect { case (q, (norm, best, secRatio))
+        if secRatio >= SecVetoRetimeBound => q -> (norm, best) }
 
   /** The retime MEASUREMENT harness (round-12 verdict item 2, residual
     * retime inflation): BENCH_r12's q12 re-timed at norm 8.2 where its
@@ -231,14 +250,31 @@ object BenchGate {
     *                      why it reads "check me", never "dismissed".
     *   - "confirmed"    — persistent and beyond what machine drift
     *                      explains (quiet day, or past the tail bound).
+    *
+    * `filesChanged` (round-13 verdict item 1 — the last manual step in
+    * the adjudication loop): did the query's DEFINING FILE change since
+    * the commit of the history line whose norm is the flag's baseline?
+    *   - Some(true)  — the file was touched: the drift demotion is OFF.
+    *     A persistent flag on changed code is the builder's to explain
+    *     even inside the drift tail on a drift day → "confirmed".
+    *   - Some(false) — untouched: the demotion applies as before, and the
+    *     artifact's `files_changed:false` field next to
+    *     `drift_consistent` DISCHARGES the label by elimination (drift
+    *     measured + code unchanged + flag persistent = machine) — the
+    *     untouched-code half of the manual TimeQ check is now in-run.
+    *   - None        — no manifest entry / no baseline commit / dirty
+    *     baseline tree / git unavailable: pre-round-14 behavior, the
+    *     label still means "needs untouched-code + fresh-JVM TimeQ".
     */
   def flagVerdict(persisted: Option[Boolean], ratio: Double, shift: Double,
-                  calibStable: Boolean): Option[String] =
+                  calibStable: Boolean,
+                  filesChanged: Option[Boolean] = None): Option[String] =
     persisted.map {
       case false => "ghost"
       case true =>
         val adjusted = ratio / math.max(1.0, shift)
-        if (calibStable && shift >= DriftDayBound && adjusted < DriftTailBound)
+        if (calibStable && shift >= DriftDayBound && adjusted < DriftTailBound
+            && !filesChanged.contains(true))
           "drift_consistent"
         else "confirmed"
     }
@@ -248,14 +284,51 @@ object BenchGate {
   private val sfRe = """"sf":"([^"]*)"""".r
   private val calibStartRe = """"calib_start":([0-9.]+)""".r
   private val calibEndRe = """"calib_end":([0-9.]+)""".r
+  private val commitRe = """"commit":"([0-9a-f]{7,40})"""".r
+  private val dirtyRe = """"tree_dirty":(true|false)""".r
 
   /** One parsed, calib-judged history line: the calib-normalized norms
     * (the adjudication currency) plus the raw median SECONDS the same
     * run recorded (`queries` map) — carried since round 13 for the
-    * seconds-confluence veto in [[regressions]].
+    * seconds-confluence veto in [[regressions]] — and, since round 14,
+    * the git commit the run's tree was at (`commit`, only when the line
+    * also attests `tree_dirty:false`: a dirty-tree commit does not
+    * identify the measured code, so it parses to None and files_changed
+    * stays honestly unknown for flags baselined on that line).
     */
   final case class HistLine(sf: String, norms: Map[String, Double],
-                            secs: Map[String, Double])
+                            secs: Map[String, Double],
+                            commit: Option[String] = None)
+
+  /** The history line whose norm is `q`'s best-of-window — the baseline a
+    * flag's ratio is measured against, and therefore the commit the
+    * files_changed diff runs from (did the query's defining file change
+    * since the measurement we claim it regressed from?). First-of-ties
+    * matches `minOption` in [[regressionsSplit]].
+    */
+  def bestNormLine(q: String, history: Seq[HistLine]): Option[HistLine] =
+    history.filter(_.norms.contains(q)).minByOption(_.norms(q))
+
+  /** query → defining-source-file map (tools/query_files.tsv, one
+    * `name<TAB>path` per line, committed and CI-verified against a source
+    * scan by QueryManifestSpec). Missing/unreadable/malformed → empty map
+    * — files_changed stamps null rather than the bench failing.
+    */
+  def loadManifest(path: String): Map[String, String] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.flatMap { line =>
+            line.split('\t') match {
+              case Array(name, file) if name.nonEmpty && file.nonEmpty =>
+                Some(name -> file)
+              case _ => None
+            }
+          }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Parse one history line into (sf, query → norm). Tolerant: a line
     * without a norm map (pre-round-9 history) parses to None. A line
@@ -297,7 +370,13 @@ object BenchGate {
       // a malformed one) still serves as a norm baseline — the veto in
       // regressions() simply has no seconds evidence from it
       secsRe.findFirstMatchIn(line).flatMap(m => parseMap(m.group(1)))
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      // commit is only usable when the line ATTESTS a clean tree: Bench
+      // writes both fields together, and a dirty-tree sha (or a
+      // hand-added commit with no attestation) does not identify the
+      // measured code — files_changed must stay unknown, not guess
+      commit = commitRe.findFirstMatchIn(line).map(_.group(1))
+        .filter(_ => dirtyRe.findFirstMatchIn(line).exists(_.group(1) == "false")))
   }
 
   /** query → (current norm, best historical norm) for every query whose

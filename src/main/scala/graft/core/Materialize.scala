@@ -98,7 +98,15 @@ object Materialize {
     if (df.sparkSession.conf.get(ModeKey, "local") == "persist") {
       val maxNodes =
         df.sparkSession.conf.get(PersistMaxPlanNodesKey, "32768").toInt
-      val n = df.queryExecution.analyzed.collect { case p => p }.size
+      // count SUBQUERY plans too (round-13 ADVICE): LogicalPlan.collect
+      // walks only the main tree, so an unbounded-feedback input routed
+      // through an IN/EXISTS/scalar subquery would evade a main-tree-only
+      // bound — subqueriesAll recurses into nested subqueries, and each
+      // returned plan is a distinct tree, so summing per-tree node counts
+      // counts every logical node exactly once
+      val analyzed = df.queryExecution.analyzed
+      val n = (analyzed +: analyzed.subqueriesAll)
+        .map(_.collect { case p => p }.size).sum
       require(n <= maxNodes,
         s"$what: input plan has $n logical nodes (bound $maxNodes) under " +
           s"$ModeKey=persist, which never truncates lineage — an iterative " +

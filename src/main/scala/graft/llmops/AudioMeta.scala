@@ -44,7 +44,12 @@ object AudioMeta {
       val i = cur.toInt // cur + 8 <= b.length <= Int.MaxValue, so exact
       val size = le32(b, i + 4)
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
-        if (i + 8 + 16 > b.length) return None
+        // a PCM fmt chunk is >= 16 bytes BY DECLARATION too (round-13
+        // ADVICE): a chunk declaring fewer would have these fixed-offset
+        // reads land in the NEXT chunk's bytes — bounded by payload
+        // length, but semantically garbage that can misdecode into
+        // plausible-looking fields instead of folding to None
+        if (size < 16 || i + 8 + 16 > b.length) return None
         channels = le16(b, i + 10)
         rate = le32(b, i + 12).toInt
         byteRate = le32(b, i + 16).toInt
@@ -193,6 +198,13 @@ object AudioMeta {
         it.map { case (id, ch, n) =>
           require(ch >= 1 && n >= 1,
             s"synthWav needs channels,n >= 1, got channels=$ch n=$n for media_id=$id")
+          // the sample body is 2 bytes x ch x n and the container adds 58
+          // header bytes; state the product bound loudly (round-13 ADVICE)
+          // instead of letting Int overflow surface as a negative
+          // ByteBuffer.allocate size or silently wrong RIFF/data sizes
+          require(2L * ch * n <= Int.MaxValue - 58,
+            s"synthWav payload would exceed Int.MaxValue bytes: " +
+              s"channels=$ch n=$n for media_id=$id")
           val blockAlign = ch * 2
           val dataSize = n * blockAlign
           val buf = java.nio.ByteBuffer.allocate(58 + dataSize)
@@ -236,7 +248,12 @@ object AudioMeta {
       val i = cur.toInt
       val size = le32(b, i + 4)
       if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
-        if (i + 8 + 16 > b.length) return None
+        // declared-size check, same contract as parse(): fields at fixed
+        // offsets i+8..i+23 are only the fmt chunk's own bytes when the
+        // chunk DECLARES >= 16 of them (round-13 ADVICE — without this, a
+        // crafted undersized fmt chunk reads the next chunk's bytes as
+        // channels/bits and can misdecode instead of folding to None)
+        if (size < 16 || i + 8 + 16 > b.length) return None
         fmtCode = le16(b, i + 8)
         channels = le16(b, i + 10)
         bits = le16(b, i + 22)

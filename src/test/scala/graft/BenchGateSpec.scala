@@ -296,6 +296,95 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.flagVerdict(None, 2.4, 1.255, calibStable = true).isEmpty)
   }
 
+  test("parseHistLine: commit usable only with an explicit clean-tree attestation") {
+    def line(extra: String) =
+      s"""{"ts":1,"value":1.0,$extra"norm":{"q1":1.0},"sf":"/d/sf0.1"}"""
+    // clean-tree line: the commit is the files_changed diff base
+    assert(BenchGate.parseHistLine(
+      line(""""commit":"abc1234","tree_dirty":false,"""))
+      .flatMap(_.commit).contains("abc1234"))
+    // dirty tree: the sha does not identify the measured code → None
+    assert(BenchGate.parseHistLine(
+      line(""""commit":"abc1234","tree_dirty":true,"""))
+      .exists(_.commit.isEmpty))
+    // commit without the attestation field (hand-edited): unusable
+    assert(BenchGate.parseHistLine(line(""""commit":"abc1234","""))
+      .exists(_.commit.isEmpty))
+    // pre-round-14 line: parses fine, no commit
+    assert(BenchGate.parseHistLine(line("")).exists(_.commit.isEmpty))
+  }
+
+  test("bestNormLine returns the window line whose norm is the flag's baseline") {
+    val l1 = BenchGate.HistLine("/d/sf0.1", Map("q1" -> 4.0), Map.empty, Some("aaa1111"))
+    val l2 = BenchGate.HistLine("/d/sf0.1", Map("q1" -> 2.0, "q2" -> 1.0), Map.empty, Some("bbb2222"))
+    val l3 = BenchGate.HistLine("/d/sf0.1", Map("q1" -> 3.0), Map.empty, None)
+    // q1's best (2.0) came from l2 → that line's commit is the diff base
+    assert(BenchGate.bestNormLine("q1", Seq(l1, l2, l3)).contains(l2))
+    assert(BenchGate.bestNormLine("q2", Seq(l1, l2, l3)).contains(l2))
+    assert(BenchGate.bestNormLine("q_absent", Seq(l1, l2, l3)).isEmpty)
+  }
+
+  test("flagVerdict files_changed: touched file never demotes; untouched-on-drift-day still does") {
+    // the r12 drift-day shape: shift 1.255, persistent flag at ratio 2.40
+    // (adjusted 1.91, inside the drift tail). UNTOUCHED defining file →
+    // machine by elimination, the demotion applies (and the artifact's
+    // files_changed:false discharges the label without a judge TimeQ)
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = true,
+      filesChanged = Some(false)).contains("drift_consistent"))
+    // TOUCHED defining file: a persistent flag on changed code is the
+    // builder's to explain even inside the tail — no demotion
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = true,
+      filesChanged = Some(true)).contains("confirmed"))
+    // unknown file state: pre-round-14 behavior (demote, needs TimeQ)
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = true,
+      filesChanged = None).contains("drift_consistent"))
+    // files_changed never rescues a ghost or manufactures a demotion
+    // outside the drift band
+    assert(BenchGate.flagVerdict(Some(false), 2.40, 1.255, calibStable = true,
+      filesChanged = Some(true)).contains("ghost"))
+    assert(BenchGate.flagVerdict(Some(true), 3.0, 1.0, calibStable = true,
+      filesChanged = Some(false)).contains("confirmed"))
+  }
+
+  test("sec-vetoed entries slower in seconds too (>= 1.2x) are re-timed instead of silently vetoed") {
+    // round-13 verdict item 2, the planted shape verbatim: 2x norm ratio,
+    // 1.4x seconds — under the 1.5 veto bar but NOT at its seconds floor,
+    // exactly the masked class (real regression on a machine-got-faster
+    // day). It must flow into the retime harness, not rest on the veto.
+    val history = Seq(BenchGate.HistLine("/d/sf0.1",
+      Map("q9" -> 3.0, "q8" -> 3.0), Map("q9" -> 1.0, "q8" -> 1.0)))
+    val (kept, vetoed) = BenchGate.regressionsSplit(
+      Map("q9" -> 6.0, "q8" -> 6.0), history,
+      currentSec = Map("q9" -> 1.4, "q8" -> 1.05))
+    assert(kept.isEmpty && vetoed.keySet == Set("q9", "q8"))
+    val needing = BenchGate.vetoedNeedingRetime(vetoed)
+    assert(needing == Map("q9" -> (6.0, 3.0)),
+      "1.4x-seconds entry re-times; the 1.05x near-floor entry keeps the plain veto")
+    // ...and through confirm() it gets the same verdict machinery as a
+    // kept flag: persistent at its flagged norm → confirmable
+    val v = BenchGate.confirm(needing, bar = 1.5, _ => Some(6.1))
+    assert(v("q9") == (Some(6.1), Some(true)))
+  }
+
+  test("confirm: the cap parameter bounds the retime budget (0 = all explicitly unadjudicated)") {
+    val flagged = Map("qa" -> (12.0, 4.0), "qb" -> (8.0, 4.0))
+    val none = BenchGate.confirm(flagged, 1.5, _ => Some(4.0), cap = 0)
+    assert(none("qa") == (None, None) && none("qb") == (None, None))
+    val one = BenchGate.confirm(flagged, 1.5, _ => Some(4.0), cap = 1)
+    assert(one("qa") == (Some(4.0), Some(false)), "worst-by-ratio spends the budget first")
+    assert(one("qb") == (None, None))
+  }
+
+  test("loadManifest parses the tsv, skips malformed lines, and survives a missing file") {
+    val dir = graft.core.TempDirs.scratch("benchgate-manifest-")
+    val p = java.nio.file.Paths.get(dir, "m.tsv")
+    java.nio.file.Files.write(p,
+      "q1_a\tsrc/main/scala/A.scala\nmalformed line\nq2_b\tsrc/main/scala/B.scala\n".getBytes)
+    assert(BenchGate.loadManifest(p.toString) == Map(
+      "q1_a" -> "src/main/scala/A.scala", "q2_b" -> "src/main/scala/B.scala"))
+    assert(BenchGate.loadManifest("/nonexistent/m.tsv").isEmpty)
+  }
+
   test("historyIdentity counts lines with the parser's split (CR/CRLF files agree)") {
     // ADVICE r12: '\n'-byte counting disagrees with linesIterator on
     // CR-bearing files; hist_lines must equal the parsed-line count

@@ -141,6 +141,53 @@ class AudioMetaSpec extends SparkTestBase {
     assert(AudioMeta.parse(bytes).contains((2, 8000, 16, 0L)))
   }
 
+  test("fmt chunk declaring size < 16 folds to None instead of misdecoding the next chunk's bytes") {
+    // round-13 ADVICE: the fixed-offset fmt field reads (i+8..i+23) are
+    // only the fmt chunk's own bytes when it DECLARES >= 16 of them. This
+    // payload is crafted so the PRE-FIX walk decoded it "successfully":
+    // fmt declares 4 bytes (fmtCode=1, channels=1), the walk then lands on
+    // a real data chunk at offset 24, and the bits field read at i+22=34
+    // hits data-payload sample #1 (0x0010 = 16) — every gate passed and
+    // decodePcm returned 6 plausible frames from a malformed file (parse()
+    // likewise returned a header tuple). Both must fold to None.
+    val undersizedFmt = hex(
+      "52494646" + "24000000" + "57415645" + // RIFF 36 WAVE
+        "666D7420" + "04000000" +             // "fmt " declaring only 4 bytes
+        "0100" + "0100" +                     // fmtCode=1, channels=1
+        "64617461" + "0C000000" +             // "data" 12
+        "0500" + "1000" + "0100" + "0200" + "0300" + "0400")
+    assert(AudioMeta.parse(undersizedFmt).isEmpty)
+    import spark.implicits._
+    val out = AudioMeta.pcmStats(Seq((7L, undersizedFmt)).toDF("media_id", "payload"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(1),
+      "undersized fmt declaration must yield the one null row")
+    // and the patched-real-WAV variant: a valid synthWav payload whose fmt
+    // size field alone is rewritten 16 -> 12 stops decoding
+    val good = AudioMeta.synthWav(Seq((1L, 2, 3)).toDF("media_id", "channels", "n"))
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(AudioMeta.parse(good).isDefined)
+    val patched = good.clone()
+    patched(16) = 12 // fmt size LE32 at offset 16: 16 -> 12
+    assert(AudioMeta.parse(patched).isEmpty)
+    val out2 = AudioMeta.pcmStats(Seq((8L, patched)).toDF("media_id", "payload"))
+      .collect()
+    assert(out2.length == 1 && out2(0).isNullAt(1))
+  }
+
+  test("synthWav: an Int-overflowing channels x n product fails the loud require, not ByteBuffer math") {
+    import spark.implicits._
+    // round-13 ADVICE: 2 ch x 1.2e9 frames = 4.8e9 sample bytes overflows
+    // Int to a POSITIVE 505 MB — the silent-wrong-RIFF-sizes class, worse
+    // than the negative-allocation one. The bound require must fire first.
+    val e = intercept[Throwable](
+      AudioMeta.synthWav(Seq((1L, 2, 1200000000)).toDF("media_id", "channels", "n"))
+        .collect())
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(chain.contains("synthWav payload would exceed"), s"got: $chain")
+  }
+
   test("pcmStats: corrupt, truncated, non-PCM16, and empty-data payloads fold to one null row") {
     import spark.implicits._
     val good = AudioMeta.synthWav(Seq((1L, 2, 3)).toDF("media_id", "channels", "n"))
