@@ -114,21 +114,49 @@ object Bench {
     // one remaining judge-side TimeQ adjudication per round. Every git
     // failure mode (no repo, unknown sha, no manifest entry, dirty
     // baseline) degrades to null = honestly unknown, never a guess.
-    def gitLines(cmd: String*): Option[Seq[String]] =
+    def gitLines(cmd: Seq[String]): Option[Seq[String]] = {
+      var proc: Process = null
       try {
-        val proc = new ProcessBuilder(cmd: _*).start()
+        // stderr DISCARDED, not left on a pipe: an undrained stderr pipe
+        // that fills (git warnings can be verbose in odd cwds) blocks git
+        // before it closes stdout and the getLines read hangs the bench
+        proc = new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.DISCARD).start()
         val out = scala.io.Source.fromInputStream(proc.getInputStream)
           .getLines().toList
         if (proc.waitFor() == 0) Some(out) else None
-      } catch { case scala.util.control.NonFatal(_) => None }
-    val headCommit = gitLines("git", "rev-parse", "HEAD")
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          if (proc != null) proc.destroy()
+          None
+      }
+    }
+    // ALL repo-relative git questions are anchored to the repo root, not
+    // the launch cwd: 'git status --porcelain -- src/main' from a subdir
+    // exits 0 with EMPTY output (pathspec resolves against the cwd), which
+    // would stamp tree_dirty:false for a dirty tree and files_changed:false
+    // for a touched file — wrong ANSWERS, not the promised null degradation.
+    // No resolvable root → every answer below is None → null, honestly.
+    val repoRoot = gitLines(Seq("git", "rev-parse", "--show-toplevel"))
+      .flatMap(_.headOption).map(_.trim).filter(_.nonEmpty)
+    def gitAtRoot(cmd: String*): Option[Seq[String]] =
+      repoRoot.flatMap(r => gitLines(Seq("git", "-C", r) ++ cmd))
+    val headCommit = gitAtRoot("rev-parse", "HEAD")
       .flatMap(_.headOption).map(_.trim).filter(_.matches("[0-9a-f]{7,40}"))
     // dirty = any uncommitted change under src/main: the only tree state
     // whose sha still identifies the measured engine code is a clean one
-    val treeDirty = gitLines("git", "status", "--porcelain", "--", "src/main")
+    val treeDirty = gitAtRoot("status", "--porcelain", "--", "src/main")
       .map(_.exists(_.trim.nonEmpty))
+    // the default manifest path is repo-root-relative for the same reason
+    val manifestEnv =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_MANIFEST", "tools/query_files.tsv")
     val manifest = BenchGate.loadManifest(
-      sys.env.getOrElse("SPARK_GRAFT_QUERY_MANIFEST", "tools/query_files.tsv"))
+      if (java.nio.file.Paths.get(manifestEnv).isAbsolute) manifestEnv
+      else repoRoot.map(r => r + "/" + manifestEnv).getOrElse(manifestEnv))
+    // one subprocess per DISTINCT (baseline commit, defining file) pair:
+    // operator files define up to ~20 queries each, so a flag-flood run
+    // would otherwise spawn a redundant git diff per flag
+    val diffCache = scala.collection.mutable.Map.empty[(String, String), Option[Boolean]]
     val filesChangedOf: Map[String, Option[Boolean]] =
       (normRegs.keySet ++ secVetoed.keySet).map { q =>
         q -> (for {
@@ -137,8 +165,10 @@ object Bench {
           commit <- line.commit
           // diff against the WORKING TREE, so uncommitted edits to the
           // defining file count as touched too
-          diff <- gitLines("git", "diff", "--name-only", commit, "--", file)
-        } yield diff.exists(_.trim.nonEmpty))
+          changed <- diffCache.getOrElseUpdate((commit, file),
+            gitAtRoot("diff", "--name-only", commit, "--", file)
+              .map(_.exists(_.trim.nonEmpty)))
+        } yield changed)
       }.toMap
     val calibStable = BenchGate.calibStable(calibStart, calibEnd)
     // Uniform-regression tripwire (round-11 ADVICE): the shift-corrected
@@ -248,15 +278,18 @@ object Bench {
           ",\"ratio\":" + fmt(norm / best) + ",\"sec_ratio\":" + fmt(secRatio) +
           adjudicationFields(q, norm / best) + "}"
       }.mkString("{", ",", "}")
-    // stdout must respect the ~2k-char tail budget (see below): worst 4
+    // stdout must respect the ~2k-char tail budget (see below): worst 3
     // by ratio only, plus the total count; the FULL map goes in the file
     // artifact. A ghost-flood run (42 flags observed) would otherwise
     // push the tail past the budget and truncate the line's head — the
-    // BENCH_r06 parse-null failure all over again. (4, not 8: the retime
-    // fields widened each entry ~45 chars and the round-13 verdict
-    // fields another ~60.)
+    // BENCH_r06 parse-null failure all over again. Budget arithmetic,
+    // re-done for the round-14 files_changed field (each entry is now
+    // ~200 chars: name ~25 + norm/best/ratio/adjusted ~72 + retime pair
+    // ~45 + files_changed ~22 + verdict ~26): 3 × 200 + header/counts
+    // ~350 + slowest-60 short-id map ~850 ≈ 1.8 kB — inside the tail;
+    // 4 entries sat at the edge.
     val normRegsStdout = regsJson(
-      normRegs.toSeq.sortBy { case (_, (cur, best)) => -cur / best }.take(4)
+      normRegs.toSeq.sortBy { case (_, (cur, best)) => -cur / best }.take(3)
         .sortBy(_._1))
     // Full-name artifact line (file + history): every query, 3 decimals.
     val calibFields =
