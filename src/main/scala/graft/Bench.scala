@@ -124,8 +124,17 @@ object Bench {
           .redirectError(ProcessBuilder.Redirect.DISCARD).start()
         val out = scala.io.Source.fromInputStream(proc.getInputStream)
           .getLines().toList
-        if (proc.waitFor() == 0) Some(out) else None
+        // BOUNDED wait: a git wedged on something other than a full pipe
+        // (stale lock, hung fsmonitor helper, dead network filesystem)
+        // must not hang the bench after every measurement completed —
+        // stamping null beats losing the whole run's artifacts
+        if (proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) &&
+            proc.exitValue() == 0) Some(out)
+        else { proc.destroyForcibly(); None }
       } catch {
+        case e: InterruptedException =>
+          if (proc != null) proc.destroy()
+          throw e
         case scala.util.control.NonFatal(_) =>
           if (proc != null) proc.destroy()
           None
@@ -136,9 +145,14 @@ object Bench {
     // exits 0 with EMPTY output (pathspec resolves against the cwd), which
     // would stamp tree_dirty:false for a dirty tree and files_changed:false
     // for a touched file — wrong ANSWERS, not the promised null degradation.
-    // No resolvable root → every answer below is None → null, honestly.
+    // The resolved root is only TRUSTED when the committed manifest exists
+    // under it: a launch cwd inside some UNRELATED repo would otherwise
+    // attest that repo's sha + clean tree as if they identified the
+    // measured engine code. No trustable root → every field null, honestly.
     val repoRoot = gitLines(Seq("git", "rev-parse", "--show-toplevel"))
       .flatMap(_.headOption).map(_.trim).filter(_.nonEmpty)
+      .filter(r => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(r, "tools", "query_files.tsv")))
     def gitAtRoot(cmd: String*): Option[Seq[String]] =
       repoRoot.flatMap(r => gitLines(Seq("git", "-C", r) ++ cmd))
     val headCommit = gitAtRoot("rev-parse", "HEAD")
@@ -147,12 +161,12 @@ object Bench {
     // whose sha still identifies the measured engine code is a clean one
     val treeDirty = gitAtRoot("status", "--porcelain", "--", "src/main")
       .map(_.exists(_.trim.nonEmpty))
-    // the default manifest path is repo-root-relative for the same reason
-    val manifestEnv =
-      sys.env.getOrElse("SPARK_GRAFT_QUERY_MANIFEST", "tools/query_files.tsv")
-    val manifest = BenchGate.loadManifest(
-      if (java.nio.file.Paths.get(manifestEnv).isAbsolute) manifestEnv
-      else repoRoot.map(r => r + "/" + manifestEnv).getOrElse(manifestEnv))
+    // ONLY the default manifest path is repo-root-relative (same reason);
+    // an explicit SPARK_GRAFT_QUERY_MANIFEST keeps its documented
+    // launch-cwd-relative meaning, absolute or not
+    val manifest = BenchGate.loadManifest(sys.env.get("SPARK_GRAFT_QUERY_MANIFEST")
+      .getOrElse(repoRoot.map(_ + "/tools/query_files.tsv")
+        .getOrElse("tools/query_files.tsv")))
     // one subprocess per DISTINCT (baseline commit, defining file) pair:
     // operator files define up to ~20 queries each, so a flag-flood run
     // would otherwise spawn a redundant git diff per flag
