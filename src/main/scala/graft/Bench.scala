@@ -114,29 +114,54 @@ object Bench {
     // one remaining judge-side TimeQ adjudication per round. Every git
     // failure mode (no repo, unknown sha, no manifest entry, dirty
     // baseline) degrades to null = honestly unknown, never a guess.
+    // After ONE timed-out git, stop asking: each call's bound is 30 s, and
+    // a flag-flood run on a machine where git wedges would otherwise burn
+    // 30 s × (distinct diff pairs) of post-measurement wall-clock. A plain
+    // nonzero exit (unknown sha, not a repo) does NOT poison — only a hang.
+    var gitTimedOut = false
     def gitLines(cmd: Seq[String]): Option[Seq[String]] = {
+      if (gitTimedOut) return None
       var proc: Process = null
       try {
         // stderr DISCARDED, not left on a pipe: an undrained stderr pipe
         // that fills (git warnings can be verbose in odd cwds) blocks git
-        // before it closes stdout and the getLines read hangs the bench
+        // before it closes stdout and the stdout read hangs the bench
         proc = new ProcessBuilder(cmd: _*)
           .redirectError(ProcessBuilder.Redirect.DISCARD).start()
-        val out = scala.io.Source.fromInputStream(proc.getInputStream)
-          .getLines().toList
-        // BOUNDED wait: a git wedged on something other than a full pipe
-        // (stale lock, hung fsmonitor helper, dead network filesystem)
-        // must not hang the bench after every measurement completed —
-        // stamping null beats losing the whole run's artifacts
-        if (proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) &&
-            proc.exitValue() == 0) Some(out)
-        else { proc.destroyForcibly(); None }
+        // stdout is drained on a DAEMON thread so the 30 s waitFor bound
+        // below governs every wedge mode: a git that hangs BEFORE closing
+        // stdout (stale lock, hung fsmonitor, dead network filesystem)
+        // would block an inline read forever and the bound would never be
+        // reached — stamping null beats losing the run's artifacts. The
+        // thread also keeps a large stdout flowing (no pipe-full deadlock
+        // against an exited-first wait).
+        val got = new java.util.concurrent.atomic.AtomicReference[List[String]](null)
+        val reader = new Thread(() => {
+          try got.set(scala.io.Source.fromInputStream(proc.getInputStream)
+            .getLines().toList)
+          catch { case scala.util.control.NonFatal(_) => () }
+        })
+        reader.setDaemon(true)
+        reader.start()
+        if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
+          gitTimedOut = true
+          proc.destroyForcibly()
+          None
+        } else if (proc.exitValue() != 0) None
+        else {
+          // process exited 0: stdout is closed, the reader finishes
+          // immediately; a null here means the read itself failed
+          reader.join(5000)
+          Option(got.get())
+        }
       } catch {
         case e: InterruptedException =>
-          if (proc != null) proc.destroy()
+          // forcibly, same as the timeout path: a TERM-ignoring or
+          // uninterruptibly-blocked git would otherwise outlive the bench
+          if (proc != null) proc.destroyForcibly()
           throw e
         case scala.util.control.NonFatal(_) =>
-          if (proc != null) proc.destroy()
+          if (proc != null) proc.destroyForcibly()
           None
       }
     }
@@ -145,14 +170,17 @@ object Bench {
     // exits 0 with EMPTY output (pathspec resolves against the cwd), which
     // would stamp tree_dirty:false for a dirty tree and files_changed:false
     // for a touched file — wrong ANSWERS, not the promised null degradation.
-    // The resolved root is only TRUSTED when the committed manifest exists
-    // under it: a launch cwd inside some UNRELATED repo would otherwise
-    // attest that repo's sha + clean tree as if they identified the
-    // measured engine code. No trustable root → every field null, honestly.
+    // The resolved root is only TRUSTED when it has the manifest COMMITTED
+    // at HEAD (cat-file -e, not a working-tree existence check): a launch
+    // cwd inside some UNRELATED repo — even one where a scratch copy of
+    // the tsv lies around untracked — must not get its sha + clean tree
+    // attested as if they identified the measured engine code. No
+    // trustable root → every field null, honestly.
+    val manifestRel = "tools/query_files.tsv"
     val repoRoot = gitLines(Seq("git", "rev-parse", "--show-toplevel"))
       .flatMap(_.headOption).map(_.trim).filter(_.nonEmpty)
-      .filter(r => java.nio.file.Files.exists(
-        java.nio.file.Paths.get(r, "tools", "query_files.tsv")))
+      .filter(r => gitLines(
+        Seq("git", "-C", r, "cat-file", "-e", s"HEAD:$manifestRel")).isDefined)
     def gitAtRoot(cmd: String*): Option[Seq[String]] =
       repoRoot.flatMap(r => gitLines(Seq("git", "-C", r) ++ cmd))
     val headCommit = gitAtRoot("rev-parse", "HEAD")
@@ -162,11 +190,17 @@ object Bench {
     val treeDirty = gitAtRoot("status", "--porcelain", "--", "src/main")
       .map(_.exists(_.trim.nonEmpty))
     // ONLY the default manifest path is repo-root-relative (same reason);
-    // an explicit SPARK_GRAFT_QUERY_MANIFEST keeps its documented
-    // launch-cwd-relative meaning, absolute or not
-    val manifest = BenchGate.loadManifest(sys.env.get("SPARK_GRAFT_QUERY_MANIFEST")
-      .getOrElse(repoRoot.map(_ + "/tools/query_files.tsv")
-        .getOrElse("tools/query_files.tsv")))
+    // an explicit SPARK_GRAFT_QUERY_MANIFEST is launch-cwd-relative (or
+    // absolute) — and since a missing explicit path silently costs every
+    // files_changed field, say so on stderr instead of nulling mutely
+    val manifestPath = sys.env.get("SPARK_GRAFT_QUERY_MANIFEST")
+      .getOrElse(repoRoot.map(_ + "/" + manifestRel).getOrElse(manifestRel))
+    if (sys.env.contains("SPARK_GRAFT_QUERY_MANIFEST") &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath)))
+      System.err.println(
+        s"[bench] SPARK_GRAFT_QUERY_MANIFEST=$manifestPath does not exist — " +
+          "files_changed will stamp null for every flag")
+    val manifest = BenchGate.loadManifest(manifestPath)
     // one subprocess per DISTINCT (baseline commit, defining file) pair:
     // operator files define up to ~20 queries each, so a flag-flood run
     // would otherwise spawn a redundant git diff per flag
