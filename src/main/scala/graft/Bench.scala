@@ -114,56 +114,29 @@ object Bench {
     // one remaining judge-side TimeQ adjudication per round. Every git
     // failure mode (no repo, unknown sha, no manifest entry, dirty
     // baseline) degrades to null = honestly unknown, never a guess.
-    // After ONE timed-out git, stop asking: each call's bound is 30 s, and
-    // a flag-flood run on a machine where git wedges would otherwise burn
-    // 30 s × (distinct diff pairs) of post-measurement wall-clock. A plain
-    // nonzero exit (unknown sha, not a repo) does NOT poison — only a hang.
-    var gitTimedOut = false
+    // The bounded harness lives in BenchGate.boundedLines (spec-driven
+    // with a fake Process — the retimeNorm convention). After ONE hung
+    // git, stop asking AND say so: each call's bound is 30 s, and a
+    // flag-flood run on a machine where git wedges would otherwise burn
+    // 30 s × (distinct diff pairs) of post-measurement wall-clock. A
+    // plain nonzero exit (unknown sha, not a repo) does NOT poison —
+    // only a hang. The stderr line keeps the resulting nulls diagnosable
+    // (the missing-manifest warning's honesty rationale).
+    var gitHung = false
     def gitLines(cmd: Seq[String]): Option[Seq[String]] = {
-      if (gitTimedOut) return None
-      var proc: Process = null
-      try {
-        // stderr DISCARDED, not left on a pipe: an undrained stderr pipe
-        // that fills (git warnings can be verbose in odd cwds) blocks git
-        // before it closes stdout and the stdout read hangs the bench
-        proc = new ProcessBuilder(cmd: _*)
-          .redirectError(ProcessBuilder.Redirect.DISCARD).start()
-        // stdout is drained on a DAEMON thread so the 30 s waitFor bound
-        // below governs every wedge mode: a git that hangs BEFORE closing
-        // stdout (stale lock, hung fsmonitor, dead network filesystem)
-        // would block an inline read forever and the bound would never be
-        // reached — stamping null beats losing the run's artifacts. The
-        // thread also keeps a large stdout flowing (no pipe-full deadlock
-        // against an exited-first wait).
-        val got = new java.util.concurrent.atomic.AtomicReference[List[String]](null)
-        val reader = new Thread(() => {
-          try got.set(scala.io.Source.fromInputStream(proc.getInputStream)
-            .getLines().toList)
-          catch { case scala.util.control.NonFatal(_) => () }
-        })
-        reader.setDaemon(true)
-        reader.start()
-        if (!proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)) {
-          gitTimedOut = true
-          proc.destroyForcibly()
-          None
-        } else if (proc.exitValue() != 0) None
-        else {
-          // process exited 0: stdout is closed, the reader finishes
-          // immediately; a null here means the read itself failed
-          reader.join(5000)
-          Option(got.get())
-        }
-      } catch {
-        case e: InterruptedException =>
-          // forcibly, same as the timeout path: a TERM-ignoring or
-          // uninterruptibly-blocked git would otherwise outlive the bench
-          if (proc != null) proc.destroyForcibly()
-          throw e
-        case scala.util.control.NonFatal(_) =>
-          if (proc != null) proc.destroyForcibly()
-          None
+      if (gitHung) return None
+      // stderr DISCARDED, not left on a pipe: an undrained stderr pipe
+      // that fills (git warnings can be verbose in odd cwds) blocks git
+      // before it closes stdout
+      val (out, hung) = BenchGate.boundedLines(() =>
+        new ProcessBuilder(cmd: _*)
+          .redirectError(ProcessBuilder.Redirect.DISCARD).start())
+      if (hung) {
+        gitHung = true
+        System.err.println(s"[bench] git hung (${cmd.mkString(" ")}) — " +
+          "commit/tree_dirty/files_changed stamp null for the rest of this run")
       }
+      out
     }
     // ALL repo-relative git questions are anchored to the repo root, not
     // the launch cwd: 'git status --porcelain -- src/main' from a subdir
@@ -193,9 +166,10 @@ object Bench {
     // an explicit SPARK_GRAFT_QUERY_MANIFEST is launch-cwd-relative (or
     // absolute) — and since a missing explicit path silently costs every
     // files_changed field, say so on stderr instead of nulling mutely
-    val manifestPath = sys.env.get("SPARK_GRAFT_QUERY_MANIFEST")
+    val manifestEnv = sys.env.get("SPARK_GRAFT_QUERY_MANIFEST")
+    val manifestPath = manifestEnv
       .getOrElse(repoRoot.map(_ + "/" + manifestRel).getOrElse(manifestRel))
-    if (sys.env.contains("SPARK_GRAFT_QUERY_MANIFEST") &&
+    if (manifestEnv.isDefined &&
         !java.nio.file.Files.exists(java.nio.file.Paths.get(manifestPath)))
       System.err.println(
         s"[bench] SPARK_GRAFT_QUERY_MANIFEST=$manifestPath does not exist — " +

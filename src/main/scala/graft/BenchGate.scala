@@ -490,6 +490,64 @@ object BenchGate {
     (shift, kept, vetoed)
   }
 
+  /** Bounded subprocess line reader for the bench's git attestation
+    * questions — hoisted here (the retimeNorm convention) so the wedge
+    * modes it exists to survive are spec-drivable with a fake Process
+    * instead of real hung subprocesses. Returns (stdout lines, hung):
+    *
+    *   - clean exit 0            → (Some(lines), false)
+    *   - nonzero exit            → (None, false) — an ANSWER (not a repo,
+    *                               unknown sha), not a hang
+    *   - no exit in `timeoutSec` → (None, true), destroyForcibly — the
+    *                               stale-lock/fsmonitor/dead-NFS class;
+    *                               stdout is drained on a DAEMON thread
+    *                               so a git that hangs BEFORE closing
+    *                               stdout still hits this bound (an
+    *                               inline read would block forever and
+    *                               the bound would never be reached)
+    *   - exit 0 but stdout never reaches EOF within `joinMs` (a
+    *     grandchild — e.g. an auto-started fsmonitor daemon — inherited
+    *     the pipe's write end) → (None, true): the answer is lost either
+    *     way, and reporting it as a hang lets the caller's breaker stop
+    *     paying the join stall on every subsequent call
+    *
+    * `start` throwing (binary missing) lands in the NonFatal arm →
+    * (None, false). InterruptedException destroys the process forcibly
+    * (TERM-ignoring or uninterruptibly-blocked children must not outlive
+    * the bench) and re-throws.
+    */
+  def boundedLines(start: () => Process, timeoutSec: Long = 30,
+                   joinMs: Long = 5000): (Option[Seq[String]], Boolean) = {
+    var proc: Process = null
+    try {
+      proc = start()
+      val got = new java.util.concurrent.atomic.AtomicReference[List[String]](null)
+      val reader = new Thread(() => {
+        try got.set(scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().toList)
+        catch { case scala.util.control.NonFatal(_) => () }
+      })
+      reader.setDaemon(true)
+      reader.start()
+      if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        (None, true)
+      } else if (proc.exitValue() != 0) (None, false)
+      else {
+        reader.join(joinMs)
+        val out = Option(got.get())
+        (out, out.isEmpty)
+      }
+    } catch {
+      case e: InterruptedException =>
+        if (proc != null) proc.destroyForcibly()
+        throw e
+      case scala.util.control.NonFatal(_) =>
+        if (proc != null) proc.destroyForcibly()
+        (None, false)
+    }
+  }
+
   /** ONE atomic read of the history file, shared by the identity
     * attestation AND the adjudication baseline. The single read is the
     * point, not a convenience: reading the file once for the hash and

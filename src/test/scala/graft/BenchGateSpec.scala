@@ -375,6 +375,58 @@ class BenchGateSpec extends AnyFunSuite {
     assert(one("qb") == (None, None))
   }
 
+  /** Fake Process for [[BenchGate.boundedLines]]: every wedge mode the
+    * harness exists to survive, drivable without real hung subprocesses.
+    */
+  private class FakeProc(stdout: String, exit: Int, exits: Boolean,
+                         stdoutNeverCloses: Boolean = false)
+      extends Process {
+    @volatile var destroyedForcibly = false
+    override def getInputStream: java.io.InputStream =
+      if (stdoutNeverCloses) new java.io.InputStream {
+        override def read(): Int = { Thread.sleep(60000); -1 }
+      }
+      else new java.io.ByteArrayInputStream(stdout.getBytes)
+    override def getOutputStream: java.io.OutputStream =
+      java.io.OutputStream.nullOutputStream()
+    override def getErrorStream: java.io.InputStream =
+      java.io.InputStream.nullInputStream()
+    override def waitFor(): Int = exit
+    override def waitFor(t: Long, u: java.util.concurrent.TimeUnit): Boolean = exits
+    override def exitValue(): Int =
+      if (exits) exit else throw new IllegalThreadStateException("running")
+    override def destroy(): Unit = ()
+    override def destroyForcibly(): Process = { destroyedForcibly = true; this }
+  }
+
+  test("boundedLines: clean exit yields the lines; nonzero exit is an answer (None, not hung)") {
+    assert(BenchGate.boundedLines(() => new FakeProc("a\nb\n", 0, exits = true))
+      == (Some(Seq("a", "b")), false))
+    assert(BenchGate.boundedLines(() => new FakeProc("", 128, exits = true))
+      == (None, false))
+    // a throwing start (binary missing) is also an answer, not a hang
+    assert(BenchGate.boundedLines(() => throw new java.io.IOException("no git"))
+      == (None, false))
+  }
+
+  test("boundedLines: a process that never exits is destroyed forcibly and reported hung") {
+    // the stale-lock/fsmonitor/dead-NFS class — and the stream never
+    // closes either, so an INLINE read would block before any wait bound:
+    // the daemon-reader design is what makes the timeout reachable at all
+    val p = new FakeProc("", 0, exits = false, stdoutNeverCloses = true)
+    assert(BenchGate.boundedLines(() => p, timeoutSec = 0) == (None, true))
+    assert(p.destroyedForcibly, "a hung process must be destroyed forcibly")
+  }
+
+  test("boundedLines: exit 0 with stdout held open by a grandchild loses the answer as hung") {
+    // git exits fine but an inherited pipe write-end (auto-started
+    // fsmonitor daemon) keeps stdout from EOF: the answer is unreadable
+    // either way, and reporting hung=true lets the caller's breaker stop
+    // paying the join stall on every subsequent call
+    val p = new FakeProc("", 0, exits = true, stdoutNeverCloses = true)
+    assert(BenchGate.boundedLines(() => p, joinMs = 50) == (None, true))
+  }
+
   test("loadManifest parses the tsv, skips malformed lines, and survives a missing file") {
     val dir = graft.core.TempDirs.scratch("benchgate-manifest-")
     val p = java.nio.file.Paths.get(dir, "m.tsv")
