@@ -534,9 +534,15 @@ object BenchGate {
         (None, true)
       } else if (proc.exitValue() != 0) (None, false)
       else {
-        reader.join(joinMs)
+        // max(1,...): Thread.join(0) means wait FOREVER — a zero budget
+        // must not reintroduce the unbounded stall this helper prevents
+        reader.join(math.max(1L, joinMs))
         val out = Option(got.get())
-        (out, out.isEmpty)
+        // hung only when the reader is STILL BLOCKED (join expired on an
+        // open pipe): a read that failed and died is a per-call answer
+        // loss, not a breaker event — poisoning on it would misreport a
+        // transient IOException as a machine-wide git hang
+        (out, out.isEmpty && reader.isAlive)
       }
     } catch {
       case e: InterruptedException =>

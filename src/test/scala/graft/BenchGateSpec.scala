@@ -379,12 +379,24 @@ class BenchGateSpec extends AnyFunSuite {
     * harness exists to survive, drivable without real hung subprocesses.
     */
   private class FakeProc(stdout: String, exit: Int, exits: Boolean,
-                         stdoutNeverCloses: Boolean = false)
+                         stdoutNeverCloses: Boolean = false,
+                         stdoutThrows: Boolean = false)
       extends Process {
     @volatile var destroyedForcibly = false
+    // latch-blocked, not sleep-blocked: destroyForcibly (or the test's
+    // finally releaseStreams()) unblocks the daemon reader to a clean EOF
+    // instead of leaking a minute-sleeping thread per hung-mode test
+    private val closed = new java.util.concurrent.CountDownLatch(1)
+    def releaseStreams(): Unit = closed.countDown()
     override def getInputStream: java.io.InputStream =
-      if (stdoutNeverCloses) new java.io.InputStream {
-        override def read(): Int = { Thread.sleep(60000); -1 }
+      if (stdoutThrows) new java.io.InputStream {
+        override def read(): Int = throw new java.io.IOException("read died")
+      }
+      else if (stdoutNeverCloses) new java.io.InputStream {
+        override def read(): Int = {
+          try closed.await() catch { case _: InterruptedException => }
+          -1
+        }
       }
       else new java.io.ByteArrayInputStream(stdout.getBytes)
     override def getOutputStream: java.io.OutputStream =
@@ -396,7 +408,8 @@ class BenchGateSpec extends AnyFunSuite {
     override def exitValue(): Int =
       if (exits) exit else throw new IllegalThreadStateException("running")
     override def destroy(): Unit = ()
-    override def destroyForcibly(): Process = { destroyedForcibly = true; this }
+    override def destroyForcibly(): Process =
+      { destroyedForcibly = true; closed.countDown(); this }
   }
 
   test("boundedLines: clean exit yields the lines; nonzero exit is an answer (None, not hung)") {
@@ -407,6 +420,11 @@ class BenchGateSpec extends AnyFunSuite {
     // a throwing start (binary missing) is also an answer, not a hang
     assert(BenchGate.boundedLines(() => throw new java.io.IOException("no git"))
       == (None, false))
+    // exit 0 but the READ throws and dies: a per-call answer loss, NOT a
+    // hang — reporting hung here would let one transient IOException trip
+    // the caller's breaker and null the whole run's attestation
+    assert(BenchGate.boundedLines(() =>
+      new FakeProc("", 0, exits = true, stdoutThrows = true)) == (None, false))
   }
 
   test("boundedLines: a process that never exits is destroyed forcibly and reported hung") {
@@ -414,8 +432,10 @@ class BenchGateSpec extends AnyFunSuite {
     // closes either, so an INLINE read would block before any wait bound:
     // the daemon-reader design is what makes the timeout reachable at all
     val p = new FakeProc("", 0, exits = false, stdoutNeverCloses = true)
-    assert(BenchGate.boundedLines(() => p, timeoutSec = 0) == (None, true))
-    assert(p.destroyedForcibly, "a hung process must be destroyed forcibly")
+    try {
+      assert(BenchGate.boundedLines(() => p, timeoutSec = 0) == (None, true))
+      assert(p.destroyedForcibly, "a hung process must be destroyed forcibly")
+    } finally p.releaseStreams()
   }
 
   test("boundedLines: exit 0 with stdout held open by a grandchild loses the answer as hung") {
@@ -424,7 +444,13 @@ class BenchGateSpec extends AnyFunSuite {
     // either way, and reporting hung=true lets the caller's breaker stop
     // paying the join stall on every subsequent call
     val p = new FakeProc("", 0, exits = true, stdoutNeverCloses = true)
-    assert(BenchGate.boundedLines(() => p, joinMs = 50) == (None, true))
+    try assert(BenchGate.boundedLines(() => p, joinMs = 50) == (None, true))
+    finally p.releaseStreams()
+    // joinMs = 0 must behave as a (tiny) bound, not Thread.join(0)'s
+    // wait-forever: same wedge, zero budget, still returns
+    val p0 = new FakeProc("", 0, exits = true, stdoutNeverCloses = true)
+    try assert(BenchGate.boundedLines(() => p0, joinMs = 0) == (None, true))
+    finally p0.releaseStreams()
   }
 
   test("loadManifest parses the tsv, skips malformed lines, and survives a missing file") {
