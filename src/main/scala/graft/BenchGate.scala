@@ -265,17 +265,59 @@ object BenchGate {
     *   - None        — no manifest entry / no baseline commit / dirty
     *     baseline tree / git unavailable: pre-round-14 behavior, the
     *     label still means "needs untouched-code + fresh-JVM TimeQ".
+    *
+    * `mainChanged` (round-14 verdict item 1 — the dependency-closure
+    * blind spot): the manifest diffs only the query's DEFINING file, but
+    * most of the registry flows through shared helpers (`operators/Ops`,
+    * the `functions` package, `core/Materialize`) whose regression would
+    * stamp `files_changed:false` on every flagged consumer and — on a drift
+    * day with adjusted ratio under the tail — demote a REAL code
+    * regression to `drift_consistent`, the exact mislabeling direction
+    * the field exists to prevent. The bit is one extra diff per baseline
+    * commit: did ANYTHING under the measured-code surface (`src/main`,
+    * plus the build definition — `build.sbt`, `project/` — which the
+    * widened tree_dirty attestation also covers) change since that
+    * commit?
+    *   - Some(true)  — a shared file was touched even though the defining
+    *     file was not: the elimination argument is void (the regression
+    *     can live in the helper), so NO demotion — "confirmed", the
+    *     builder's to explain.
+    *   - Some(false) — nothing under src/main (or the build definition)
+    *     changed: together with `files_changed:false` this is the full
+    *     dependency-closure half of the elimination discharge.
+    *   - None        — unknown (no baseline commit / git unavailable):
+    *     the demotion keeps its pre-round-14 "needs untouched-code +
+    *     fresh-JVM TimeQ" reading — the label stays the honest middle
+    *     state, not a discharge.
+    *
+    * "unstable_run" (round-14 verdict item 2): the drift demotion
+    * requires a calib-STABLE run (an unstable run's blended calibMedian
+    * invalidates the shift number the demotion conditions on), so a
+    * retime-persistent flag on a calib-UNSTABLE run used to stamp
+    * "confirmed" even when BOTH change bits attest untouched code —
+    * over-claiming a code regression that untouched code + fixed data +
+    * persistence arguably reads machine-by-elimination. The conservative
+    * default is kept (no demotion to drift_consistent without a valid
+    * shift), but the verdict now says what is actually known: persistent,
+    * code attested untouched, run too unstable to discriminate further —
+    * re-bench quietly, do not read as a code regression. Both bits must
+    * be EXPLICITLY false: an unknown (None) keeps "confirmed", because
+    * nothing attests the code untouched.
     */
   def flagVerdict(persisted: Option[Boolean], ratio: Double, shift: Double,
                   calibStable: Boolean,
-                  filesChanged: Option[Boolean] = None): Option[String] =
+                  filesChanged: Option[Boolean] = None,
+                  mainChanged: Option[Boolean] = None): Option[String] =
     persisted.map {
       case false => "ghost"
       case true =>
         val adjusted = ratio / math.max(1.0, shift)
+        val attestedUntouched =
+          filesChanged.contains(false) && mainChanged.contains(false)
         if (calibStable && shift >= DriftDayBound && adjusted < DriftTailBound
-            && !filesChanged.contains(true))
+            && !filesChanged.contains(true) && !mainChanged.contains(true))
           "drift_consistent"
+        else if (!calibStable && attestedUntouched) "unstable_run"
         else "confirmed"
     }
 
@@ -309,26 +351,69 @@ object BenchGate {
   def bestNormLine(q: String, history: Seq[HistLine]): Option[HistLine] =
     history.filter(_.norms.contains(q)).minByOption(_.norms(q))
 
+  /** query → defining-source-file map from manifest LINES (one
+    * `name<TAB>path` per line). Malformed lines are skipped — a partial
+    * manifest stamps null for its missing queries rather than failing
+    * the bench. Hoisted from the file reader (round-14 ADVICE) so the
+    * production path can feed it `git show HEAD:tools/query_files.tsv`
+    * output: the attestation comment promises a COMMITTED, CI-verified
+    * manifest, and reading the working-tree copy instead would let a
+    * locally modified, uncommitted tsv point the files_changed diff at
+    * the wrong file — stamping false for genuinely touched code.
+    */
+  def parseManifestLines(lines: Seq[String]): Map[String, String] =
+    lines.flatMap { line =>
+      line.split('\t') match {
+        case Array(name, file) if name.nonEmpty && file.nonEmpty =>
+          Some(name -> file)
+        case _ => None
+      }
+    }.toMap
+
   /** query → defining-source-file map (tools/query_files.tsv, one
     * `name<TAB>path` per line, committed and CI-verified against a source
     * scan by QueryManifestSpec). Missing/unreadable/malformed → empty map
-    * — files_changed stamps null rather than the bench failing.
+    * — files_changed stamps null rather than the bench failing. Used by
+    * specs/tooling and for an EXPLICIT SPARK_GRAFT_QUERY_MANIFEST
+    * override; the bench's default path reads the HEAD-committed content
+    * via git show and [[parseManifestLines]] instead.
     */
   def loadManifest(path: String): Map[String, String] =
     try {
       val p = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(p)) Map.empty
-      else
+      else parseManifestLines(
         new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .linesIterator.flatMap { line =>
-            line.split('\t') match {
-              case Array(name, file) if name.nonEmpty && file.nonEmpty =>
-                Some(name -> file)
-              case _ => None
-            }
-          }.toMap
+          java.nio.charset.StandardCharsets.UTF_8).linesIterator.toSeq)
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** The answer a `git diff --name-only <commit> -- <path>` run is
+    * allowed to give (round-14 ADVICE): that command exits 0 with EMPTY
+    * output for a path that exists in NEITHER the commit NOR the working
+    * tree — reachable via a SPARK_GRAFT_QUERY_MANIFEST override whose
+    * paths are relative to a different tree — and trusting the empty
+    * output would stamp files_changed:false (a wrong ANSWER) instead of
+    * the promised null degradation. A non-empty diff is always a real
+    * "changed"; an empty diff is only a real "unchanged" when the path
+    * demonstrably EXISTS somewhere the diff could have seen it (at the
+    * baseline commit, or TRACKED in the working tree — by-name
+    * parameters so the existence subprocess only runs on the empty-diff
+    * path). The worktree evidence must be GIT's view (ls-files), not a
+    * filesystem check: an UNTRACKED worktree file is invisible to git
+    * diff, so Files.exists would bless an empty diff for a file the
+    * diff never saw — stamping "unchanged" for a file that came into
+    * existence after the baseline, the exact wrong-answer class this
+    * helper exists to prevent. Diff itself unavailable (git
+    * hung/absent) → None.
+    */
+  def diffVerdict(diffLines: Option[Seq[String]],
+                  existsAtCommit: => Boolean,
+                  trackedInTree: => Boolean): Option[Boolean] =
+    diffLines.flatMap { lines =>
+      if (lines.exists(_.trim.nonEmpty)) Some(true)
+      else if (existsAtCommit || trackedInTree) Some(false)
+      else None
+    }
 
   /** Parse one history line into (sf, query → norm). Tolerant: a line
     * without a norm map (pre-round-9 history) parses to None. A line

@@ -346,6 +346,110 @@ class BenchGateSpec extends AnyFunSuite {
       filesChanged = Some(false)).contains("confirmed"))
   }
 
+  test("flagVerdict main_changed: a touched shared helper kills the demotion even when the defining file is untouched") {
+    // round-14 verdict item 1, the helper-regression scenario verbatim:
+    // a regression lands in operators/Ops.scala; every flagged consumer's
+    // DEFINING file is untouched (files_changed:false) but the
+    // measured-code surface changed (main_changed:true). Drift-day shape
+    // (shift 1.255, adjusted 1.91 inside the tail) — previously this
+    // demoted to drift_consistent, mislabeling a real code regression as
+    // machine. Now: NO demotion, the builder's to explain.
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = true,
+      filesChanged = Some(false), mainChanged = Some(true))
+      .contains("confirmed"))
+    // both bits false: the full dependency-closure elimination — the
+    // demotion applies and is DISCHARGED (nothing on the measured-code
+    // surface changed, drift measured, flag persistent → machine)
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = true,
+      filesChanged = Some(false), mainChanged = Some(false))
+      .contains("drift_consistent"))
+    // main_changed unknown (no baseline commit / git unavailable): the
+    // demotion keeps its pre-round-14 "needs TimeQ" reading — the label
+    // is the honest middle state, not a discharge
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = true,
+      filesChanged = Some(false), mainChanged = None)
+      .contains("drift_consistent"))
+    // main_changed never rescues: touched defining file stays confirmed
+    // regardless of the surface bit
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = true,
+      filesChanged = Some(true), mainChanged = Some(false))
+      .contains("confirmed"))
+  }
+
+  test("flagVerdict unstable_run: persistent flag on an attested-untouched tree under an unstable calibration") {
+    // round-14 verdict item 2: a calib-unstable run invalidates the
+    // shift number, so the drift demotion stays off (conservative
+    // default kept) — but untouched code + fixed data + persistent flag
+    // must not over-claim a CODE regression. Both bits explicitly false
+    // → the distinct marker.
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = false,
+      filesChanged = Some(false), mainChanged = Some(false))
+      .contains("unstable_run"))
+    // any unknown bit: nothing attests the code untouched → confirmed
+    // (the pre-round-15 conservative reading)
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = false,
+      filesChanged = Some(false), mainChanged = None)
+      .contains("confirmed"))
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = false,
+      filesChanged = None, mainChanged = Some(false))
+      .contains("confirmed"))
+    // touched code on an unstable run is still the builder's to explain
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = false,
+      filesChanged = Some(true), mainChanged = Some(true))
+      .contains("confirmed"))
+    // a STABLE run never stamps unstable_run (the demotion machinery
+    // owns that regime), and a ghost stays a ghost
+    assert(BenchGate.flagVerdict(Some(true), 2.40, 1.255, calibStable = true,
+      filesChanged = Some(false), mainChanged = Some(false))
+      .contains("drift_consistent"))
+    assert(BenchGate.flagVerdict(Some(false), 2.40, 1.255, calibStable = false,
+      filesChanged = Some(false), mainChanged = Some(false))
+      .contains("ghost"))
+  }
+
+  test("diffVerdict: empty diff is only 'unchanged' when the path exists somewhere the diff could see") {
+    // round-14 ADVICE: `git diff --name-only <commit> -- <path>` exits 0
+    // with empty output for a path that exists in NEITHER the commit NOR
+    // the worktree (a manifest-override path from a different tree) —
+    // trusting it would stamp files_changed:false, a wrong ANSWER.
+    assert(BenchGate.diffVerdict(Some(Seq("src/A.scala")),
+      existsAtCommit = false, trackedInTree = false) == Some(true))
+    assert(BenchGate.diffVerdict(Some(Nil),
+      existsAtCommit = true, trackedInTree = false) == Some(false))
+    assert(BenchGate.diffVerdict(Some(Nil),
+      existsAtCommit = false, trackedInTree = true) == Some(false))
+    // exists nowhere the diff could see — INCLUDING the untracked-
+    // worktree-file case (Files.exists true, git ls-files false): an
+    // untracked file is invisible to git diff, so an empty diff says
+    // nothing about it and "unchanged" would be a wrong answer
+    assert(BenchGate.diffVerdict(Some(Nil),
+      existsAtCommit = false, trackedInTree = false).isEmpty)
+    // whitespace-only output is an empty diff, not a change
+    assert(BenchGate.diffVerdict(Some(Seq("", "  ")),
+      existsAtCommit = false, trackedInTree = false).isEmpty)
+    // diff itself unavailable (git hung/absent): null without running
+    // the existence checks
+    assert(BenchGate.diffVerdict(None,
+      existsAtCommit = sys.error("must not evaluate"),
+      trackedInTree = sys.error("must not evaluate")).isEmpty)
+    // non-empty diff short-circuits the existence checks too (they are
+    // by-name so the subprocess only runs on the empty-diff path)
+    assert(BenchGate.diffVerdict(Some(Seq("src/A.scala")),
+      existsAtCommit = sys.error("must not evaluate"),
+      trackedInTree = sys.error("must not evaluate")) == Some(true))
+  }
+
+  test("parseManifestLines parses git-show content identically to the file reader") {
+    // round-14 ADVICE: the default manifest is read from the
+    // HEAD-committed blob, so the line parser must accept `git show`
+    // stdout (a Seq of lines) with the same tolerance as loadManifest
+    val lines = Seq("q1_a\tsrc/main/scala/A.scala", "malformed line",
+      "", "q2_b\tsrc/main/scala/B.scala")
+    assert(BenchGate.parseManifestLines(lines) == Map(
+      "q1_a" -> "src/main/scala/A.scala", "q2_b" -> "src/main/scala/B.scala"))
+    assert(BenchGate.parseManifestLines(Nil).isEmpty)
+  }
+
   test("sec-vetoed entries slower in seconds too (>= 1.2x) are re-timed instead of silently vetoed") {
     // round-13 verdict item 2, the planted shape verbatim: 2x norm ratio,
     // 1.4x seconds — under the 1.5 veto bar but NOT at its seconds floor,

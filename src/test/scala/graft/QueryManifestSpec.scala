@@ -19,7 +19,7 @@ class QueryManifestSpec extends AnyFunSuite {
   private val root = java.nio.file.Paths.get(".").toAbsolutePath
   private val manifestPath = "tools/query_files.tsv"
 
-  private def scan(): Map[String, String] = {
+  private def scanPairs(): Seq[(String, String)] = {
     val nameRe = """QuerySpec\(\s*"([A-Za-z0-9_]+)"""".r
     val src = root.resolve("src/main/scala")
     val files = java.nio.file.Files.walk(src).toArray.toSeq
@@ -30,7 +30,21 @@ class QueryManifestSpec extends AnyFunSuite {
         java.nio.charset.StandardCharsets.UTF_8)
       val rel = root.relativize(p.toAbsolutePath.normalize).toString
       nameRe.findAllMatchIn(text).map(_.group(1) -> rel)
-    }.toMap
+    }
+  }
+
+  private def scan(): Map[String, String] = scanPairs().toMap
+
+  test("no query name is registered twice across main source") {
+    // round-14 ADVICE: scan() collapses duplicates via .toMap (last
+    // walk-order wins), so without this assertion only the out-of-CI
+    // generator rejected a second QuerySpec registration of an existing
+    // name — the manifest would silently point at whichever file the
+    // walk visited last, and files_changed would diff the wrong file.
+    // Mirrors gen_query_manifest.py's duplicate check, in CI.
+    val dupes = scanPairs().groupBy(_._1).filter(_._2.size > 1)
+      .map { case (n, ps) => n -> ps.map(_._2).sorted }
+    assert(dupes.isEmpty, s"duplicate QuerySpec registrations: $dupes")
   }
 
   test("the committed manifest matches a fresh source scan exactly") {
