@@ -134,7 +134,8 @@ object Bench {
       if (hung) {
         gitHung = true
         System.err.println(s"[bench] git hung (${cmd.mkString(" ")}) — " +
-          "commit/tree_dirty/files_changed stamp null for the rest of this run")
+          "commit/tree_dirty/files_changed/main_changed stamp null for " +
+          "the rest of this run")
       }
       out
     }
@@ -194,9 +195,10 @@ object Bench {
         gitAtRoot("show", s"HEAD:$manifestRel")
           .map(BenchGate.parseManifestLines).getOrElse(Map.empty)
     }
-    // one subprocess per DISTINCT (baseline commit, defining file) pair:
+    // one diff (plus, on the empty-diff path, up to two existence
+    // queries) per DISTINCT (baseline commit, defining file) pair:
     // operator files define up to ~20 queries each, so a flag-flood run
-    // would otherwise spawn a redundant git diff per flag
+    // would otherwise spawn redundant subprocess groups per flag
     val diffCache = scala.collection.mutable.Map.empty[(String, String), Option[Boolean]]
     val mainDiffCache = scala.collection.mutable.Map.empty[String, Option[Boolean]]
     // ONE traversal computes BOTH change bits per flag from the SAME
@@ -242,21 +244,28 @@ object Bench {
         // (a brand-new src/main source file changes the compiled engine
         // but is invisible to git diff), so the run's own treeDirty bit
         // — status --porcelain over the SAME surface, which does list
-        // untracked files — is OR-ed in: a surface that is dirty in any
-        // way cannot attest untouched code. Empty diff on a clean tree
-        // is trustable as false without an existence check: src/main
-        // exists in the worktree of any root the manifest trust check
-        // admitted (this repo), so the diff always had something to see.
-        val mc = for {
-          commit <- baseCommit
-          changed <- mainDiffCache.getOrElseUpdate(commit,
-            for {
-              diffed <- gitAtRoot(
+        // untracked files — decides first: a dirty surface alone PROVES
+        // the measured code changed, no baseline commit needed (routing
+        // it through the diff chain would stamp null when the baseline
+        // half fails — no commit on the best line, git hung — and a
+        // null lets the demotion fire on visibly modified code).
+        // Dirtiness UNKNOWN (git answered nothing) → null: a surface
+        // that cannot be attested clean cannot attest untouched code.
+        // Empty diff on a clean tree is trustable as false without an
+        // existence check: src/main exists in the worktree of any root
+        // the manifest trust check admitted (this repo), so the diff
+        // always had something to see.
+        val mc = treeDirty match {
+          case Some(true) => Some(true)
+          case None       => None
+          case Some(false) => for {
+            commit <- baseCommit
+            changed <- mainDiffCache.getOrElseUpdate(commit,
+              gitAtRoot(
                 ("diff" +: "--name-only" +: commit +: "--" +: mainPaths): _*)
-                .map(_.exists(_.trim.nonEmpty))
-              dirty <- treeDirty
-            } yield diffed || dirty)
-        } yield changed
+                .map(_.exists(_.trim.nonEmpty)))
+          } yield changed
+        }
         q -> (fc, mc)
       }.toMap
     val filesChangedOf: Map[String, Option[Boolean]] =
