@@ -58,6 +58,18 @@ object Materialize {
         s"$ModeKey must be local|reliable|persist, got '$other'")
     }
 
+  /** Whether [[apply]] runs the plan NOW (localCheckpoint / checkpoint are
+    * eager actions; persist is lazy). Iterative callers that fuse their
+    * convergence aggregate into the materialize job via `observe()` must
+    * check this: under the lazy mode no job has run yet, so an
+    * `Observation.get` would block forever — those callers fall back to an
+    * explicit aggregate action (which computes the observed metrics as a
+    * side effect of the same plan, so the Observation is fulfilled either
+    * way, just never the thing being waited on).
+    */
+  def isEager(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(ModeKey, "local") != "persist"
+
   /** Per-input plan-size bound for [[requireIterationSafe]] under persist
     * mode. Default 32768, set from two MEASURED anchors: (a) the largest
     * legitimate entry plan in the engine — q108's repair feeds the delta

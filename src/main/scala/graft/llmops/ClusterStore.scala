@@ -59,7 +59,7 @@ object ClusterStore {
   val MaxDf = 50
 
   private def grams(docs: DataFrame): DataFrame =
-    Dedup.shingles(graft.operators.Ops.fanOut(docs), 5)
+    Dedup.shingles(docs, 5)
 
   /** Write labels + capped grams for a landed corpus (full rebuild). */
   def build(docs: DataFrame, dir: String): Unit = {
@@ -97,10 +97,16 @@ object ClusterStore {
     val all = storeGrams.join(touched, "shingle")
       .select(col("doc_id"), col("shingle"), lit(false).as("is_batch"))
       .union(bg.select(col("doc_id"), col("shingle"), lit(true).as("is_batch")))
-    val kept = all.join(
-      all.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, MaxDf)).select("shingle"),
-      "shingle")
+    // combined df cap as a WINDOW over the shingle partitioning (round 15,
+    // the neardupEdgesFromGrams idiom): identical [2, MaxDf] row set, one
+    // shuffle of the combined posting stream instead of the aggregate +
+    // re-join pair — and the pair join downstream shuffles on the same
+    // key, so the window rides partitioning the join needs anyway.
+    val kept = all
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("__df").between(2, MaxDf))
+      .select("doc_id", "shingle", "is_batch")
     val half = kept.as("a").join(kept.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&

@@ -2,6 +2,7 @@ package graft.llmops
 
 import graft.{QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -252,6 +253,11 @@ object CorpusSim {
       // dominant cost of the first cut) and the shingle array the verify
       // intersects. Struct sort_array orders by (df, shingle) — the global
       // total order the prefix lemma needs.
+      // (Round-15 negative result, kept as the join form deliberately: a
+      // window-df + Materialize(lists) variant measured ~10s warm vs ~7s
+      // for this shape at sf0.1 — the df table broadcast-joins here, so
+      // the window's full-stream sort and the extra checkpoint of the
+      // per-doc arrays are pure added cost. Reverted.)
       val lists = bg.join(df, "shingle")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))

@@ -353,7 +353,8 @@ object CorpusStats {
   object IdfStore {
     /** (term → df) + one-row meta (n_docs, sum_len). Vocab-bounded. */
     def build(docs: DataFrame, dir: String): Unit = {
-      val tf = PretrainOps.termFreq(docs)
+      // two writers consume tf — materialize the tokenize pass once
+      val tf = graft.core.Materialize(PretrainOps.termFreq(docs))
       tf.groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$dir/df.parquet")
       tf.groupBy("doc_id").agg(sum("tf").cast("long").as("len"))
@@ -371,9 +372,12 @@ object CorpusStats {
       val avgdl = sumLen.toDouble / nDocs
       val df = spark.read.parquet(s"$dir/df.parquet")
         .filter(col("term").isin(queryTerms: _*))
-      val tf = PretrainOps.termFreq(batch)
+      // one tokenization pass feeds both the query-term slice and the
+      // per-doc lengths (round 15; was two full termFreq computations)
+      val tfAll = graft.core.Materialize(PretrainOps.termFreq(batch))
+      val tf = tfAll
         .filter(col("term").isin(queryTerms: _*))
-      val lens = PretrainOps.termFreq(batch)
+      val lens = tfAll
         .groupBy("doc_id").agg(sum("tf").cast("long").as("len"))
       val idfMicro = floor(log(
         (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /

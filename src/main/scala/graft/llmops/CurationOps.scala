@@ -505,8 +505,13 @@ object CurationOps {
     * the same bound every shingle window here already carries.
     */
   def stripBoilerplate(docs: DataFrame, minDf: Int): DataFrame = {
-    val toks = Dedup.tokensWithPos(docs)
-    val grams = Dedup.shinglesWithPos(docs, 3)
+    // ONE tokenize pass (round 15): toks feeds the before/kept aggregates
+    // AND the gram window; grams feeds the hot-gram aggregate AND the
+    // coverage join. Before this cut the plan held four independent
+    // tokenize subtrees (visible as 4× Generate in the executed plan) —
+    // at 100 TB that is four corpus scans for one operator.
+    val toks = graft.core.Materialize(Dedup.tokensWithPos(docs))
+    val grams = graft.core.Materialize(Dedup.shinglesFromTokens(toks, 3))
     val hot = grams.select("doc_id", "shingle").distinct()
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

@@ -80,14 +80,24 @@ object Dedup {
 
   // ------------------------------------------------------------ shingles
   /** doc_id → (pos, tok) token stream: one codegen'd split + posexplode,
-    * no higher-order functions. Pre-shuffle parallelism is input-split
-    * grain (many row groups at corpus scale; one file locally) and the
-    * per-row work there is a single split, so a thin map side is fine —
-    * the k-gram assembly happens after the doc_id shuffle at full width.
+    * no higher-order functions.
+    *
+    * Round 15 (guide §2.3/§2.4): the fan-out to session width moved HERE,
+    * keyed by doc_id, from the call sites' keyless form. Every consumer of
+    * this stream window-partitions by doc_id, so hash-routing the DOCUMENT
+    * rows up front (a) satisfies the window's required distribution — the
+    * second exchange, which carried the ~86×-multiplied token stream,
+    * disappears from every shingle pipeline; (b) drops the keyless
+    * repartition's retry-determinism local sort (SPARK-23207); and (c)
+    * parallelizes the split+posexplode that used to run on the narrow scan
+    * side for callers that skipped fanOut. At production split counts
+    * fanOut is its usual no-op and the window's own doc_id exchange
+    * provides the shuffle, as before.
     */
   private[llmops] def tokensWithPos(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      posexplode(split(asciiLower(col("text")), " ")).as(Seq("pos", "tok")))
+    graft.operators.Ops.fanOut(docs, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(split(asciiLower(col("text")), " ")).as(Seq("pos", "tok")))
 
   /** (doc_id, pos, shingle): k-gram spans assembled with lead() over the
     * doc-ordered token stream — one shuffle (by doc_id), fully codegen'd.
@@ -110,10 +120,19 @@ object Dedup {
     * a k-th token), preserving the "no spans for short docs" totality the
     * oracle SQL guards with `len(ts) >= k`.
     */
-  private[llmops] def shinglesWithPos(docs: DataFrame, k: Int): DataFrame = {
+  private[llmops] def shinglesWithPos(docs: DataFrame, k: Int): DataFrame =
+    shinglesFromTokens(tokensWithPos(docs), k)
+
+  /** The k-gram window over an EXISTING (doc_id, pos, tok) stream — split
+    * out (round 15) so a caller that already paid (and possibly
+    * materialized) the tokenize pass can assemble grams from it instead
+    * of re-tokenizing the corpus (see CurationOps.stripBoilerplate, whose
+    * plan previously held four independent tokenize subtrees).
+    */
+  private[llmops] def shinglesFromTokens(toks: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val parts = col("tok") +: (1 until k).map(o => lead(col("tok"), o).over(w))
-    tokensWithPos(docs)
+    toks
       .select(col("doc_id"), col("pos"),
         parts.last.as("last_tok"), concat_ws("_", parts: _*).as("shingle"))
       .filter(col("last_tok").isNotNull)
@@ -528,7 +547,7 @@ object Dedup {
   val q68 = QuerySpec(
     "q68_boilerplate_ngrams",
     (s, d) =>
-      Dedup.shingles(fanOut(Tables.documents(s, d)), 3)
+      Dedup.shingles(Tables.documents(s, d), 3)
         .groupBy("shingle")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") >= 5)
@@ -573,7 +592,7 @@ object Dedup {
     * directions present so one join step propagates along every edge.
     */
   def neardupEdges(docs: DataFrame): DataFrame =
-    neardupEdgesFromGrams(shingles(fanOut(docs), 5))
+    neardupEdgesFromGrams(shingles(docs, 5))
 
   /** [[neardupEdges]] from a pre-built (doc_id, shingle) table. Exists to
     * keep [[neardupEdges]]' contract (cap → keep-join → ordered pair join
@@ -584,9 +603,21 @@ object Dedup {
     * express, so it inlines the same skeleton with two caps.
     */
   private[llmops] def neardupEdgesFromGrams(grams: DataFrame): DataFrame = {
-    val keep = grams.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, 50)).select("shingle")
-    val g2 = graft.core.Materialize(grams.join(keep, "shingle"))
+    // df cap as a WINDOW over the shingle partitioning (round 15, guide
+    // §2.3/§2.4): the former groupBy(shingle)+join form shuffled the gram
+    // stream once into the df aggregate and then joined the keep set back
+    // against the same stream — a second full-stream exchange at scale
+    // (locally a broadcast of the keep set, which is corpus-sized at
+    // 100 TB and could never broadcast there). The window computes the
+    // identical per-shingle count on the ONE exchange the pair join needs
+    // anyway — same rows out ([2,50] band), one full-stream shuffle
+    // instead of two, no join. Same idiom as Ops.capKeyFreq, with the
+    // lower df bound added.
+    val w = Window.partitionBy("shingle")
+    val g2 = graft.core.Materialize(
+      grams.withColumn("__df", count(lit(1)).over(w))
+        .filter(col("__df").between(2, 50))
+        .select("doc_id", "shingle"))
     val half = g2.as("a").join(g2.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
@@ -868,14 +899,22 @@ object Dedup {
     "q181_repeated_span_manifest",
     (s, d) => {
       val sh = shinglesWithPos(Tables.documents(s, d), 8)
-      val firsts = sh.groupBy("shingle")
-        .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
-          count(lit(1)).as("n_occ"))
+      // first-occurrence marking as a WINDOW over the gram partitioning
+      // (round 15, the neardupEdgesFromGrams idiom): the former
+      // groupBy(shingle) + re-join computed the gram stream twice (the
+      // aggregate side and the join probe side — `sh` was not
+      // materialized) and shuffled it twice; min(struct)/count over
+      // Window.partitionBy(shingle) marks the same first occurrence and
+      // occurrence count on ONE pass and one shuffle. Row set identical:
+      // keep occurrences of grams with n_occ > 1 that are not the
+      // (doc_id, pos)-minimal one.
+      val wSh = Window.partitionBy("shingle")
+      val rep = sh
+        .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(wSh))
+        .withColumn("n_occ", count(lit(1)).over(wSh))
         .filter(col("n_occ") > 1)
-        .select(col("shingle"), col("first.doc_id").as("fdoc"),
-          col("first.pos").as("fpos"))
-      val rep = sh.join(firsts, "shingle")
-        .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+        .filter(!(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
         .select("doc_id", "pos")
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -121,8 +121,16 @@ object DedupAudit {
   def dedupVerdict(docs: DataFrame): DataFrame = {
     val fps = CorpusPipeline.normalize(docs)
       .select(col("doc_id"), IncrementalDedup.fingerprint(Some(8)).as("fp"))
-    val owners = fps.groupBy("fp").agg(min("doc_id").as("dup_of"))
-    val exact = fps.join(owners, "fp").select(col("doc_id"), col("dup_of"))
+    // owner as a WINDOW over the fp partitioning (round 15, the
+    // neardupEdgesFromGrams idiom): min(doc_id) over fp is the same
+    // per-group minimum the groupBy+join computed, on the one fp shuffle
+    // instead of aggregate-then-rejoin (two shuffles of the fingerprint
+    // stream at scale; the window's frame is the whole partition, so no
+    // sort beyond the partitioning is required).
+    val exact = fps
+      .withColumn("dup_of",
+        min("doc_id").over(Window.partitionBy("fp")))
+      .select(col("doc_id"), col("dup_of"))
     val near = connectedComponents(neardupEdges(docs))
     docs.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")

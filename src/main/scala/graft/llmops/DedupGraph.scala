@@ -97,7 +97,7 @@ object DedupGraph {
     * by ≥2 store docs — the two tables cover exactly the same doc set.
     */
   private[llmops] def storeState(store: DataFrame): (DataFrame, DataFrame) = {
-    val grams = shingles(graft.operators.Ops.fanOut(store), 5)
+    val grams = shingles(store, 5)
     val dfs = grams.groupBy("shingle").agg(count(lit(1)).as("__df_store"))
     val g2s = graft.core.Materialize(
       grams.join(dfs, "shingle")
@@ -216,7 +216,7 @@ object DedupGraph {
     // Materialized because it now has two consumers (the g2f keep filter
     // and the repair's crossing filter).
     val grams = graft.core.Materialize(
-      shingles(graft.operators.Ops.fanOut(docs), 5))
+      shingles(docs, 5))
     val caps = graft.core.Materialize(
       grams.groupBy("shingle").agg(count(lit(1)).as("__df_full")))
     val g2f = graft.core.Materialize(
@@ -303,21 +303,55 @@ object DedupGraph {
     // so a live lazy store state is caught before the first round nests it
     graft.core.Materialize.requireIterationSafe(edges, "ccFixpoint(edges)")
     graft.core.Materialize.requireIterationSafe(init, "ccFixpoint(init)")
-    var labels = graft.core.Materialize(init)
-    def labelSum(l: DataFrame): java.math.BigDecimal = {
-      // empty label table (no edges at all) sums to NULL → zero, so the
-      // loop converges on the first round instead of NPE-ing
-      val s = l.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
-        .head.getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
+    // Convergence detection rides the materialize job itself (round 15,
+    // guide §1/§2: the measured per-round cost of this loop at bench scale
+    // is DRIVER-SYNCHRONIZED JOBS, not data): `observe()` plants a
+    // CollectMetrics node above the table being checkpointed, so the label
+    // sum falls out of the SAME eager localCheckpoint/checkpoint action —
+    // one job per round where the separate `.agg(sum).head` used to make
+    // it two. Under the lazy persist mode the explicit aggregate action
+    // remains (Materialize.isEager) — it executes the observed plan, so
+    // the Observation is fulfilled either way and never deadlocks.
+    def observedSum(df: DataFrame): (DataFrame, () => java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val o = df.observe(obs, sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+      val m = graft.core.Materialize(o)
+      val get = () =>
+        if (graft.core.Materialize.isEager(m))
+          // empty label table (no edges at all) sums to NULL → zero, so
+          // the loop converges on the first round instead of NPE-ing
+          obs.get.get("s").orNull match {
+            case null => java.math.BigDecimal.ZERO
+            case d: java.math.BigDecimal => d
+            case d: scala.math.BigDecimal => d.bigDecimal
+            case other => throw new IllegalStateException(
+              s"ccFixpoint observe: unexpected metric type $other")
+          }
+        else {
+          val s = m.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+            .head.getDecimal(0)
+          if (s == null) java.math.BigDecimal.ZERO else s
+        }
+      (m, get)
     }
-    var prevSum = labelSum(labels)
+    val (init0, initSum) = observedSum(init)
+    var labels = init0
+    var prevSum = initSum()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
       // Propagate one edge hop, checkpointed (the per-round lineage cut).
-      val prop = graft.core.Materialize(
+      // The sum observed here is of PROP (post-propagation, pre-hop); the
+      // detector stays sound because every step is pointwise
+      // non-increasing (propagate takes a min with the old label; the hop
+      // maps lbl -> lbl(lbl) ≤ lbl since every valid labeling here keeps
+      // lbl(i) ≤ i): sum unchanged across a round ⇒ the round's propagate
+      // AND the previous round's hop both changed nothing ⇒ fixpoint —
+      // same invariant the post-hop sum proved, one fewer aggregate
+      // basis. The last counted round remains the no-change verification
+      // round (callers' round-count contract).
+      val (prop, propSum) = observedSum(
         labels.union(
             edges.join(labels, edges("src") === labels("id"))
               .select(edges("dst").as("id"), labels("lbl")))
@@ -334,7 +368,7 @@ object DedupGraph {
           prop.select(col("id").as("__lid"), col("lbl").as("__lbl2")),
           col("lbl") === col("__lid"), "left")
         .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
-      val s = labelSum(next)
+      val s = propSum()
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
@@ -734,26 +768,48 @@ object DedupGraph {
     // same persist-mode iteration guard as ccFixpoint (the k-core peel
     // nests its input plan per round identically)
     graft.core.Materialize.requireIterationSafe(edges0, "kCoreFixpoint(edges)")
-    var cur = graft.core.Materialize(edges0)
-    def nNodes(e: DataFrame): Long = {
-      val n = e.agg(countDistinct(col("src"))).head.getLong(0)
-      n
+    // Convergence probe fused into the materialize job (round 15, the
+    // ccFixpoint observe() idiom): the detector counts EDGES instead of
+    // distinct nodes — equivalent on this symmetric edge set, because an
+    // edge drops iff an endpoint fell under the degree bar, and a vertex
+    // that loses its keep flag loses ALL its (symmetric) edges and thereby
+    // leaves the src set: "no edge dropped this round" ⟺ "no node dropped
+    // this round", so round counts and the converged flag are unchanged —
+    // and count(1) is observable while countDistinct is not (CollectMetrics
+    // rejects distinct aggregates). One job per round instead of two.
+    def observedCount(df: DataFrame): (DataFrame, () => Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val o = df.observe(obs, count(lit(1)).as("n"))
+      val m = graft.core.Materialize(o)
+      val get = () =>
+        if (graft.core.Materialize.isEager(m))
+          obs.get.get("n").orNull match {
+            case null => 0L
+            case n: java.lang.Long => n.longValue
+            case other => throw new IllegalStateException(
+              s"kCoreFixpoint observe: unexpected metric type $other")
+          }
+        else m.count()
+      (m, get)
     }
-    var prevN = nNodes(cur)
+    val (cur0, curCount) = observedCount(edges0)
+    var cur = cur0
+    var prevE = curCount()
     var round = 0
-    var converged = prevN == 0L // empty graph is already its own k-core
+    var converged = prevE == 0L // empty graph is already its own k-core
     while (!converged && round < maxRounds) {
       round += 1
       val keep = graft.core.Materialize(
         cur.groupBy("src").agg(count(lit(1)).as("dg"))
           .filter(col("dg") >= k).select(col("src").as("id")))
-      cur = graft.core.Materialize(cur
+      val (next, nextCount) = observedCount(cur
         .join(keep.select(col("id").as("src")), "src")
         .join(keep.select(col("id").as("dst")), "dst")
         .select("src", "dst"))
-      val n = nNodes(cur)
-      converged = n == prevN
-      prevN = n
+      cur = next
+      val n = nextCount()
+      converged = n == prevE
+      prevE = n
     }
     (cur, round, converged)
   }

@@ -19,8 +19,15 @@ object PretrainOps {
   /** (doc_id, term, tf) — the per-doc term-frequency table (one tokenize
     * pass + one keyed aggregate; the same start as q55/q56).
     */
+  /** (doc_id, term, tf). Round 15: the fan-out is KEYED by doc_id (the
+    * tokensWithPos idiom, guide §2.4) — hashpartitioning(doc_id) already
+    * satisfies the (doc_id, term) aggregate's clustered distribution, so
+    * the exploded TOKEN stream is never exchanged: only document rows
+    * cross the one shuffle, and per-doc consumers downstream (`lens`
+    * groupBy(doc_id)) keep riding the same partitioning.
+    */
   private[llmops] def termFreq(docs: DataFrame): DataFrame =
-    fanOut(docs)
+    fanOut(docs, col("doc_id"))
       .select(col("doc_id"), explode(split(asciiLower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -46,7 +53,9 @@ object PretrainOps {
   val q84 = QuerySpec(
     "q84_unigram_surprisal",
     (s, d) => {
-      val tf = termFreq(Tables.documents(s, d))
+      // tf feeds ctf, the corpus total, and the surprisal join probe —
+      // materialize once (round 15, q107's idiom).
+      val tf = graft.core.Materialize(termFreq(Tables.documents(s, d)))
       val ctf = tf.groupBy("term").agg(sum("tf").cast("long").as("ctf"))
       val n = tf.agg(sum("tf").cast("long").as("n_total"))
       val sMicro = floor(
@@ -267,7 +276,7 @@ object PretrainOps {
     "q88_source_overlap",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val grams = Dedup.shingles(fanOut(docs), 5)
+      val grams = Dedup.shingles(docs, 5)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "shingle").distinct()
       val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
@@ -451,7 +460,7 @@ object PretrainOps {
             when(col("mrg"), concat_ws("_", col("tok"), col("nxt")))
               .otherwise(col("tok")).as("tok"))
 
-      val t0 = Dedup.tokensWithPos(fanOut(Tables.documents(s, d)))
+      val t0 = Dedup.tokensWithPos(Tables.documents(s, d))
       // .limit(1) after each Materialize is a CARDINALITY WITNESS, not a
       // selection: winner() already ends in limit(1), but localCheckpoint
       // erases the structural proof (the plan becomes an opaque RDD scan),
@@ -556,7 +565,9 @@ object PretrainOps {
   val q105 = QuerySpec(
     "q105_curriculum_phases",
     (s, d) => {
-      val tf = termFreq(Tables.documents(s, d))
+      // tf feeds ctf, the corpus total, and the surprisal join probe —
+      // materialize once (round 15, q107's idiom).
+      val tf = graft.core.Materialize(termFreq(Tables.documents(s, d)))
       val ctf = tf.groupBy("term").agg(sum("tf").cast("long").as("ctf"))
       val n = tf.agg(sum("tf").cast("long").as("n_total"))
       val sMicro = floor(
@@ -694,7 +705,12 @@ object PretrainOps {
     (s, d) => {
       val queryTerms = Seq("spark", "join", "merge")
       val docs = Tables.documents(s, d)
-      val tf = termFreq(docs)
+      // tf feeds THREE plan consumers (lens, the query-term df, and the
+      // scoring pipeline) — materialize once (round 15, q165's idiom: two
+      // extra corpus tokenization passes would double the dominant cost
+      // at 100 TB, and AQE exchange reuse across aliased subtrees is the
+      // measured-intermittent mechanism the engine does not rely on).
+      val tf = graft.core.Materialize(termFreq(docs))
       val lens = tf.groupBy("doc_id").agg(sum("tf").cast("long").as("len"))
       val nAvg = lens.agg(
         count(lit(1)).cast("long").as("n_docs"),

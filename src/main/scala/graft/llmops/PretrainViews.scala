@@ -491,7 +491,7 @@ object PretrainViews {
     (s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
-      val toks = Dedup.tokensWithPos(fanOut(Tables.documents(s, d)))
+      val toks = Dedup.tokensWithPos(Tables.documents(s, d))
         .withColumn("t1", lead(col("tok"), 1).over(w))
         .withColumn("t2", lead(col("tok"), 2).over(w))
       val d1 = toks.filter(col("t1").isNotNull)

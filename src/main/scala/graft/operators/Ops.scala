@@ -76,10 +76,27 @@ object Ops {
     * scan has fewer files than the configured shuffle width. A production
     * corpus arrives in hundreds of splits → this is a no-op passthrough
     * (no shuffle); the check reads only file metadata (no job).
+    *
+    * `keys` (round-15, guide §2.4 "two operations keyed the same way can
+    * share one exchange"): when the immediate downstream is keyed — every
+    * shingle pipeline window-partitions the token stream by doc_id — a
+    * KEYED repartition hash-partitions on that key instead of round-robin,
+    * so (a) the downstream Window/aggregate finds its required
+    * ClusteredDistribution already satisfied and inserts NO second
+    * exchange (measured: the round-robin form exchanged the post-explode
+    * token stream a second time), and (b) the keyless form's
+    * sort-before-repartition local sort of the whole input
+    * (SPARK-23207 retry determinism) disappears — hash routing is already
+    * deterministic per row. Results are unchanged either way: partitioning
+    * affects placement only, proven registry-wide by the 7-way/32-way
+    * layout sweep.
     */
-  def fanOut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def fanOut(df: org.apache.spark.sql.DataFrame,
+             keys: Column*): org.apache.spark.sql.DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.inputFiles.length >= target) df else df.repartition(target)
+    if (df.inputFiles.length >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
   }
 
   /** The skew guard shared by every candidate-generation operator (shingle
