@@ -72,8 +72,7 @@ object Bench {
     val calibMedian =
       median((calibStartSamples ++ calibEndSamples).sorted)
     val results = samples.map { case (n, ts) => n -> median(ts) }.toMap
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def fmt(v: Double): String = BenchGate.fmtSec(v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def mapOf(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -383,20 +382,6 @@ object Bench {
           ",\"ratio\":" + fmt(norm / best) + ",\"sec_ratio\":" + fmt(secRatio) +
           adjudicationFields(q, norm / best) + "}"
       }.mkString("{", ",", "}")
-    // stdout must respect the ~2k-char tail budget (see below): worst 3
-    // by ratio only, plus the total count; the FULL map goes in the file
-    // artifact. A ghost-flood run (42 flags observed) would otherwise
-    // push the tail past the budget and truncate the line's head — the
-    // BENCH_r06 parse-null failure all over again. Budget arithmetic,
-    // re-done for the round-15 main_changed field (each entry is now
-    // ~225 chars: name ~25 + norm/best/ratio/adjusted ~72 + retime pair
-    // ~45 + files_changed ~22 + main_changed ~21 + verdict ~29 worst
-    // case "unstable_run"): 3 × 225 + header/counts ~350 + slowest-60
-    // short-id map ~850 ≈ 1.9 kB — inside the tail; 4 entries would sit
-    // past the edge.
-    val normRegsStdout = regsJson(
-      normRegs.toSeq.sortBy { case (_, (cur, best)) => -cur / best }.take(3)
-        .sortBy(_._1))
     // Full-name artifact line (file + history): every query, 3 decimals.
     val calibFields =
       s""""calib_start":${fmt(calibStart)},"calib_end":${fmt(calibEnd)},"""
@@ -406,25 +391,28 @@ object Bench {
         s""""shift_suspect":$shiftSuspect,"hist_lines":$histLines,"hist_sha":"$histSha",""" +
         s""""norm_regressions":$normRegsJson,"sec_vetoed":$secVetoedJson,""" +
         s""""queries":${mapOf(results.toSeq.sortBy(_._1))},"sf":"$sfDir"}"""
-    // The driver records only the LAST ~2000 chars of stdout; at 194
-    // queries even short-id entries are ~2.4 kB, which is why BENCH_r06
-    // captured 152/194 with "parsed": null (round-6 verdict item 5). The
-    // stdout line must therefore be self-truncating: the 60 SLOWEST
-    // queries by short id (~0.9 kB — the ones a perf judge cares about),
-    // plus the count and the path of the complete artifact. The full map
-    // always lands in SPARK_GRAFT_BENCH_OUT and the history file.
+    // The driver records only the LAST ~2000 chars of stdout AND matches
+    // the printed `queries` keys against correctness-artifact query
+    // names — the round-6 short-id self-truncation kept the line inside
+    // the tail but made every key unmatchable, so the driver's parse
+    // returned null for three straight rounds (round-16 verdict item 1).
+    // BenchGate.stdoutLine prints FULL registry names for the slowest
+    // queries that fit the budget (spec-pinned by BenchStdoutSpec); the
+    // per-flag norm/retime detail moved file-only to buy the room — the
+    // stdout keeps the counts plus a compact worst-3 name → verdict map,
+    // and the complete adjudication lives in the file artifact above.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft-bench.json")
-    val slowest = results.toSeq.sortBy(-_._2).take(60)
-      .map { case (k, v) => k.takeWhile(_ != '_') -> v }
-      .sortBy(_._1)
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" + calibFields +
-        s""""calib_stable":$calibStable,"norm_shift_global":${fmt(normShift)},""" +
-        s""""shift_suspect":$shiftSuspect,""" +
-        s""""n_norm_regressions":${normRegs.size},"n_sec_vetoed":${secVetoed.size},""" +
-        s""""norm_regressions":$normRegsStdout,""" +
-        s""""queries":${mapOf(slowest)},""" +
-        s""""n_queries":${results.size},"full":"$out","sf":"$sfDir"}""")
+    val flagVerdicts = normRegs.toSeq
+      .sortBy { case (q, (cur, best)) => (-cur / best, q) }.take(3)
+      .map { case (q, (cur, best)) =>
+        q -> BenchGate.flagVerdict(retimed.getOrElse(q, (None, None))._2,
+          cur / best, normShift, calibStable,
+          filesChangedOf.getOrElse(q, None), mainChangedOf.getOrElse(q, None))
+          .getOrElse("null")
+      }
+    println(BenchGate.stdoutLine(total, calibStart, calibEnd, calibStable,
+      normShift, shiftSuspect, normRegs.size, secVetoed.size, flagVerdicts,
+      results, out, sfDir))
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

@@ -49,14 +49,27 @@ import org.apache.spark.storage.StorageLevel
 object Materialize {
   val ModeKey = "spark.graft.materialize.mode"
 
-  def apply(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get(ModeKey, "local") match {
-      case "local"    => df.localCheckpoint()
-      case "reliable" => df.checkpoint()
-      case "persist"  => df.persist(StorageLevel.MEMORY_AND_DISK_2)
-      case other => throw new IllegalArgumentException(
-        s"$ModeKey must be local|reliable|persist, got '$other'")
-    }
+  /** ONE mode table drives both [[apply]] and [[isEager]] (round-15
+    * ADVICE): isEager used to re-encode the dispatch as an independent
+    * `!= "persist"` comparison, so a future fourth mode added to apply's
+    * match alone would silently classify as eager — reintroducing the
+    * `Observation.get` deadlock isEager exists to prevent. A new mode now
+    * MUST declare its eagerness here or every path throws the same
+    * unknown-mode error.
+    */
+  private val modes: Map[String, (Boolean, DataFrame => DataFrame)] = Map(
+    "local"    -> (true,  (df: DataFrame) => df.localCheckpoint()),
+    "reliable" -> (true,  (df: DataFrame) => df.checkpoint()),
+    "persist"  -> (false, (df: DataFrame) =>
+      df.persist(StorageLevel.MEMORY_AND_DISK_2)))
+
+  private def mode(df: DataFrame): (Boolean, DataFrame => DataFrame) = {
+    val m = df.sparkSession.conf.get(ModeKey, "local")
+    modes.getOrElse(m, throw new IllegalArgumentException(
+      s"$ModeKey must be ${modes.keys.toSeq.sorted.mkString("|")}, got '$m'"))
+  }
+
+  def apply(df: DataFrame): DataFrame = mode(df)._2(df)
 
   /** Whether [[apply]] runs the plan NOW (localCheckpoint / checkpoint are
     * eager actions; persist is lazy). Iterative callers that fuse their
@@ -67,8 +80,7 @@ object Materialize {
     * side effect of the same plan, so the Observation is fulfilled either
     * way, just never the thing being waited on).
     */
-  def isEager(df: DataFrame): Boolean =
-    df.sparkSession.conf.get(ModeKey, "local") != "persist"
+  def isEager(df: DataFrame): Boolean = mode(df)._1
 
   /** Per-input plan-size bound for [[requireIterationSafe]] under persist
     * mode. Default 32768, set from two MEASURED anchors: (a) the largest

@@ -17,14 +17,13 @@ import org.apache.spark.sql.types.DecimalType
 object PretrainOps {
 
   /** (doc_id, term, tf) — the per-doc term-frequency table (one tokenize
-    * pass + one keyed aggregate; the same start as q55/q56).
-    */
-  /** (doc_id, term, tf). Round 15: the fan-out is KEYED by doc_id (the
-    * tokensWithPos idiom, guide §2.4) — hashpartitioning(doc_id) already
-    * satisfies the (doc_id, term) aggregate's clustered distribution, so
-    * the exploded TOKEN stream is never exchanged: only document rows
-    * cross the one shuffle, and per-doc consumers downstream (`lens`
-    * groupBy(doc_id)) keep riding the same partitioning.
+    * pass + one keyed aggregate; the same start as q55/q56). The fan-out
+    * is KEYED by doc_id (round 15, the tokensWithPos idiom, guide §2.4):
+    * hashpartitioning(doc_id) already satisfies the (doc_id, term)
+    * aggregate's clustered distribution, so the exploded TOKEN stream is
+    * never exchanged — only document rows cross the one shuffle, and
+    * per-doc consumers downstream (`lens` groupBy(doc_id)) keep riding
+    * the same partitioning.
     */
   private[llmops] def termFreq(docs: DataFrame): DataFrame =
     fanOut(docs, col("doc_id"))

@@ -90,6 +90,14 @@ object Ops {
     * deterministic per row. Results are unchanged either way: partitioning
     * affects placement only, proven registry-wide by the 7-way/32-way
     * layout sweep.
+    *
+    * `keys` must be HIGH-CARDINALITY relative to the shuffle width
+    * (round-15 ADVICE): the keyed form bounds parallelism by distinct-key
+    * count and hash spread, not round-robin's even row split — doc_id
+    * over a corpus qualifies by many orders of magnitude, but a
+    * low-cardinality key (source, lang, a date) would silently collapse
+    * the fan-out this operator promises; such callers should pass no
+    * keys and let the downstream exchange re-key.
     */
   def fanOut(df: org.apache.spark.sql.DataFrame,
              keys: Column*): org.apache.spark.sql.DataFrame = {

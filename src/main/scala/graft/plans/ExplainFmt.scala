@@ -11,6 +11,11 @@ package graft.plans
   */
 object ExplainFmt {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: runMain graft.plans.ExplainFmt <outDir> <name>[,<name>...] [sfDir]")
+      sys.exit(2)
+    }
     val outDir = args(0)
     val names = args(1).split(",").toSeq.filter(_.nonEmpty)
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
