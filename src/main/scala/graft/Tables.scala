@@ -11,6 +11,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partitioned directory tree; nothing here assumes single-file layout.
   */
 object Tables {
+  /** Inferred-schema memo (round-16 verdict item 4): driver-side schema
+    * inference reads a parquet footer per table REFERENCE (~tens of ms),
+    * and a 250-query bench pays it ~750 times — several seconds of pure
+    * per-query floor. The first reference to a path infers; later ones
+    * hand the same StructType to the reader explicitly, which skips
+    * inference entirely. METADATA reuse only: no rows or results are
+    * cached, every query still computes from the parquet bytes, and the
+    * scan's ReadSchema/PushedFilters are unchanged (plans/r16
+    * before/after dumps are byte-identical). Keyed by (path, the two
+    * parquet-inference confs) because inference maps TIMESTAMP(NANOS)/NTZ
+    * columns differently under those flags — a session with different
+    * settings must re-infer, never inherit a schema inferred under other
+    * rules. Assumes table dirs are immutable within a JVM — the same
+    * assumption every store fixture memo in this engine already makes.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
   /** Reads a table, normalizing any TIMESTAMP_NTZ column to TimestampType.
     * Sessions set `spark.sql.parquet.inferTimestampNTZ.enabled=false`
     * (see [[LocalSession]]) which makes this a no-op; the conditional cast
@@ -20,7 +38,13 @@ object Tables {
     * values as instants — bit-identical µs since epoch.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val confKey =
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") + "|" +
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val schema = schemaCache.getOrElseUpdate((path, confKey),
+      spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     val ntz = df.schema.fields.collect {
       case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
     }

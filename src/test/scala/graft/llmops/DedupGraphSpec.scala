@@ -445,4 +445,168 @@ class DedupGraphSpec extends SparkTestBase {
     assert(r.getBoolean(1), "the LSH pair must be checked")
     assert(r.getBoolean(2), "estimates must stay within +/-0.2 of exact")
   }
+
+  /** Pre-round-15 TWO-JOB reference fixpoint, byte-faithful to the
+    * b31d94b loop: Materialize(prop) per round plus a SEPARATE post-hop
+    * label-sum aggregate job. The round-15 fused detector (observe() on
+    * the checkpointed PROP table — post-propagation, PRE-hop sum) claims
+    * equivalence via a prose monotonicity argument; the property pin
+    * below makes that argument mechanical (round-16 verdict item 7).
+    */
+  private def refCcFixpoint(edges: org.apache.spark.sql.DataFrame,
+                            init: org.apache.spark.sql.DataFrame,
+                            maxRounds: Int)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    import org.apache.spark.sql.types.DecimalType
+    var labels = graft.core.Materialize(init)
+    def labelSum(l: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val s = l.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val prop = graft.core.Materialize(
+        labels.union(
+            edges.join(labels, edges("src") === labels("id"))
+              .select(edges("dst").as("id"), labels("lbl")))
+          .groupBy("id").agg(min("lbl").as("lbl")))
+      val next = prop.join(
+          prop.select(col("id").as("__lid"), col("lbl").as("__lbl2")),
+          col("lbl") === col("__lid"), "left")
+        .select(col("id"), coalesce(col("__lbl2"), col("lbl")).as("lbl"))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+    }
+    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster")), round)
+  }
+
+  /** Pre-round-16 JOIN-form k-core reference (keep aggregate + two keyed
+    * joins per round, separate count job): the production loop folded the
+    * degree filter into two count windows over src/dst (one job per
+    * round). Equivalence rests on symmetry — deg(v) = |src=v| = |dst=v|
+    * on a symmetric edge set; this pin makes it mechanical.
+    */
+  private def refKCore(edges0: org.apache.spark.sql.DataFrame, k: Int,
+                       maxRounds: Int = 50)
+      : (org.apache.spark.sql.DataFrame, Int, Boolean) = {
+    var cur = graft.core.Materialize(edges0)
+    var prevE = cur.count()
+    var round = 0
+    var converged = prevE == 0L
+    while (!converged && round < maxRounds) {
+      round += 1
+      val keep = graft.core.Materialize(
+        cur.groupBy("src").agg(count(lit(1)).as("dg"))
+          .filter(col("dg") >= k).select(col("src").as("id")))
+      cur = graft.core.Materialize(cur
+        .join(keep.select(col("id").as("src")), "src")
+        .join(keep.select(col("id").as("dst")), "dst")
+        .select("src", "dst"))
+      val n = cur.count()
+      converged = n == prevE
+      prevE = n
+    }
+    (cur, round, converged)
+  }
+
+  test("kCoreFixpoint window form matches the join-form reference on random graphs") {
+    import spark.implicits._
+    def landedEdges(seed: Int, n: Int, p: Double): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val half = for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < p
+      } yield (i.toLong, j.toLong)
+      val sym = half ++ half.map { case (a, b) => (b, a) }
+      val dir = java.nio.file.Files.createTempDirectory("kcoreprop").toString
+      sym.toDF("src", "dst").write.mode("overwrite").parquet(s"$dir/e")
+      spark.read.parquet(s"$dir/e")
+    }
+    for ((seed, n, p) <- Seq((11, 24, 0.08), (12, 24, 0.08), (13, 16, 0.30),
+      (14, 30, 0.05)); k <- Seq(2, 3)) {
+      val edges = landedEdges(seed, n, p)
+      val (core, rounds, conv) = DedupGraph.kCoreFixpoint(edges, k)
+      val (refCore, refRounds, refConv) = refKCore(edges, k)
+      def set(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(set(core) == set(refCore), s"seed=$seed k=$k: edge sets diverge")
+      assert(rounds == refRounds && conv == refConv,
+        s"seed=$seed k=$k: ($rounds,$conv) vs ($refRounds,$refConv)")
+    }
+  }
+
+  test("ccFixpoint property pin: fused detector fires on the same round with identical labels (random graphs, local+persist)") {
+    import spark.implicits._
+    // random symmetric graphs, landed to parquet so the persist-mode run
+    // is storage-backed (the requireIterationSafe contract)
+    def landedEdges(seed: Int, n: Int, p: Double): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val half = for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < p
+      } yield (i.toLong, j.toLong)
+      val sym = half ++ half.map { case (a, b) => (b, a) }
+      val dir = java.nio.file.Files.createTempDirectory("ccprop").toString
+      sym.toDF("src", "dst").write.mode("overwrite").parquet(s"$dir/e")
+      spark.read.parquet(s"$dir/e")
+    }
+    def run(edges: org.apache.spark.sql.DataFrame, mode: String) = {
+      spark.conf.set(graft.core.Materialize.ModeKey, mode)
+      try {
+        val init = edges.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lbl"))
+        val (fusedL, fusedR) = DedupGraph.ccFixpoint(edges, init, 50)
+        val (refL, refR) = refCcFixpoint(edges, init, 50)
+        (fusedL.orderBy("doc_id").collect()
+           .map(r => (r.getLong(0), r.getLong(1))).toSeq,
+          fusedR,
+          refL.orderBy("doc_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq,
+          refR)
+      } finally spark.conf.unset(graft.core.Materialize.ModeKey)
+    }
+    // LOCAL mode (lineage truncated per round): any graph shape is fair,
+    // including sparse path-heavy graphs that need many rounds.
+    val localCases = Seq((1, 24, 0.07), (2, 24, 0.07), (3, 24, 0.07),
+      (4, 24, 0.30), (5, 16, 0.50), (6, 30, 0.04))
+    // Round contract (discovered BY this pin, correcting the round-15
+    // prose claim of identical rounds): labels always identical; the
+    // fused pre-hop detector may verify ONE round later than the post-hop
+    // reference — exactly when the pointer-hop performs the final
+    // collapse, whose effect only shows in the next round's prop sum
+    // (seed 3 below exercises it: fused 5, reference 4).
+    for ((seed, n, p) <- localCases) {
+      val edges = landedEdges(seed, n, p)
+      val (fl, fr, rl, rr) = run(edges, "local")
+      assert(fl == rl, s"seed=$seed local: labels diverge")
+      assert(fr == rr || fr == rr + 1,
+        s"seed=$seed local: fused detector fired on round $fr, two-job reference on $rr")
+    }
+    // PERSIST mode never truncates lineage, so each round nests the plan
+    // ~4x and a many-round sparse graph blows up ANALYSIS exponentially —
+    // the exact documented hazard Materialize.requireIterationSafe exists
+    // for (a first cut of this spec ran a diameter-~8 path under persist
+    // and spent minutes per round in plan utilities). Production persist
+    // usage is legal only with bounded round structure, so the persist
+    // leg pins the detector on SHALLOW graphs (dense clique-ish, 2-3
+    // rounds) — the regime persist actually runs in.
+    for ((seed, n, p) <- Seq((4, 24, 0.30), (5, 16, 0.50))) {
+      val edges = landedEdges(seed, n, p)
+      val (fl, fr, rl, rr) = run(edges, "persist")
+      assert(fl == rl, s"seed=$seed persist: labels diverge")
+      assert(fr == rr || fr == rr + 1,
+        s"seed=$seed persist: fused detector fired on round $fr, two-job reference on $rr")
+    }
+    // degenerate case: an empty edge set must converge identically too
+    val empty = landedEdges(99, 4, 0.0)
+    for (mode <- Seq("local", "persist")) {
+      val (fl, fr, rl, rr) = run(empty, mode)
+      assert(fl == rl && fl.isEmpty)
+      assert(fr == rr, s"empty graph: $fr vs $rr")
+    }
+  }
 }
